@@ -1,0 +1,351 @@
+"""Decoder-only LLM backbones (Llama-2 / Mistral / Phi-2) in pure JAX.
+
+TPU-native replacement for the reference's HF `LlamaForCausalLM` + flash-attn
+stack (reference: prismatic/models/backbones/llm/base_llm.py:37-223,
+llama2.py:24-102, mistral.py, phi.py). Design choices:
+
+* Explicit parameter pytrees (no framework Module) — sharding rules, LoRA
+  adapters, quantization, and HF-weight loading all become direct pytree
+  manipulation; `jax.lax.scan` over stacked per-layer params gives O(1)
+  compile time in depth.
+* Fixed-shape KV cache `[L, B, S, n_kv, head_dim]` with per-example write
+  indices — right-padded prompts and the jitted greedy decode loop need no
+  dynamic shapes anywhere.
+* Attention is pluggable: `attention_impl="pallas"` uses the Pallas TPU flash
+  attention kernel (bridgelang_tpu.ops.flash_attention) for prefill/training;
+  "xla" uses jax.nn.dot_product_attention. Single-token decode is a small
+  einsum over the cache either way (it is HBM-bandwidth-, not FLOP-, bound).
+
+Weight-shape contract matches HF Llama so checkpoint conversion is a key
+remap + transpose (see bridgelang_tpu.models.load).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 32000           # ORIGINAL vocab (action-token id math uses this)
+    padded_vocab_size: int = 32064    # +<PAD>, resized to multiple of 64 (reference llama2.py:73-76)
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    intermediate_size: int = 11008
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    max_seq_len: int = 2048
+    pad_token_id: int = 32000
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+    # Architecture flags (Phi-2 differs from the Llama family):
+    arch: str = "llama"               # "llama" (RMSNorm+SwiGLU) | "phi" (LN + parallel GELU block)
+    rotary_pct: float = 1.0           # fraction of head_dim that is rotary (phi-2: 0.4)
+    use_bias: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        rd = int(self.rotary_pct * self.head_dim)
+        assert rd % 2 == 0, f"rotary_dim must be even, got {rd} (head_dim={self.head_dim})"
+        return rd
+
+
+LLM_CONFIGS: Dict[str, LLMConfig] = {
+    "llama2-7b-pure": LLMConfig(),
+    "llama2-7b-chat": LLMConfig(),
+    "vicuna-v15-7b": LLMConfig(),
+    "llama2-13b-pure": LLMConfig(dim=5120, n_layers=40, n_heads=40, n_kv_heads=40, intermediate_size=13824),
+    "llama2-13b-chat": LLMConfig(dim=5120, n_layers=40, n_heads=40, n_kv_heads=40, intermediate_size=13824),
+    "vicuna-v15-13b": LLMConfig(dim=5120, n_layers=40, n_heads=40, n_kv_heads=40, intermediate_size=13824),
+    "mistral-v0.1-7b-pure": LLMConfig(n_kv_heads=8, intermediate_size=14336, max_seq_len=2048),
+    "mistral-v0.1-7b-instruct": LLMConfig(n_kv_heads=8, intermediate_size=14336, max_seq_len=2048),
+    "phi-2-3b": LLMConfig(
+        vocab_size=51200, padded_vocab_size=51264, dim=2560, n_layers=32, n_heads=32, n_kv_heads=32,
+        intermediate_size=10240, arch="phi", rotary_pct=0.4, use_bias=True, norm_eps=1e-5,
+        pad_token_id=51200, bos_token_id=50256, eos_token_id=50256,
+    ),
+}
+
+LLM_FAMILIES: Dict[str, str] = {
+    "llama2-7b-pure": "llama2-pure", "llama2-13b-pure": "llama2-pure",
+    "llama2-7b-chat": "llama2-chat", "llama2-13b-chat": "llama2-chat",
+    "vicuna-v15-7b": "vicuna", "vicuna-v15-13b": "vicuna",
+    "mistral-v0.1-7b-pure": "mistral-pure", "mistral-v0.1-7b-instruct": "mistral-instruct",
+    "phi-2-3b": "phi",
+}
+
+
+# --- init ---------------------------------------------------------------------
+
+
+def init_llm_params(key: jax.Array, cfg: LLMConfig, dtype: jnp.dtype = jnp.float32) -> Params:
+    """Random init with HF-compatible shapes. Projection kernels are stored
+    [in, out] (right-multiply), i.e. the transpose of torch's [out, in]."""
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    D, I, L = cfg.dim, cfg.intermediate_size, cfg.n_layers
+    H, Hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    def dense(key, shape):
+        fan_in = shape[-2] if len(shape) > 1 else shape[0]
+        return (jax.random.normal(key, shape) * (fan_in ** -0.5)).astype(dtype)
+
+    lk = jax.random.split(k_layers, 8)
+    layers: Params = {
+        "wq": dense(lk[0], (L, D, H * hd)),
+        "wk": dense(lk[1], (L, D, Hkv * hd)),
+        "wv": dense(lk[2], (L, D, Hkv * hd)),
+        "wo": dense(lk[3], (L, H * hd, D)),
+        "attn_norm": jnp.ones((L, D), dtype=dtype),
+    }
+    if cfg.arch == "llama":
+        layers.update(
+            w_gate=dense(lk[4], (L, D, I)),
+            w_up=dense(lk[5], (L, D, I)),
+            w_down=dense(lk[6], (L, I, D)),
+            mlp_norm=jnp.ones((L, D), dtype=dtype),
+        )
+    else:  # phi: parallel block, single LN (with bias), biased projections
+        layers.update(
+            w_up=dense(lk[5], (L, D, I)),
+            w_down=dense(lk[6], (L, I, D)),
+            attn_norm_bias=jnp.zeros((L, D), dtype=dtype),
+            bq=jnp.zeros((L, H * hd), dtype=dtype),
+            bk=jnp.zeros((L, Hkv * hd), dtype=dtype),
+            bv=jnp.zeros((L, Hkv * hd), dtype=dtype),
+            bo=jnp.zeros((L, D), dtype=dtype),
+            b_up=jnp.zeros((L, I), dtype=dtype),
+            b_down=jnp.zeros((L, D), dtype=dtype),
+        )
+
+    params: Params = {
+        "embed": (jax.random.normal(k_embed, (cfg.padded_vocab_size, D)) * 0.02).astype(dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dtype=dtype),
+        "lm_head": dense(k_head, (D, cfg.padded_vocab_size)),
+    }
+    if cfg.arch == "phi":
+        params["final_norm_bias"] = jnp.zeros((D,), dtype=dtype)
+        params["lm_head_bias"] = jnp.zeros((cfg.padded_vocab_size,), dtype=dtype)
+    return params
+
+
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype: jnp.dtype = jnp.bfloat16) -> Params:
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+
+
+# --- building blocks ----------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    normed = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_cos_sin(positions: jnp.ndarray, rotary_dim: int, theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HF-Llama RoPE tables: [..., rotary_dim] with the half-split duplication
+    (freqs tiled as [f, f], rotate_half = cat(-x2, x1))."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., rd/2]
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, rotary_dim: int) -> jnp.ndarray:
+    """x: [B, T, H, hd]; cos/sin: [B, T, rotary_dim] (broadcast over heads)."""
+    xr, xp = x[..., :rotary_dim], x[..., rotary_dim:]
+    half = rotary_dim // 2
+    x1, x2 = xr[..., :half], xr[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos_b = cos[:, :, None, :].astype(x.dtype)
+    sin_b = sin[:, :, None, :].astype(x.dtype)
+    xr = xr * cos_b + rotated * sin_b
+    return jnp.concatenate([xr, xp], axis=-1) if rotary_dim < x.shape[-1] else xr
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(b, s, h * n_rep, d)
+
+
+def full_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Full-sequence attention [B,T,H,hd] with bool mask [B,1,T,S]."""
+    if impl == "pallas":
+        from bridgelang_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask)
+    n_rep = q.shape[2] // k.shape[2]
+    k, v = _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
+    return jax.nn.dot_product_attention(q, k, v, mask=mask)
+
+
+# --- decoder forward ----------------------------------------------------------
+
+
+def _block(
+    cfg: LLMConfig,
+    lp: Params,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: jnp.ndarray,
+    kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    cache_positions: Optional[jnp.ndarray],
+    attention_impl: str,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One decoder block over a T-token chunk. If `kv` is given, computed K/V
+    are scattered into it at `cache_positions` [B, T] and attention runs over
+    the whole cache; else attention runs over the chunk itself."""
+    B, T, D = x.shape
+    H, Hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    if cfg.arch == "phi":
+        h_in = layer_norm(x, lp["attn_norm"], lp["attn_norm_bias"], cfg.norm_eps)
+    else:
+        h_in = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+
+    q = h_in @ lp["wq"]
+    k = h_in @ lp["wk"]
+    v = h_in @ lp["wv"]
+    if cfg.use_bias:
+        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    q = q.reshape(B, T, H, hd)
+    k = k.reshape(B, T, Hkv, hd)
+    v = v.reshape(B, T, Hkv, hd)
+    q = apply_rope(q, cos, sin, cfg.rotary_dim)
+    k = apply_rope(k, cos, sin, cfg.rotary_dim)
+
+    if kv is not None:
+        cache_k, cache_v = kv
+        # Scatter this chunk's K/V into the cache at per-example positions.
+        def scatter(cache, new):
+            def one(c, n, pos):  # c: [S,Hkv,hd], n: [T,Hkv,hd], pos: [T]
+                return c.at[pos].set(n.astype(c.dtype))
+
+            return jax.vmap(one)(cache, new, cache_positions)
+
+        cache_k = scatter(cache_k, k)
+        cache_v = scatter(cache_v, v)
+        attn_k, attn_v = cache_k, cache_v
+        new_kv = (cache_k, cache_v)
+    else:
+        attn_k, attn_v = k, v
+        new_kv = (k, v)
+
+    if T == 1 and kv is not None:
+        # Single-token decode: lightweight masked attention over the cache.
+        n_rep = H // Hkv
+        kk = _repeat_kv(attn_k.astype(q.dtype), n_rep)
+        vv = _repeat_kv(attn_v.astype(q.dtype), n_rep)
+        scores = jnp.einsum("bqhd,bshd->bhqs", q, kk) / jnp.sqrt(hd).astype(q.dtype)
+        scores = jnp.where(mask, scores.astype(jnp.float32), -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn_out = jnp.einsum("bhqs,bshd->bqhd", probs, vv)
+    else:
+        attn_out = full_attention(q, attn_k.astype(q.dtype), attn_v.astype(q.dtype), mask, attention_impl)
+
+    attn_out = attn_out.reshape(B, T, H * hd) @ lp["wo"]
+    if cfg.use_bias:
+        attn_out = attn_out + lp["bo"]
+
+    if cfg.arch == "phi":
+        # Parallel residual: x + attn(ln(x)) + mlp(ln(x))
+        mlp_out = jax.nn.gelu(h_in @ lp["w_up"] + lp["b_up"], approximate=True) @ lp["w_down"] + lp["b_down"]
+        return x + attn_out + mlp_out, new_kv
+
+    x = x + attn_out
+    h2 = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+    mlp_out = (jax.nn.silu(h2 @ lp["w_gate"]) * (h2 @ lp["w_up"])) @ lp["w_down"]
+    return x + mlp_out, new_kv
+
+
+def llm_forward(
+    params: Params,
+    cfg: LLMConfig,
+    embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    mask: jnp.ndarray,
+    cache: Optional[Params] = None,
+    cache_positions: Optional[jnp.ndarray] = None,
+    attention_impl: str = "xla",
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Params]]:
+    """Run the decoder stack over input embeddings.
+
+    embeds:    [B, T, D]   (token or multimodal-fused embeddings)
+    positions: [B, T]      RoPE positions
+    mask:      [B, 1, T, S] bool attention mask (S = T, or cache length)
+    cache:     optional KV cache pytree from `init_kv_cache`
+    cache_positions: [B, T] cache write indices (required with cache)
+
+    Returns (hidden [B, T, D], updated cache or None).
+    """
+    cos, sin = rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta)
+    x = embeds
+
+    def body(x, layer_in):
+        lp, layer_kv = layer_in
+        x, new_kv = _block(cfg, lp, x, cos, sin, mask, layer_kv, cache_positions, attention_impl)
+        return x, new_kv
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    if cache is not None:
+        xs = (params["layers"], (cache["k"], cache["v"]))
+        x, (new_k, new_v) = jax.lax.scan(body, x, xs)
+        new_cache = {"k": new_k, "v": new_v}
+    else:
+        x, _ = jax.lax.scan(lambda c, lp: body(c, (lp, None)), x, params["layers"])
+        new_cache = None
+
+    if cfg.arch == "phi":
+        x = layer_norm(x, params["final_norm"], params["final_norm_bias"], cfg.norm_eps)
+    else:
+        x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return x, new_cache
+
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray, dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
+    emb = params["embed"][input_ids]
+    return emb.astype(dtype) if dtype is not None else emb
+
+
+def lm_logits(params: Params, hidden: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
+    logits = hidden @ params["lm_head"]
+    if cfg.arch == "phi":
+        logits = logits + params["lm_head_bias"]
+    return logits
+
+
+def count_params(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,259 @@
+"""Vision Transformer backbones (DINOv2 / SigLIP / CLIP / IN1K families) in JAX.
+
+TPU-native re-design of the reference's timm-based vision stack
+(reference: prismatic/models/backbones/vision/base_vision.py:27-207 and the
+thin subclasses in {clip,siglip,dinov2,in1k,dinosiglip,dinoclip}_vit.py).
+One generic `ViT` module + a `ViTConfig` per family replaces timm's model zoo;
+the feature contract is identical: **patch tokens from the second-to-last
+block, un-normalized, prefix tokens stripped** (the reference monkey-patches
+`get_intermediate_layers(n={depth-2})`, base_vision.py:123-128).
+
+TPU-first choices:
+  * We stop the forward at block `depth-2` instead of running all blocks and
+    tapping intermediates (the reference pays for the final block + head).
+  * Blocks run under `flax.linen.scan` over stacked per-layer params — one
+    compiled block body regardless of depth (fast compiles, same HLO loop XLA
+    pipelines well).
+  * NHWC patchify-conv, bf16-friendly; LayerNorm/softmax accumulate in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_dim: int = 4096
+    use_cls_token: bool = True
+    num_reg_tokens: int = 0
+    # timm `no_embed_class`: pos embed covers patch tokens only (DINOv2 style);
+    # else it covers [cls] + patches (CLIP/IN1K style).
+    no_embed_class: bool = False
+    layerscale_init: Optional[float] = None
+    # "gelu" (exact, DINOv2/SigLIP) or "quick_gelu" (CLIP: x*sigmoid(1.702x))
+    act: str = "gelu"
+    # CLIP applies a LayerNorm right after patch embedding (timm `pre_norm`).
+    pre_norm: bool = False
+    ln_eps: float = 1e-6
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return (1 if self.use_cls_token else 0) + self.num_reg_tokens
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.num_heads
+
+
+# Canonical configs for the backbones the reference registers (dims per the
+# corresponding timm model definitions; see configuration_prismatic.py:25-38
+# for the id -> timm-model mapping we mirror).
+VIT_CONFIGS: Dict[str, ViTConfig] = {
+    # vit_large_patch14_reg4_dinov2.lvd142m
+    "dinov2-vit-l": ViTConfig(
+        image_size=224, patch_size=14, width=1024, depth=24, num_heads=16, mlp_dim=4096,
+        use_cls_token=True, num_reg_tokens=4, no_embed_class=True, layerscale_init=1e-5,
+    ),
+    # vit_so400m_patch14_siglip_224
+    "siglip-vit-so400m": ViTConfig(
+        image_size=224, patch_size=14, width=1152, depth=27, num_heads=16, mlp_dim=4304,
+        use_cls_token=False,
+    ),
+    "siglip-vit-so400m-384px": ViTConfig(
+        image_size=384, patch_size=14, width=1152, depth=27, num_heads=16, mlp_dim=4304,
+        use_cls_token=False,
+    ),
+    # vit_large_patch14_clip_224.openai / _336
+    "clip-vit-l": ViTConfig(
+        image_size=224, patch_size=14, width=1024, depth=24, num_heads=16, mlp_dim=4096,
+        use_cls_token=True, act="quick_gelu", pre_norm=True, ln_eps=1e-5,
+    ),
+    "clip-vit-l-336px": ViTConfig(
+        image_size=336, patch_size=14, width=1024, depth=24, num_heads=16, mlp_dim=4096,
+        use_cls_token=True, act="quick_gelu", pre_norm=True, ln_eps=1e-5,
+    ),
+    # vit_large_patch16_224.augreg_in21k_ft_in1k
+    "in1k-vit-l": ViTConfig(
+        image_size=224, patch_size=16, width=1024, depth=24, num_heads=16, mlp_dim=4096,
+        use_cls_token=True,
+    ),
+}
+
+
+def _act(name: str):
+    if name == "gelu":
+        return partial(jax.nn.gelu, approximate=False)
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    raise ValueError(f"Unknown activation {name!r}")
+
+
+class ViTBlock(nn.Module):
+    """Pre-norm transformer block: x += ls1·attn(ln1 x); x += ls2·mlp(ln2 x)."""
+
+    cfg: ViTConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _=None):
+        cfg = self.cfg
+        residual = x
+        y = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="norm1")(x)
+        # Fused qkv projection (one MXU matmul instead of three).
+        qkv = nn.Dense(3 * cfg.width, dtype=self.dtype, name="qkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, t = y.shape[0], y.shape[1]
+        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        attn = jax.nn.dot_product_attention(q, k, v)  # bidirectional, fp32 softmax
+        attn = attn.reshape(b, t, cfg.width)
+        y = nn.Dense(cfg.width, dtype=self.dtype, name="proj")(attn)
+        if cfg.layerscale_init is not None:
+            ls1 = self.param("ls1", nn.initializers.constant(cfg.layerscale_init), (cfg.width,))
+            y = y * ls1.astype(self.dtype)
+        x = residual + y
+
+        residual = x
+        y = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(cfg.mlp_dim, dtype=self.dtype, name="mlp_fc1")(y)
+        y = _act(cfg.act)(y)
+        y = nn.Dense(cfg.width, dtype=self.dtype, name="mlp_fc2")(y)
+        if cfg.layerscale_init is not None:
+            ls2 = self.param("ls2", nn.initializers.constant(cfg.layerscale_init), (cfg.width,))
+            y = y * ls2.astype(self.dtype)
+        return residual + y, None
+
+
+class ViT(nn.Module):
+    """Generic ViT featurizer. `__call__` returns patch features from block
+    `depth - 2` (the Prismatic feature tap), prefix tokens stripped."""
+
+    cfg: ViTConfig
+    dtype: Dtype = jnp.float32
+    # Number of blocks to run; default depth-1 (i.e. through block index
+    # depth-2, the Prismatic second-to-last tap). The final block's weights are
+    # never materialized — dead weight in the reference's design.
+    n_blocks: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        """pixel_values: [B, 3, H, W] (channel-first, matching the processor's
+        stacked layout) -> [B, num_patches, width]."""
+        cfg = self.cfg
+        n_run = cfg.depth - 1 if self.n_blocks is None else self.n_blocks
+        assert 0 < n_run <= cfg.depth
+
+        x = jnp.transpose(pixel_values, (0, 2, 3, 1)).astype(self.dtype)  # NHWC
+        x = nn.Conv(
+            cfg.width,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        b = x.shape[0]
+        x = x.reshape(b, -1, cfg.width)  # [B, P, D]
+
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, cfg.num_patches + (0 if cfg.no_embed_class else (1 if cfg.use_cls_token else 0)), cfg.width),
+        )
+
+        prefix = []
+        if cfg.use_cls_token:
+            cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.width))
+            prefix.append(jnp.broadcast_to(cls_token.astype(self.dtype), (b, 1, cfg.width)))
+        if cfg.num_reg_tokens:
+            reg_tokens = self.param("reg_tokens", nn.initializers.zeros, (1, cfg.num_reg_tokens, cfg.width))
+            prefix.append(jnp.broadcast_to(reg_tokens.astype(self.dtype), (b, cfg.num_reg_tokens, cfg.width)))
+
+        if cfg.no_embed_class:
+            # DINOv2: pos embed on patches only; prefix appended afterwards.
+            x = x + pos_embed.astype(self.dtype)
+            x = jnp.concatenate(prefix + [x], axis=1) if prefix else x
+        else:
+            x = jnp.concatenate(prefix + [x], axis=1) if prefix else x
+            x = x + pos_embed.astype(self.dtype)
+
+        if cfg.pre_norm:
+            x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="norm_pre")(x)
+
+        # Scan over stacked block params; static length = blocks actually needed.
+        Blocks = nn.scan(
+            ViTBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=n_run,
+            metadata_params={nn.PARTITION_NAME: "vit_layers"},
+        )
+        x, _ = Blocks(cfg=self.cfg, dtype=self.dtype, name="blocks")(x, None)
+
+        return x[:, cfg.num_prefix_tokens :, :]
+
+
+class FusedViT(nn.Module):
+    """Dual-tower featurizer (DINOv2 + SigLIP / DINOv2 + CLIP): split the
+    channel-stacked input, run both towers, concat on the embedding dim
+    (reference: dinosiglip_vit.py:142-147; modeling_prismatic.py:115-124)."""
+
+    cfg_a: ViTConfig
+    cfg_b: ViTConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        """pixel_values: [B, 6, H, W] -> [B, P, width_a + width_b]."""
+        img_a = pixel_values[:, :3]
+        img_b = pixel_values[:, 3:]
+        feat_a = ViT(self.cfg_a, dtype=self.dtype, name="featurizer")(img_a)
+        feat_b = ViT(self.cfg_b, dtype=self.dtype, name="fused_featurizer")(img_b)
+        return jnp.concatenate([feat_a, feat_b], axis=2)
+
+
+FUSED_BACKBONES: Dict[str, Tuple[str, str]] = {
+    "dinosiglip-vit-so-224px": ("dinov2-vit-l", "siglip-vit-so400m"),
+    "dinosiglip-vit-so-384px": ("dinov2-vit-l", "siglip-vit-so400m-384px"),
+    "dinoclip-vit-l-336px": ("dinov2-vit-l", "clip-vit-l-336px"),
+}
+
+
+def build_vision_backbone(vision_backbone_id: str, dtype: Dtype = jnp.float32) -> Tuple[nn.Module, int, int]:
+    """Return (module, embed_dim, num_patches) for a registered backbone id."""
+    if vision_backbone_id in FUSED_BACKBONES:
+        id_a, id_b = FUSED_BACKBONES[vision_backbone_id]
+        cfg_a, cfg_b = VIT_CONFIGS[id_a], VIT_CONFIGS[id_b]
+        if vision_backbone_id.endswith("384px"):
+            cfg_a = dataclasses.replace(cfg_a, image_size=384)
+        if vision_backbone_id.endswith("336px") and id_a == "dinov2-vit-l":
+            cfg_a = dataclasses.replace(cfg_a, image_size=336)
+        assert cfg_a.num_patches == cfg_b.num_patches, "fused towers must emit equal patch counts"
+        return FusedViT(cfg_a, cfg_b, dtype=dtype), cfg_a.width + cfg_b.width, cfg_a.num_patches
+    if vision_backbone_id not in VIT_CONFIGS:
+        raise KeyError(f"Unknown vision backbone {vision_backbone_id!r}")
+    cfg = VIT_CONFIGS[vision_backbone_id]
+    return ViT(cfg, dtype=dtype), cfg.width, cfg.num_patches

@@ -1,0 +1,165 @@
+"""OpenVLA: action-predicting VLA on top of PrismaticVLM.
+
+Counterpart of reference prismatic/models/vlas/openvla.py:23-131 and the HF
+twin's OpenVLAForActionPrediction (modeling_prismatic.py:492-562) with one big
+TPU-native difference: **the whole predict_action path after tokenization is a
+single jitted program** — vision encode, prefill, greedy KV-cache decode of
+exactly `action_dim` tokens, bin de-tokenization, and q01/q99 un-normalization
+all execute on device, returning the final continuous action. The reference
+decodes autoregressively through GenerationMixin and round-trips token ids to
+numpy for de-tokenization on every call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bridgelang_tpu.models.llm.prompting import build_vla_prompt
+from bridgelang_tpu.models.vlm import LLAMA_EMPTY_TOKEN, Params, PrismaticVLM, VLMConfig
+from bridgelang_tpu.ops.image_ops import preprocess_batch
+from bridgelang_tpu.vla.action_tokenizer import make_bins, token_ids_to_actions, unnormalize_actions
+
+DEFAULT_PROMPT_BUCKET = 48  # covers "In: What action ... {instruction}?\nOut: ▁" comfortably
+
+
+def check_unnorm_key(norm_stats: Dict[str, Any], unnorm_key: Optional[str]) -> str:
+    """reference: vlas/openvla.py:106-117 / modeling_prismatic.py:537-549."""
+    if unnorm_key is None:
+        assert len(norm_stats) == 1, (
+            f"Model trained on multiple datasets; pass `unnorm_key` from: {list(norm_stats.keys())}"
+        )
+        unnorm_key = next(iter(norm_stats.keys()))
+    assert unnorm_key in norm_stats, (
+        f"`unnorm_key` {unnorm_key!r} not in available statistics: {list(norm_stats.keys())}"
+    )
+    return unnorm_key
+
+
+class OpenVLA(PrismaticVLM):
+    def __init__(
+        self,
+        cfg: VLMConfig,
+        norm_stats: Dict[str, Any],
+        tokenizer=None,
+        dtype: jnp.dtype = jnp.bfloat16,
+        n_action_bins: int = 256,
+        prompt_bucket: int = DEFAULT_PROMPT_BUCKET,
+    ):
+        super().__init__(cfg, dtype=dtype)
+        self.norm_stats = norm_stats
+        self.tokenizer = tokenizer
+        self.n_action_bins = n_action_bins
+        self.prompt_bucket = prompt_bucket
+        _, self.bin_centers = make_bins(n_action_bins)
+        self._predict_fns: Dict[int, Any] = {}
+
+    # --- stats helpers (reference: vlas/openvla.py:119-131) ---
+
+    def get_action_dim(self, unnorm_key: Optional[str] = None) -> int:
+        key = check_unnorm_key(self.norm_stats, unnorm_key)
+        return len(self.norm_stats[key]["action"]["q01"])
+
+    def get_action_stats(self, unnorm_key: Optional[str] = None) -> Dict[str, Any]:
+        key = check_unnorm_key(self.norm_stats, unnorm_key)
+        return self.norm_stats[key]["action"]
+
+    # --- fully-jitted device path ---
+
+    def predict_action_device(
+        self,
+        params: Params,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        pixel_values: jnp.ndarray,
+        q01: jnp.ndarray,
+        q99: jnp.ndarray,
+        stat_mask: jnp.ndarray,
+        action_dim: int,
+    ) -> jnp.ndarray:
+        """[B, T] prompts + [B, C, H, W] images -> [B, action_dim] continuous
+        actions, entirely on device. Jit with static `action_dim`."""
+        token_ids = self.generate_greedy(params, input_ids, attention_mask, pixel_values, max_new_tokens=action_dim)
+        normalized = token_ids_to_actions(token_ids, jnp.asarray(self.bin_centers), self.cfg.llm.vocab_size)
+        return unnormalize_actions(normalized.astype(jnp.float32), q01, q99, stat_mask)
+
+    def _jitted_predict(self, action_dim: int):
+        if action_dim not in self._predict_fns:
+            self._predict_fns[action_dim] = jax.jit(
+                partial(self.predict_action_device, action_dim=action_dim),
+            )
+        return self._predict_fns[action_dim]
+
+    # --- host-side convenience API (mirrors reference predict_action) ---
+
+    def prepare_prompt_ids(self, instruction: str) -> np.ndarray:
+        """Tokenize the canonical VLA prompt; append the '▁' empty token the
+        Llama tokenizer drops (reference: vlas/openvla.py:58-66)."""
+        assert self.tokenizer is not None, "predict_action from strings requires a tokenizer"
+        prompt = build_vla_prompt(instruction, llm_family=self.cfg.llm_family)
+        ids = np.asarray(self.tokenizer(prompt).input_ids if hasattr(self.tokenizer, "__call__") else self.tokenizer.encode(prompt))
+        if ids.ndim > 1:
+            ids = ids[0]
+        if self.cfg.llm_family in ("llama2-pure", "llama2-chat", "vicuna") and ids[-1] != LLAMA_EMPTY_TOKEN:
+            ids = np.concatenate([ids, [LLAMA_EMPTY_TOKEN]])
+        return ids.astype(np.int32)
+
+    def pad_prompt(self, ids_list: Sequence[np.ndarray]):
+        """Right-pad a list of id arrays to the static bucket size."""
+        bucket = self.prompt_bucket
+        longest = max(len(i) for i in ids_list)
+        while bucket < longest:
+            bucket *= 2
+        batch = np.full((len(ids_list), bucket), self.cfg.llm.pad_token_id, dtype=np.int32)
+        mask = np.zeros((len(ids_list), bucket), dtype=np.int32)
+        for r, ids in enumerate(ids_list):
+            batch[r, : len(ids)] = ids
+            mask[r, : len(ids)] = 1
+        return batch, mask
+
+    def predict_action(
+        self,
+        params: Params,
+        image: Union[np.ndarray, "Any"],
+        instruction: str,
+        unnorm_key: Optional[str] = None,
+    ) -> np.ndarray:
+        """Single image + instruction -> unnormalized action vector (numpy).
+
+        `image`: PIL.Image or uint8 [H, W, 3] numpy array.
+        """
+        actions = self.predict_action_batch(params, [image], [instruction], unnorm_key)
+        return actions[0]
+
+    def predict_action_batch(
+        self,
+        params: Params,
+        images: Sequence[Union[np.ndarray, "Any"]],
+        instructions: Sequence[str],
+        unnorm_key: Optional[str] = None,
+    ) -> np.ndarray:
+        key = check_unnorm_key(self.norm_stats, unnorm_key)
+        stats = self.norm_stats[key]["action"]
+        action_dim = len(stats["q01"])
+        q01 = jnp.asarray(stats["q01"], dtype=jnp.float32)
+        q99 = jnp.asarray(stats["q99"], dtype=jnp.float32)
+        stat_mask = jnp.asarray(stats.get("mask", [True] * action_dim))
+
+        frames = np.stack([np.asarray(im.convert("RGB") if hasattr(im, "convert") else im) for im in images])
+        pixel_values = preprocess_batch(jnp.asarray(frames), self.image_transform, dtype=self.dtype)
+
+        ids, mask = self.pad_prompt([self.prepare_prompt_ids(t) for t in instructions])
+        fn = self._jitted_predict(action_dim)
+        out = fn(params, jnp.asarray(ids), jnp.asarray(mask), pixel_values, q01, q99, stat_mask)
+        return np.asarray(out)
+
+
+def norm_stats_from_json(obj: Dict[str, Any]) -> Dict[str, Any]:
+    """Accept a `dataset_statistics.json`-style payload (reference sidecar
+    written at train.py:203-204, consumed at load.py:180-182)."""
+    return {k: {"action": dict(v["action"])} for k, v in obj.items()}

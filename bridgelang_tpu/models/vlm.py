@@ -1,0 +1,280 @@
+"""PrismaticVLM: fused-backbone VLM with multimodal fusion + jitted generation.
+
+TPU-native re-design of the reference's PrismaticVLM
+(reference: prismatic/models/vlms/prismatic.py:38-621 and its standalone HF
+twin, prismatic/extern/hf/modeling_prismatic.py:63-489). The semantics are
+identical — projected vision patches are inserted **after the BOS token**
+(fusion at prismatic.py:367-420 / modeling_prismatic.py:362-415), labels over
+patch positions are IGNORE_INDEX, freeze stages gate the same module groups —
+but the execution model is JAX-first:
+
+* Everything is a pure function over an explicit param pytree
+  {"vision", "projector", "llm"}; `jax.jit`/`pjit` wrap the outside.
+* Generation is a fixed-shape prefill + `lax.scan` greedy decode with a
+  preallocated KV cache — no Python-loop GenerationMixin, no per-step host
+  sync, and **batched generation works** (the reference hard-limits
+  generation to batch size 1, modeling_prismatic.py:460-463).
+* Prompts are right-padded to a static bucket so serving never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bridgelang_tpu.models.llm.llama import (
+    LLMConfig,
+    LLM_CONFIGS,
+    LLM_FAMILIES,
+    embed_tokens,
+    init_kv_cache,
+    init_llm_params,
+    llm_forward,
+    lm_logits,
+)
+from bridgelang_tpu.models.projector import apply_projector, init_projector_params
+from bridgelang_tpu.models.vision.vit import build_vision_backbone
+from bridgelang_tpu.ops.image_ops import transform_config_for_backbone
+
+IGNORE_INDEX = -100
+# Llama SPIECE_UNDERLINE token ('▁') — training sequences end the prompt with
+# it, so inference must too (reference: vlas/openvla.py:58-66).
+LLAMA_EMPTY_TOKEN = 29871
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class VLMConfig:
+    model_id: str = "prism-dinosiglip-224px+7b"
+    vision_backbone_id: str = "dinosiglip-vit-so-224px"
+    llm_backbone_id: str = "llama2-7b-pure"
+    arch_specifier: str = "no-align+fused-gelu-mlp"
+    image_resize_strategy: str = "resize-naive"
+    llm_max_length: int = 2048
+    llm: LLMConfig = dataclasses.field(default_factory=LLMConfig)
+
+    @classmethod
+    def from_ids(
+        cls,
+        model_id: str,
+        vision_backbone_id: str,
+        llm_backbone_id: str,
+        arch_specifier: str,
+        image_resize_strategy: str = "resize-naive",
+        llm_max_length: int = 2048,
+        llm_overrides: Optional[Dict[str, Any]] = None,
+    ) -> "VLMConfig":
+        llm = LLM_CONFIGS[llm_backbone_id]
+        if llm_overrides:
+            llm = dataclasses.replace(llm, **llm_overrides)
+        return cls(
+            model_id=model_id,
+            vision_backbone_id=vision_backbone_id,
+            llm_backbone_id=llm_backbone_id,
+            arch_specifier=arch_specifier,
+            image_resize_strategy=image_resize_strategy,
+            llm_max_length=llm_max_length,
+            llm=llm,
+        )
+
+    @property
+    def llm_family(self) -> str:
+        return LLM_FAMILIES.get(self.llm_backbone_id, "llama2-pure")
+
+
+class PrismaticVLM:
+    """Stateless model orchestrator: holds configs + module definitions, and
+    exposes pure functions over the parameter pytree."""
+
+    def __init__(self, cfg: VLMConfig, dtype: jnp.dtype = jnp.bfloat16):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.vision_module, self.vision_dim, self.num_patches = build_vision_backbone(
+            cfg.vision_backbone_id, dtype=dtype
+        )
+        self.image_transform = transform_config_for_backbone(cfg.vision_backbone_id, cfg.image_resize_strategy)
+        self.attention_impl = "xla"
+
+    # --- params ---------------------------------------------------------
+
+    def init_params(self, key: jax.Array, param_dtype: jnp.dtype = jnp.float32) -> Params:
+        k_vis, k_proj, k_llm = jax.random.split(key, 3)
+        # Derive the dummy input from the vision module itself (robust to
+        # test-time tiny backbones swapped in under the same backbone id).
+        from bridgelang_tpu.models.vision.vit import FusedViT
+
+        if isinstance(self.vision_module, FusedViT):
+            img_size, n_ch = self.vision_module.cfg_a.image_size, 6
+        else:
+            img_size, n_ch = self.vision_module.cfg.image_size, 3
+        dummy = jnp.zeros((1, n_ch, img_size, img_size), dtype=param_dtype)
+        vision = self.vision_module.init(k_vis, dummy)["params"]
+        vision = jax.tree.map(lambda x: x.astype(param_dtype), vision)
+        projector = init_projector_params(
+            k_proj, self.cfg.arch_specifier, self.vision_dim, self.cfg.llm.dim, dtype=param_dtype
+        )
+        llm = init_llm_params(k_llm, self.cfg.llm, dtype=param_dtype)
+        return {"vision": vision, "projector": projector, "llm": llm}
+
+    # --- forward pieces ---------------------------------------------------
+
+    def encode_vision(self, params: Params, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        """[B, n_towers*3, H, W] -> projected patch embeddings [B, P, llm_dim]."""
+        patches = self.vision_module.apply({"params": params["vision"]}, pixel_values.astype(self.dtype))
+        return apply_projector(params["projector"], patches)
+
+    def fuse_after_bos(
+        self,
+        token_embeds: jnp.ndarray,
+        patch_embeds: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        labels: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        """Insert patches after BOS: [bos | patches | text...] (reference:
+        prismatic.py:399-420). Requires left position 0 to be BOS (right padding)."""
+        b, p = patch_embeds.shape[0], patch_embeds.shape[1]
+        fused = jnp.concatenate([token_embeds[:, :1], patch_embeds.astype(token_embeds.dtype), token_embeds[:, 1:]], axis=1)
+        patch_mask = jnp.ones((b, p), dtype=attention_mask.dtype)
+        fused_mask = jnp.concatenate([attention_mask[:, :1], patch_mask, attention_mask[:, 1:]], axis=1)
+        fused_labels = None
+        if labels is not None:
+            patch_labels = jnp.full((b, p), IGNORE_INDEX, dtype=labels.dtype)
+            fused_labels = jnp.concatenate([labels[:, :1], patch_labels, labels[:, 1:]], axis=1)
+        return fused, fused_mask, fused_labels
+
+    def _causal_mask(self, fused_mask: jnp.ndarray, s_len: Optional[int] = None) -> jnp.ndarray:
+        """[B, T] validity -> [B, 1, T, S] causal+padding bool mask."""
+        b, t = fused_mask.shape
+        s = t if s_len is None else s_len
+        key_valid = fused_mask if s == t else jnp.pad(fused_mask, ((0, 0), (0, s - t)))
+        causal = jnp.arange(s)[None, :] <= jnp.arange(t)[:, None]
+        return causal[None, None] & key_valid[:, None, None, :].astype(bool)
+
+    # --- training forward -------------------------------------------------
+
+    def forward_train(
+        self,
+        params: Params,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        pixel_values: jnp.ndarray,
+        labels: jnp.ndarray,
+        remat: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Multimodal forward -> (logits [B, F, V], fused labels [B, F])."""
+        patch_embeds = self.encode_vision(params, pixel_values)
+        token_embeds = embed_tokens(params["llm"], input_ids, dtype=self.dtype)
+        fused, fused_mask, fused_labels = self.fuse_after_bos(token_embeds, patch_embeds, attention_mask, labels)
+        t = fused.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(t), fused.shape[:2])
+        mask = self._causal_mask(fused_mask)
+        hidden, _ = llm_forward(
+            params["llm"], self.cfg.llm, fused, positions, mask,
+            attention_impl=self.attention_impl, remat=remat,
+        )
+        logits = lm_logits(params["llm"], hidden, self.cfg.llm)
+        return logits, fused_labels
+
+    # --- generation ---------------------------------------------------------
+
+    def generate_greedy(
+        self,
+        params: Params,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        pixel_values: jnp.ndarray,
+        max_new_tokens: int,
+        cache_dtype: jnp.dtype = jnp.bfloat16,
+    ) -> jnp.ndarray:
+        """Jittable batched greedy decode.
+
+        input_ids/attention_mask: [B, T] right-padded prompts (BOS first).
+        Returns generated token ids [B, max_new_tokens].
+        """
+        b, t_in = input_ids.shape
+        cfg = self.cfg.llm
+        patch_embeds = self.encode_vision(params, pixel_values)
+        token_embeds = embed_tokens(params["llm"], input_ids, dtype=self.dtype)
+        fused, fused_mask, _ = self.fuse_after_bos(token_embeds, patch_embeds, attention_mask)
+        f_len = fused.shape[1]
+        s_len = f_len + max_new_tokens
+        true_len = jnp.sum(fused_mask.astype(jnp.int32), axis=1)  # [B]
+
+        cache = init_kv_cache(cfg, b, s_len, dtype=cache_dtype)
+        positions = jnp.broadcast_to(jnp.arange(f_len), (b, f_len))
+        mask = self._causal_mask(fused_mask, s_len=s_len)
+        hidden, cache = llm_forward(
+            params["llm"], cfg, fused, positions, mask,
+            cache=cache, cache_positions=positions,
+            attention_impl=self.attention_impl, remat=False,
+        )
+        # Last REAL token's hidden state drives the first sampled token.
+        last_idx = jnp.clip(true_len - 1, 0, f_len - 1)
+        last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # [B,1,D]
+        next_token = jnp.argmax(lm_logits(params["llm"], last_hidden, cfg), axis=-1).astype(jnp.int32)  # [B,1]
+
+        def step(carry, i):
+            cache, token = carry
+            pos = (true_len + i)[:, None]  # [B,1] position AND cache slot of this token
+            tok_embed = embed_tokens(params["llm"], token, dtype=self.dtype)
+            step_mask = (jnp.arange(s_len)[None, None, None, :] <= pos[:, :, None, None]).astype(bool)
+            hidden, new_cache = llm_forward(
+                params["llm"], cfg, tok_embed, pos, step_mask,
+                cache=cache, cache_positions=pos,
+                attention_impl=self.attention_impl, remat=False,
+            )
+            nxt = jnp.argmax(lm_logits(params["llm"], hidden, cfg), axis=-1).astype(jnp.int32)
+            return (new_cache, nxt), token[:, 0]
+
+        (_, last_tok), toks = jax.lax.scan(step, (cache, next_token), jnp.arange(max_new_tokens))
+        del last_tok
+        return jnp.transpose(toks, (1, 0))  # [B, max_new_tokens]
+
+    # --- freeze stages ------------------------------------------------------
+
+    def trainable_mask(self, params: Params, stage: str) -> Params:
+        """Boolean pytree: which params train at `stage`
+        (reference: prismatic.py:129-241; last-layer modules per llama2.py:100-102
+        = final decoder layer + final norm + lm_head)."""
+        F, T = False, True
+        group = {
+            "align": dict(vision=F, projector=T, llm=F),
+            "finetune": dict(vision=F, projector=T, llm=T),
+            "vla-train": dict(vision=F, projector=T, llm=T),
+            "full-finetune": dict(vision=T, projector=T, llm=T),
+            "vla-full-train": dict(vision=T, projector=T, llm=T),
+            "last-layer-finetune": dict(vision=F, projector=F, llm="last"),
+            "vla-last-layer-train": dict(vision=F, projector=F, llm="last"),
+            "vla-sandwich-train": dict(vision=T, projector=T, llm="last"),
+        }[stage]
+
+        def fill(tree, value):
+            return jax.tree.map(lambda _: value, tree)
+
+        llm_spec = group["llm"]
+        if llm_spec == "last":
+            n_layers = self.cfg.llm.n_layers
+            llm_mask = fill(params["llm"], False)
+
+            def last_layer_only(x):
+                m = jnp.zeros((x.shape[0],), dtype=bool).at[n_layers - 1].set(True)
+                return jnp.broadcast_to(m.reshape((-1,) + (1,) * (x.ndim - 1)), x.shape)
+
+            llm_mask["layers"] = jax.tree.map(last_layer_only, params["llm"]["layers"])
+            llm_mask["final_norm"] = True
+            llm_mask["lm_head"] = True
+            if "final_norm_bias" in params["llm"]:
+                llm_mask["final_norm_bias"] = True
+            if "lm_head_bias" in params["llm"]:
+                llm_mask["lm_head_bias"] = True
+        else:
+            llm_mask = fill(params["llm"], llm_spec)
+        return {
+            "vision": fill(params["vision"], group["vision"]),
+            "projector": fill(params["projector"], group["projector"]),
+            "llm": llm_mask,
+        }

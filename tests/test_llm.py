@@ -1,0 +1,146 @@
+"""LLM decoder tests: cache-parity is THE correctness test — prefill+decode
+through the KV cache must reproduce the no-cache full forward exactly."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bridgelang_tpu.models.llm.llama import (
+    LLM_CONFIGS,
+    embed_tokens,
+    init_kv_cache,
+    init_llm_params,
+    llm_forward,
+    lm_logits,
+    rope_cos_sin,
+    apply_rope,
+)
+from tests.helpers import TINY_LLM
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, 500, size=(2, 12)), dtype=jnp.int32)
+    return params, ids
+
+
+def _causal(b, t, s=None):
+    s = t if s is None else s
+    m = jnp.arange(s)[None, :] <= jnp.arange(t)[:, None]
+    return jnp.broadcast_to(m[None, None], (b, 1, t, s))
+
+
+def test_full_forward_shapes(setup):
+    params, ids = setup
+    x = embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(12), (2, 12))
+    h, cache = llm_forward(params, TINY_LLM, x, pos, _causal(2, 12))
+    assert h.shape == (2, 12, TINY_LLM.dim)
+    assert cache is None
+    logits = lm_logits(params, h, TINY_LLM)
+    assert logits.shape == (2, 12, TINY_LLM.padded_vocab_size)
+
+
+def test_causality(setup):
+    params, ids = setup
+    x = embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(12), (2, 12))
+    h0, _ = llm_forward(params, TINY_LLM, x, pos, _causal(2, 12))
+    # Changing token 8 must not affect hidden states at positions < 8
+    ids2 = ids.at[:, 8].set(7)
+    h1, _ = llm_forward(params, TINY_LLM, embed_tokens(params, ids2), pos, _causal(2, 12))
+    np.testing.assert_allclose(np.asarray(h0[:, :8]), np.asarray(h1[:, :8]), atol=1e-5)
+    assert not np.allclose(np.asarray(h0[:, 8:]), np.asarray(h1[:, 8:]))
+
+
+def test_cache_parity_with_full_forward(setup):
+    """Prefill first 8 tokens into the cache, decode 4 more one-by-one; the
+    per-step hidden states must match the full 12-token forward."""
+    params, ids = setup
+    B, T, PRE = 2, 12, 8
+    x = embed_tokens(params, ids)
+    pos_full = jnp.broadcast_to(jnp.arange(T), (B, T))
+    h_full, _ = llm_forward(params, TINY_LLM, x, pos_full, _causal(B, T))
+
+    cache = init_kv_cache(TINY_LLM, B, T, dtype=jnp.float32)
+    pos_pre = jnp.broadcast_to(jnp.arange(PRE), (B, PRE))
+    h_pre, cache = llm_forward(
+        params, TINY_LLM, x[:, :PRE], pos_pre, _causal(B, PRE, s=T), cache=cache, cache_positions=pos_pre
+    )
+    np.testing.assert_allclose(np.asarray(h_pre), np.asarray(h_full[:, :PRE]), atol=1e-4)
+
+    for step in range(PRE, T):
+        pos = jnp.full((B, 1), step, dtype=jnp.int32)
+        mask = (jnp.arange(T)[None, None, None, :] <= step)
+        h_step, cache = llm_forward(
+            params, TINY_LLM, x[:, step : step + 1], pos, jnp.broadcast_to(mask, (B, 1, 1, T)),
+            cache=cache, cache_positions=pos,
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_step[:, 0]), np.asarray(h_full[:, step]), atol=1e-4,
+            err_msg=f"decode step {step} diverges from full forward",
+        )
+
+
+def test_gqa_kv_cache_shape(setup):
+    params, _ = setup
+    cache = init_kv_cache(TINY_LLM, 2, 16)
+    assert cache["k"].shape == (TINY_LLM.n_layers, 2, 16, TINY_LLM.n_kv_heads, TINY_LLM.head_dim)
+
+
+def test_remat_matches_no_remat(setup):
+    params, ids = setup
+    x = embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(12), (2, 12))
+    h0, _ = llm_forward(params, TINY_LLM, x, pos, _causal(2, 12), remat=False)
+    h1, _ = llm_forward(params, TINY_LLM, x, pos, _causal(2, 12), remat=True)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6)
+
+
+def test_rope_rotation_is_position_dependent():
+    pos = jnp.asarray([[0, 1, 5]])
+    cos, sin = rope_cos_sin(pos, rotary_dim=8, theta=10000.0)
+    x = jnp.ones((1, 3, 2, 8))
+    out = apply_rope(x, cos, sin, 8)
+    assert out.shape == x.shape
+    # Position 0 is identity (cos=1, sin=0)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.ones((2, 8)), atol=1e-6)
+    assert not np.allclose(np.asarray(out[0, 1]), np.asarray(out[0, 2]))
+
+
+def test_partial_rotary_preserves_pass_through_dims():
+    pos = jnp.asarray([[3]])
+    cos, sin = rope_cos_sin(pos, rotary_dim=4, theta=10000.0)
+    x = jnp.ones((1, 1, 1, 8))
+    out = apply_rope(x, cos, sin, 4)
+    np.testing.assert_allclose(np.asarray(out[..., 4:]), 1.0, atol=1e-7)
+    assert not np.allclose(np.asarray(out[..., :4]), 1.0)
+
+
+def test_phi_architecture_forward():
+    cfg = dataclasses.replace(
+        LLM_CONFIGS["phi-2-3b"], vocab_size=128, padded_vocab_size=192, dim=80, n_layers=2,
+        n_heads=4, n_kv_heads=4, intermediate_size=64, pad_token_id=128,  # head_dim 20 -> rotary_dim 8
+    )
+    params = init_llm_params(jax.random.key(1), cfg)
+    ids = jnp.asarray([[1, 2, 3, 4]], dtype=jnp.int32)
+    x = embed_tokens(params, ids)
+    pos = jnp.arange(4)[None, :]
+    h, _ = llm_forward(params, cfg, x, pos, _causal(1, 4))
+    logits = lm_logits(params, h, cfg)
+    assert logits.shape == (1, 4, 192)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_published_config_dims():
+    c7 = LLM_CONFIGS["llama2-7b-pure"]
+    assert (c7.dim, c7.n_layers, c7.intermediate_size, c7.padded_vocab_size) == (4096, 32, 11008, 32064)
+    c13 = LLM_CONFIGS["llama2-13b-pure"]
+    assert (c13.dim, c13.n_layers, c13.intermediate_size) == (5120, 40, 13824)
+    cm = LLM_CONFIGS["mistral-v0.1-7b-pure"]
+    assert (cm.n_kv_heads, cm.intermediate_size) == (8, 14336)
