@@ -97,7 +97,8 @@ class PrismaticVLM:
             cfg.vision_backbone_id, dtype=dtype
         )
         self.image_transform = transform_config_for_backbone(cfg.vision_backbone_id, cfg.image_resize_strategy)
-        self.attention_impl = "xla"
+        # Decoder attention: Pallas flash kernel on TPU, XLA elsewhere (tests).
+        self.attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     # --- params ---------------------------------------------------------
 
