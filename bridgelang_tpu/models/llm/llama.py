@@ -98,8 +98,10 @@ def init_llm_params(key: jax.Array, cfg: LLMConfig, dtype: jnp.dtype = jnp.float
     H, Hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     def dense(key, shape):
+        # Generate directly in the target dtype: avoids multi-GB fp32
+        # temporaries when initializing 7B-scale params in bf16 on one chip.
         fan_in = shape[-2] if len(shape) > 1 else shape[0]
-        return (jax.random.normal(key, shape) * (fan_in ** -0.5)).astype(dtype)
+        return jax.random.normal(key, shape, dtype=dtype) * jnp.asarray(fan_in ** -0.5, dtype=dtype)
 
     lk = jax.random.split(k_layers, 8)
     layers: Params = {
@@ -130,7 +132,7 @@ def init_llm_params(key: jax.Array, cfg: LLMConfig, dtype: jnp.dtype = jnp.float
         )
 
     params: Params = {
-        "embed": (jax.random.normal(k_embed, (cfg.padded_vocab_size, D)) * 0.02).astype(dtype),
+        "embed": jax.random.normal(k_embed, (cfg.padded_vocab_size, D), dtype=dtype) * jnp.asarray(0.02, dtype=dtype),
         "layers": layers,
         "final_norm": jnp.ones((D,), dtype=dtype),
         "lm_head": dense(k_head, (D, cfg.padded_vocab_size)),
@@ -233,9 +235,18 @@ def _block(
     else:
         h_in = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
 
-    q = h_in @ lp["wq"]
-    k = h_in @ lp["wk"]
-    v = h_in @ lp["wv"]
+    def proj(inp, name):
+        # Base matmul + optional LoRA low-rank update (adapters are extra
+        # stacked leaves added by bridgelang_tpu.training.lora).
+        y = inp @ lp[name]
+        a = lp.get(name + "_lora_a")
+        if a is not None:
+            y = y + (inp @ a.astype(inp.dtype)) @ lp[name + "_lora_b"].astype(inp.dtype)
+        return y
+
+    q = proj(h_in, "wq")
+    k = proj(h_in, "wk")
+    v = proj(h_in, "wv")
     if cfg.use_bias:
         q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
     q = q.reshape(B, T, H, hd)
@@ -273,18 +284,18 @@ def _block(
     else:
         attn_out = full_attention(q, attn_k.astype(q.dtype), attn_v.astype(q.dtype), mask, attention_impl)
 
-    attn_out = attn_out.reshape(B, T, H * hd) @ lp["wo"]
+    attn_out = proj(attn_out.reshape(B, T, H * hd), "wo")
     if cfg.use_bias:
         attn_out = attn_out + lp["bo"]
 
     if cfg.arch == "phi":
         # Parallel residual: x + attn(ln(x)) + mlp(ln(x))
-        mlp_out = jax.nn.gelu(h_in @ lp["w_up"] + lp["b_up"], approximate=True) @ lp["w_down"] + lp["b_down"]
+        mlp_out = proj(jax.nn.gelu(proj(h_in, "w_up") + lp["b_up"], approximate=True), "w_down") + lp["b_down"]
         return x + attn_out + mlp_out, new_kv
 
     x = x + attn_out
     h2 = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-    mlp_out = (jax.nn.silu(h2 @ lp["w_gate"]) * (h2 @ lp["w_up"])) @ lp["w_down"]
+    mlp_out = proj(jax.nn.silu(proj(h2, "w_gate")) * proj(h2, "w_up"), "w_down")
     return x + mlp_out, new_kv
 
 

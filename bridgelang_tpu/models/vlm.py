@@ -56,6 +56,10 @@ class VLMConfig:
     image_resize_strategy: str = "resize-naive"
     llm_max_length: int = 2048
     llm: LLMConfig = dataclasses.field(default_factory=LLMConfig)
+    # Optional explicit vision config(s) overriding the registry lookup:
+    # a ViTConfig, or a (ViTConfig, ViTConfig) pair for fused towers.
+    # Used for depth-trimmed compile proxies and tiny test models.
+    vision_override: Optional[Any] = None
 
     @classmethod
     def from_ids(
@@ -93,9 +97,21 @@ class PrismaticVLM:
     def __init__(self, cfg: VLMConfig, dtype: jnp.dtype = jnp.bfloat16):
         self.cfg = cfg
         self.dtype = dtype
-        self.vision_module, self.vision_dim, self.num_patches = build_vision_backbone(
-            cfg.vision_backbone_id, dtype=dtype
-        )
+        if cfg.vision_override is not None:
+            from bridgelang_tpu.models.vision.vit import FusedViT, ViT
+
+            vo = cfg.vision_override
+            if isinstance(vo, tuple):
+                self.vision_module = FusedViT(vo[0], vo[1], dtype=dtype)
+                self.vision_dim = vo[0].width + vo[1].width
+                self.num_patches = vo[0].num_patches
+            else:
+                self.vision_module = ViT(vo, dtype=dtype)
+                self.vision_dim, self.num_patches = vo.width, vo.num_patches
+        else:
+            self.vision_module, self.vision_dim, self.num_patches = build_vision_backbone(
+                cfg.vision_backbone_id, dtype=dtype
+            )
         self.image_transform = transform_config_for_backbone(cfg.vision_backbone_id, cfg.image_resize_strategy)
         # Decoder attention: Pallas flash kernel on TPU, XLA elsewhere (tests).
         self.attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"

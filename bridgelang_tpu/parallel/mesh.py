@@ -1,0 +1,88 @@
+"""Device mesh construction + distributed bootstrap.
+
+TPU-native replacement for the reference's process-group machinery
+(reference: overwatch.py:50-54 boots torch.distributed via torchrun env;
+fsdp.py:84-89 picks hybrid sharding strategies). Here topology is explicit:
+a `jax.sharding.Mesh` with axes
+
+    ("replica", "fsdp", "tensor")
+
+* `replica` — pure data parallelism; gradients all-reduce over it. Maps to
+  DCN across slices (the reference's inter-node replication in
+  _HYBRID_SHARD_ZERO2 / HYBRID_SHARD).
+* `fsdp`    — parameter/optimizer sharding axis (ZeRO-3 analogue); rides ICI.
+* `tensor`  — megatron-style tensor parallelism (a capability the reference
+  does NOT have, SURVEY.md §2.10); innermost so its collectives stay on ICI.
+
+Batch is sharded over (replica, fsdp); params over (fsdp, tensor) per the
+rules in bridgelang_tpu.parallel.sharding.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+MESH_AXES = ("replica", "fsdp", "tensor")
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None) -> None:
+    """Multi-host bootstrap (call once per process before device use).
+    Equivalent of torchrun env-var setup; no-op single-host."""
+    if jax.process_count() > 1 or os.environ.get("JAX_COORDINATOR_ADDRESS") or coordinator_address:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+
+
+def parse_mesh_shape(spec: Optional[str], n_devices: int) -> Tuple[int, int, int]:
+    """Parse "replica=2,fsdp=4,tensor=1" (missing axes default to 1; one axis
+    may be -1 to absorb the remainder)."""
+    if not spec:
+        return (1, n_devices, 1)
+    sizes = {"replica": 1, "fsdp": 1, "tensor": 1}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        sizes[k.strip()] = int(v)
+    unknowns = [k for k, v in sizes.items() if v == -1]
+    known = int(np.prod([v for v in sizes.values() if v != -1]))
+    if unknowns:
+        assert len(unknowns) == 1, "only one mesh axis may be -1"
+        sizes[unknowns[0]] = n_devices // known
+    shape = (sizes["replica"], sizes["fsdp"], sizes["tensor"])
+    assert int(np.prod(shape)) == n_devices, f"mesh {shape} != {n_devices} devices"
+    return shape
+
+
+def make_mesh(mesh_shape: Optional[str] = None, devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    shape = parse_mesh_shape(mesh_shape, len(devices))
+    # jax.experimental.mesh_utils lays devices out along ICI when possible.
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:
+        dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, MESH_AXES)
+
+
+def strategy_mesh_spec(train_strategy: str, n_devices: int, devices_per_slice: Optional[int] = None) -> str:
+    """Map the reference's strategy ids to a mesh shape
+    (reference: training/materialize.py:16-19 registers the two FSDP flavors).
+
+    fsdp-full-shard    -> shard params over every device in a slice, replicate
+                          across slices (HYBRID_SHARD analogue).
+    fsdp-shard-grad-op -> params effectively gathered for compute; we express
+                          ZeRO-2 as fsdp sharding of optimizer state only
+                          (see sharding.opt_state_sharding).
+    ddp                -> pure replication.
+    """
+    per_slice = devices_per_slice or n_devices
+    if train_strategy in ("fsdp-full-shard", "fsdp-shard-grad-op"):
+        return f"replica={n_devices // per_slice},fsdp={per_slice},tensor=1"
+    if train_strategy == "ddp":
+        return f"replica={n_devices},fsdp=1,tensor=1"
+    raise ValueError(f"Unknown train strategy {train_strategy!r}")

@@ -1,0 +1,116 @@
+"""Parameter/activation sharding rules (GSPMD partition specs by param path).
+
+Replaces the reference's FSDP wrapping policies + MixedPrecision machinery
+(reference: fsdp.py:135-183, base_vision.py:183-187, base_llm.py FSDP policy)
+with declarative rules: each parameter path maps to a PartitionSpec over the
+("replica", "fsdp", "tensor") mesh. XLA GSPMD inserts the all-gathers /
+reduce-scatters the reference gets from torch FSDP — and additionally gives
+tensor parallelism, which the reference lacks (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path-regex, PartitionSpec). First match wins. Paths look like
+#   "llm/layers/wq", "vision/featurizer/blocks/qkv/kernel", "projector/fc1/kernel"
+PARAM_RULES: List[Tuple[str, P]] = [
+    # --- LLM stacked decoder layers [L, ...] ---
+    (r"llm/layers/w[qkv]$", P(None, "fsdp", "tensor")),          # [L, D, H*hd]
+    (r"llm/layers/wo$", P(None, "tensor", "fsdp")),              # [L, H*hd, D]
+    (r"llm/layers/w_(gate|up)$", P(None, "fsdp", "tensor")),     # [L, D, I]
+    (r"llm/layers/w_down$", P(None, "tensor", "fsdp")),          # [L, I, D]
+    (r"llm/layers/b[qkv]$", P(None, "tensor")),
+    (r"llm/layers/b_up$", P(None, "tensor")),
+    (r"llm/layers/(bo|b_down)$", P(None, None)),
+    (r"llm/layers/.*norm.*$", P(None, None)),                    # [L, D]
+    # --- LLM embeddings / head ---
+    (r"llm/embed$", P("tensor", "fsdp")),                        # [V, D]
+    (r"llm/lm_head$", P("fsdp", "tensor")),                      # [D, V]
+    (r"llm/lm_head_bias$", P("tensor")),
+    (r"llm/final_norm.*$", P(None)),
+    # --- projector (small; shard big dims on fsdp only) ---
+    (r"projector/.*/kernel$", P("fsdp", None)),
+    (r"projector/.*/bias$", P(None)),
+    # --- vision towers (scanned blocks have leading layer dim) ---
+    (r"vision/.*blocks/.*/kernel$", P(None, "fsdp", None)),      # [L, in, out]
+    (r"vision/.*patch_embed/kernel$", P(None, None, None, "fsdp")),
+    (r"vision/.*(pos_embed|cls_token|reg_tokens)$", P(None, None, None)),
+    # fallback: replicate
+    (r".*", P()),
+]
+
+# LoRA adapters: [.., in, r] / [.., r, out] — replicate (tiny).
+LORA_RULE = (r".*lora_(a|b)$", P())
+
+
+def path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for_path(path: str, ndim: int, rules: Optional[List[Tuple[str, P]]] = None) -> P:
+    for pattern, spec in (rules or PARAM_RULES):
+        if re.search(pattern, path):
+            # Trim/extend spec to the param's rank.
+            entries = list(spec) + [None] * max(0, ndim - len(spec))
+            return P(*entries[:ndim])
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any, rules: Optional[List[Tuple[str, P]]] = None) -> Any:
+    """Pytree of NamedSharding matching `params`."""
+
+    def one(path, leaf):
+        return NamedSharding(mesh, spec_for_path(path_str(path), leaf.ndim, rules))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def param_pspecs(params: Any, rules: Optional[List[Tuple[str, P]]] = None) -> Any:
+    def one(path, leaf):
+        return spec_for_path(path_str(path), leaf.ndim, rules)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Input batch: sharded over both data axes (replica × fsdp)."""
+    return NamedSharding(mesh, P(("replica", "fsdp")))
+
+
+def batch_pspec() -> P:
+    return P(("replica", "fsdp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Device-put a host batch with leading-dim sharding over the data axes."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def make_array_from_process_local(mesh: Mesh, local_batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Multi-host path: each host contributes its local shard
+    (replaces the reference's per-rank DataLoader semantics,
+    base_strategy.py:258-266, with per-host tf.data shards)."""
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        lambda x: multihost_utils.host_local_array_to_global_array(x, mesh, batch_pspec()),
+        local_batch,
+    )

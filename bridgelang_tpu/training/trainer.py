@@ -1,0 +1,186 @@
+"""SPMD trainer: optimizer, loss, metrics, and the jitted train step.
+
+TPU-native redesign of the reference training strategies
+(reference: prismatic/training/strategies/base_strategy.py:34-389, fsdp.py,
+ddp.py). The reference wraps the model in torch FSDP and hand-drives
+autocast/backward/clip/step; here the entire step — bf16 forward, loss,
+backward, global-norm clip, AdamW update, and the per-step action metrics —
+is ONE jitted SPMD program over the mesh. GSPMD inserts every collective the
+reference gets from FSDP/NCCL (param all-gather, grad reduce-scatter,
+grad-norm all-reduce). The per-step action-token accuracy/L1 that the
+reference computes on CPU with a device sync every step
+(base_strategy.py:323-329) stays on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from bridgelang_tpu.models.vlm import IGNORE_INDEX, PrismaticVLM
+from bridgelang_tpu.vla.action_tokenizer import make_bins
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Optimization hparams (reference: conf/vla.py fields + fsdp.py:196-246)."""
+
+    learning_rate: float = 2e-5
+    weight_decay: float = 0.0
+    max_grad_norm: float = 1.0
+    lr_scheduler_type: str = "constant"  # | "linear-warmup+cosine-decay"
+    warmup_ratio: float = 0.03
+    total_steps: int = 100_000
+    b1: float = 0.9
+    b2: float = 0.999
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Params
+    opt_state: Any
+
+
+def make_lr_schedule(cfg: OptimConfig) -> optax.Schedule:
+    if cfg.lr_scheduler_type == "constant":
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.lr_scheduler_type == "linear-warmup+cosine-decay":
+        warmup = max(1, int(cfg.total_steps * cfg.warmup_ratio))
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=cfg.total_steps,
+            end_value=0.0,
+        )
+    raise ValueError(f"Unknown lr scheduler {cfg.lr_scheduler_type!r}")
+
+
+def _decay_mask(params: Params) -> Params:
+    """AdamW decay only on rank>=2 kernels (reference fsdp.py builds the same
+    decay/no-decay split by parameter name; rank is the cleaner invariant)."""
+    return jax.tree.map(lambda p: p.ndim >= 2, params)
+
+
+def make_optimizer(
+    cfg: OptimConfig,
+    params: Params,
+    trainable_mask: Optional[Params] = None,
+    grad_accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            schedule,
+            b1=cfg.b1,
+            b2=cfg.b2,
+            weight_decay=cfg.weight_decay,
+            mask=_decay_mask(params),
+        ),
+    )
+    # Freezing is applied to gradients (apply_trainable_mask) rather than via
+    # optax.masked, keeping the opt-state pytree structure stable for pjit.
+    del trainable_mask
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx
+
+
+def apply_trainable_mask(grads: Params, trainable_mask: Optional[Params]) -> Params:
+    if trainable_mask is None:
+        return grads
+    return jax.tree.map(lambda g, m: g * jnp.asarray(m, dtype=g.dtype), grads, trainable_mask)
+
+
+# --- loss + metrics -----------------------------------------------------------
+
+
+def cross_entropy_ignore_index(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean next-token CE over non-IGNORE positions, fp32 accumulation.
+    Matches torch F.cross_entropy(ignore_index=-100) on shifted sequences."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe = jnp.maximum(shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    tok_lp = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return -jnp.sum(tok_lp * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def vla_metrics_on_device(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    action_token_begin_idx: int,
+    bin_centers: jnp.ndarray,
+    vocab_size: int,
+) -> Dict[str, jnp.ndarray]:
+    """Action-token accuracy + continuous-action L1
+    (reference: base_strategy.py:303-329, computed there via a per-step
+    GPU->CPU numpy round trip; here it's fused into the jitted step)."""
+    preds = jnp.argmax(logits[:, :-1], axis=-1)
+    gt = labels[:, 1:]
+    action_mask = gt > action_token_begin_idx
+    correct = (preds == gt) & action_mask
+    denom = jnp.maximum(jnp.sum(action_mask), 1)
+    accuracy = jnp.sum(correct) / denom
+
+    centers = jnp.asarray(bin_centers)
+    cont_pred = centers[jnp.clip(vocab_size - preds - 1, 0, centers.shape[0] - 1)]
+    cont_gt = centers[jnp.clip(vocab_size - gt - 1, 0, centers.shape[0] - 1)]
+    l1 = jnp.sum(jnp.abs(cont_pred - cont_gt) * action_mask) / denom
+    return {"action_accuracy": accuracy, "l1_loss": l1}
+
+
+# --- train step ---------------------------------------------------------------
+
+
+def make_vla_train_step(
+    model: PrismaticVLM,
+    optimizer: optax.GradientTransformation,
+    trainable_mask: Optional[Params] = None,
+    n_action_bins: int = 256,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jittable VLA train step. Batch keys: input_ids,
+    attention_mask, pixel_values, labels (all fixed-shape, right-padded)."""
+    _, bin_centers = make_bins(n_action_bins)
+    vocab_size = model.cfg.llm.vocab_size
+    action_begin = vocab_size - (n_action_bins + 1)
+
+    def loss_fn(params, batch):
+        compute_params = jax.tree.map(lambda p: p.astype(compute_dtype) if p.dtype == jnp.float32 else p, params)
+        logits, fused_labels = model.forward_train(
+            compute_params,
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["pixel_values"],
+            batch["labels"],
+            remat=True,
+        )
+        loss = cross_entropy_ignore_index(logits, fused_labels)
+        metrics = vla_metrics_on_device(logits, fused_labels, action_begin, bin_centers, vocab_size)
+        return loss, metrics
+
+    def train_step(state: TrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        grads = apply_trainable_mask(grads, trainable_mask)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics, loss=loss, grad_norm=gnorm)
+        return TrainState(step=state.step + 1, params=new_params, opt_state=new_opt), metrics
+
+    return train_step
+
+
+def init_train_state(params: Params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=optimizer.init(params))

@@ -27,6 +27,6 @@ def eight_device_mesh():
     from jax.sharding import Mesh
     import numpy as np
 
-    devices = np.array(jax.devices()).reshape(2, 4)
-    with Mesh(devices, ("replica", "fsdp")) as mesh:
+    devices = np.array(jax.devices()).reshape(2, 4, 1)
+    with Mesh(devices, ("replica", "fsdp", "tensor")) as mesh:
         yield mesh

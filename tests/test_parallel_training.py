@@ -1,0 +1,148 @@
+"""Multi-device SPMD training tests on the 8-virtual-CPU-device mesh —
+capability the reference cannot test at all without GPUs (SURVEY.md §4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import bridgelang_tpu.models.vlm as vlm_mod
+from bridgelang_tpu.models.vision.vit import ViT
+from bridgelang_tpu.models.vlm import IGNORE_INDEX, PrismaticVLM, VLMConfig
+from bridgelang_tpu.parallel.mesh import make_mesh, parse_mesh_shape, strategy_mesh_spec
+from bridgelang_tpu.parallel.sharding import batch_sharding, param_shardings, spec_for_path
+from bridgelang_tpu.training.trainer import (
+    OptimConfig,
+    init_train_state,
+    make_optimizer,
+    make_vla_train_step,
+)
+from tests.helpers import TINY_LLM, TINY_VIT
+
+
+def test_parse_mesh_shape():
+    assert parse_mesh_shape(None, 8) == (1, 8, 1)
+    assert parse_mesh_shape("replica=2,fsdp=4", 8) == (2, 4, 1)
+    assert parse_mesh_shape("replica=2,fsdp=-1,tensor=2", 8) == (2, 2, 2)
+    with pytest.raises(AssertionError):
+        parse_mesh_shape("replica=3", 8)
+
+
+def test_strategy_mesh_spec():
+    assert strategy_mesh_spec("fsdp-full-shard", 64, devices_per_slice=8) == "replica=8,fsdp=8,tensor=1"
+    assert strategy_mesh_spec("ddp", 8) == "replica=8,fsdp=1,tensor=1"
+
+
+def test_param_rules_cover_llm_shapes():
+    # wq [L, D, X] -> shard D on fsdp, X on tensor
+    assert spec_for_path("llm/layers/wq", 3) == P(None, "fsdp", "tensor")
+    assert spec_for_path("llm/layers/wo", 3) == P(None, "tensor", "fsdp")
+    assert spec_for_path("llm/layers/attn_norm", 2) == P(None, None)
+    assert spec_for_path("llm/embed", 2) == P("tensor", "fsdp")
+    assert spec_for_path("llm/lm_head", 2) == P("fsdp", "tensor")
+    assert spec_for_path("projector/fc1/kernel", 2) == P("fsdp", None)
+    assert spec_for_path("vision/featurizer/blocks/qkv/kernel", 3) == P(None, "fsdp", None)
+    # Unknown paths replicate
+    assert spec_for_path("whatever/strange", 2) == P(None, None)  # fully replicated
+
+
+def _tiny_model():
+    orig = vlm_mod.build_vision_backbone
+
+    def tiny_builder(backbone_id, dtype=jnp.float32):
+        return ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches
+
+    vlm_mod.build_vision_backbone = tiny_builder
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = PrismaticVLM(cfg, dtype=jnp.float32)
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+    return model, params
+
+
+def _batch(b=8, t=12):
+    rng = np.random.default_rng(0)
+    ids = np.full((b, t), TINY_LLM.pad_token_id, np.int32)
+    mask = np.zeros((b, t), np.int32)
+    labels = np.full((b, t), IGNORE_INDEX, np.int32)
+    for i in range(b):
+        L = 8 + (i % 3)
+        ids[i, 0] = 1
+        ids[i, 1:L] = rng.integers(3, 400, L - 1)
+        # Last few tokens are "action tokens" (top-256 of the tiny vocab)
+        ids[i, L - 4 : L] = rng.integers(TINY_LLM.vocab_size - 256, TINY_LLM.vocab_size, 4)
+        mask[i, :L] = 1
+        labels[i, L - 4 : L] = ids[i, L - 4 : L]
+    return {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels),
+        "pixel_values": jnp.asarray(rng.normal(size=(b, 3, 32, 32)), dtype=jnp.float32),
+    }
+
+
+def test_sharded_train_step_runs_and_improves(eight_device_mesh):
+    mesh = eight_device_mesh
+    model, params = _tiny_model()
+    ocfg = OptimConfig(learning_rate=5e-3, lr_scheduler_type="constant", max_grad_norm=1.0)
+    optimizer = make_optimizer(ocfg, params)
+    step_fn = make_vla_train_step(model, optimizer, compute_dtype=jnp.float32)
+
+    shardings = param_shardings(mesh, params)
+    params = jax.device_put(params, shardings)
+    state = init_train_state(params, optimizer)
+    batch = jax.device_put(_batch(), batch_sharding(mesh))
+
+    jitted = jax.jit(step_fn)
+    state, m0 = jitted(state, batch)
+    for _ in range(12):
+        state, m = jitted(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"]), "loss should drop on a repeated batch"
+    assert 0.0 <= float(m["action_accuracy"]) <= 1.0
+    assert float(m0["grad_norm"]) > 0
+
+    # Params actually sharded: wq leaf must be distributed over fsdp+tensor axes
+    wq = state.params["llm"]["layers"]["wq"]
+    # (size-1 tensor axis may be canonicalized away; fsdp must remain)
+    assert wq.sharding.spec[1] == "fsdp"
+    assert len(wq.sharding.device_set) == 8
+
+
+def test_frozen_params_stay_fixed(eight_device_mesh):
+    mesh = eight_device_mesh
+    model, params = _tiny_model()
+    mask = model.trainable_mask(params, "align")  # only projector trains
+    ocfg = OptimConfig(learning_rate=1e-2)
+    optimizer = make_optimizer(ocfg, params)
+    step_fn = make_vla_train_step(model, optimizer, trainable_mask=mask, compute_dtype=jnp.float32)
+
+    params = jax.device_put(params, param_shardings(mesh, params))
+    state = init_train_state(params, optimizer)
+    batch = jax.device_put(_batch(), batch_sharding(mesh))
+    new_state, _ = jax.jit(step_fn)(state, batch)
+
+    before_llm = np.asarray(state.params["llm"]["layers"]["wq"])
+    after_llm = np.asarray(new_state.params["llm"]["layers"]["wq"])
+    np.testing.assert_array_equal(before_llm, after_llm)
+    before_proj = np.asarray(state.params["projector"]["fc1"]["kernel"])
+    after_proj = np.asarray(new_state.params["projector"]["fc1"]["kernel"])
+    assert not np.allclose(before_proj, after_proj)
+
+
+def test_tensor_parallel_mesh_runs():
+    devices = jax.devices()
+    mesh = make_mesh("replica=1,fsdp=4,tensor=2", devices=devices)
+    model, params = _tiny_model()
+    optimizer = make_optimizer(OptimConfig(), params)
+    step_fn = make_vla_train_step(model, optimizer, compute_dtype=jnp.float32)
+    params = jax.device_put(params, param_shardings(mesh, params))
+    state = init_train_state(params, optimizer)
+    batch = jax.device_put(_batch(b=4), batch_sharding(mesh))
+    state, m = jax.jit(step_fn)(state, batch)
+    assert np.isfinite(float(m["loss"]))

@@ -1,0 +1,130 @@
+"""LoRA / metrics / checkpointing component tests."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bridgelang_tpu.models.llm.llama import embed_tokens, init_llm_params, llm_forward, lm_logits
+from bridgelang_tpu.training.checkpointing import (
+    CheckpointManager,
+    checkpoint_name,
+    parse_checkpoint_name,
+    save_sidecars,
+    validate_resume,
+)
+from bridgelang_tpu.training.lora import add_lora_params, lora_trainable_mask, merge_lora, split_lora
+from bridgelang_tpu.training.metrics import JSONLinesTracker, Metrics, VLAMetrics
+from bridgelang_tpu.training.trainer import OptimConfig, TrainState, init_train_state, make_lr_schedule, make_optimizer
+from tests.helpers import TINY_LLM
+
+
+def _causal(b, t):
+    m = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]
+    return jnp.broadcast_to(m[None, None], (b, 1, t, t))
+
+
+def _fwd(params, ids):
+    x = embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
+    h, _ = llm_forward(params, TINY_LLM, x, pos, _causal(*ids.shape))
+    return lm_logits(params, h, TINY_LLM)
+
+
+def test_lora_zero_init_is_identity():
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    ids = jnp.asarray([[1, 5, 9, 12]], dtype=jnp.int32)
+    base_out = _fwd(params, ids)
+    lora_params = add_lora_params(jax.random.key(1), params, rank=4)
+    lora_out = _fwd(lora_params, ids)
+    np.testing.assert_allclose(np.asarray(base_out), np.asarray(lora_out), atol=1e-6)
+
+
+def test_lora_changes_output_after_b_update_and_merge_matches():
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    lora_params = add_lora_params(jax.random.key(1), params, rank=4)
+    # Simulate a training update on B
+    layers = dict(lora_params["layers"])
+    layers["wq_lora_b"] = layers["wq_lora_b"] + 0.05
+    lora_params = dict(lora_params, layers=layers)
+
+    ids = jnp.asarray([[1, 5, 9, 12]], dtype=jnp.int32)
+    adapted = _fwd(lora_params, ids)
+    base = _fwd(params, ids)
+    assert not np.allclose(np.asarray(adapted), np.asarray(base))
+
+    merged = merge_lora(lora_params)
+    assert "wq_lora_a" not in merged["layers"]
+    merged_out = _fwd(merged, ids)
+    np.testing.assert_allclose(np.asarray(merged_out), np.asarray(adapted), atol=1e-4)
+
+
+def test_lora_trainable_mask_selects_only_adapters():
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    lora_params = add_lora_params(jax.random.key(1), params, rank=4)
+    mask = lora_trainable_mask(lora_params)
+    assert mask["layers"]["wq_lora_a"] is True
+    assert mask["layers"]["wq"] is False
+    assert mask["embed"] is False
+    base, adapters = split_lora(lora_params)
+    assert set(adapters["layers"]) == {n for n in lora_params["layers"] if "_lora_" in n}
+
+
+def test_lr_schedules():
+    c = make_lr_schedule(OptimConfig(learning_rate=1e-4, lr_scheduler_type="constant"))
+    assert float(c(0)) == 1e-4 and float(c(10_000)) == 1e-4
+    w = make_lr_schedule(OptimConfig(learning_rate=1e-4, lr_scheduler_type="linear-warmup+cosine-decay",
+                                     warmup_ratio=0.1, total_steps=1000))
+    assert float(w(0)) == 0.0
+    assert abs(float(w(100)) - 1e-4) < 1e-9  # peak after warmup
+    assert float(w(1000)) < 1e-5  # decayed
+
+
+def test_jsonl_tracker_and_metrics(tmp_path):
+    tr = JSONLinesTracker("run1", tmp_path)
+    tr.write_hyperparameters({"lr": 1e-4})
+    m = VLAMetrics([tr], "run1", window_size=4)
+    for step in range(3):
+        m.commit(global_step=step, lr=1e-4, loss=2.0 - step * 0.5, action_accuracy=0.5, l1_loss=0.1)
+        m.commit_for_dataset("bridge_orig", action_accuracy=0.6)
+        status = m.push()
+    assert "Loss" in status and "Acc" in status
+    m.finalize()
+    lines = [json.loads(l) for l in open(tmp_path / "run1.jsonl")]
+    assert any("train/loss" in l for l in lines)
+    assert any("train-bridge_orig/action_accuracy" in l for l in lines)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    opt = make_optimizer(OptimConfig(), params)
+    state = init_train_state(params, opt)
+    mgr = CheckpointManager(tmp_path)
+    path = mgr.save(state, step=100, epoch=1, loss=0.1234)
+    assert path.name == "step-000100-epoch-01-loss=0.1234"
+    assert mgr.latest() == path
+
+    # Restore into an abstract target with the same structure
+    restored = mgr.restore(path, state)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["layers"]["wq"]), np.asarray(state.params["layers"]["wq"])
+    )
+    assert int(restored.step) == 0  # step counter round-trips
+
+    validate_resume(path, 100, 1)
+    try:
+        validate_resume(path, 99, 1)
+        raise RuntimeError("should have failed")
+    except AssertionError:
+        pass
+
+
+def test_checkpoint_name_parse():
+    assert parse_checkpoint_name(checkpoint_name(2500, 3, 0.5)) == (2500, 3, 0.5)
+
+
+def test_sidecars(tmp_path):
+    save_sidecars(tmp_path, {"vla_id": "debug"}, {"bridge_orig": {"action": {"q01": [0.0]}}})
+    assert json.load(open(tmp_path / "config.json"))["vla_id"] == "debug"
+    assert "bridge_orig" in json.load(open(tmp_path / "dataset_statistics.json"))
