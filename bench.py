@@ -47,28 +47,38 @@ def main():
         }
     }
 
-    def build(llm_layers=None):
+    def build():
+        # Full flagship dims. The Llama-2-7B weights are int8 weight-only
+        # quantized (the reference's own supported 8-bit serving mode,
+        # verify_openvla.py:49): 7B bf16 (15.0 GB) cannot coexist with a KV
+        # cache on a 16 GB v5e, and on bandwidth-bound decode int8 halves the
+        # per-token HBM traffic. Vision towers + projector stay bf16.
+        from bridgelang_tpu.ops.quant import init_llm_params_int8
+
         cfg = VLMConfig.from_ids(
             model_id="prism-dinosiglip-224px+7b",
             vision_backbone_id="dinosiglip-vit-so-224px",
             llm_backbone_id="llama2-7b-pure",
             arch_specifier="no-align+fused-gelu-mlp",
             image_resize_strategy="resize-naive",
-            llm_overrides={"n_layers": llm_layers} if llm_layers else None,
         )
         model = OpenVLA(cfg, norm_stats, dtype=jnp.bfloat16, prompt_bucket=48)
-        params = model.init_params(jax.random.key(0), param_dtype=jnp.bfloat16)
-        return model, params
+        k_vis, k_proj, k_llm = jax.random.split(jax.random.key(0), 3)
+        import flax  # noqa: F401
+        from bridgelang_tpu.models.projector import init_projector_params
 
-    scale_note = ""
-    try:
-        model, params = build()
-        n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
-        print(f"[bench] full model: {n_params/1e9:.2f}B params", file=sys.stderr)
-    except Exception as e:  # OOM on small chips: fall back to half depth, scale nothing
-        print(f"[bench] full-depth init failed ({type(e).__name__}); retrying 16 layers", file=sys.stderr)
-        model, params = build(llm_layers=16)
-        scale_note = "-16layer"
+        dummy = jnp.zeros((1, 6, 224, 224), dtype=jnp.bfloat16)
+        vision = model.vision_module.init(k_vis, dummy)["params"]
+        vision = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vision)
+        projector = init_projector_params(k_proj, cfg.arch_specifier, model.vision_dim, cfg.llm.dim, dtype=jnp.bfloat16)
+        llm = init_llm_params_int8(k_llm, cfg.llm)
+        return model, {"vision": vision, "projector": projector, "llm": llm}
+
+    scale_note = "-int8"
+    model, params = build()
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
+    print(f"[bench] full model: {n_params/1e9:.2f}B params, {n_bytes/1e9:.1f} GB on-chip", file=sys.stderr)
 
     stats = norm_stats["bridge_orig"]["action"]
     q01 = jnp.asarray(stats["q01"], dtype=jnp.float32)

@@ -237,8 +237,14 @@ def _block(
 
     def proj(inp, name):
         # Base matmul + optional LoRA low-rank update (adapters are extra
-        # stacked leaves added by bridgelang_tpu.training.lora).
-        y = inp @ lp[name]
+        # stacked leaves added by bridgelang_tpu.training.lora). int8 weights
+        # (bridgelang_tpu.ops.quant) dequantize inside the matmul: HBM reads
+        # stay 1 byte/weight, MXU computes in the activation dtype.
+        w = lp[name]
+        if w.dtype == jnp.int8:
+            y = (inp @ w.astype(inp.dtype)) * lp[name + "_scale"].astype(inp.dtype)
+        else:
+            y = inp @ w
         a = lp.get(name + "_lora_a")
         if a is not None:
             y = y + (inp @ a.astype(inp.dtype)) @ lp[name + "_lora_b"].astype(inp.dtype)
@@ -347,12 +353,20 @@ def llm_forward(
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray, dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
-    emb = params["embed"][input_ids]
+    table = params["embed"]
+    if table.dtype == jnp.int8:
+        emb = table[input_ids].astype(dtype or jnp.bfloat16) * params["embed_scale"][input_ids].astype(dtype or jnp.bfloat16)
+        return emb
+    emb = table[input_ids]
     return emb.astype(dtype) if dtype is not None else emb
 
 
 def lm_logits(params: Params, hidden: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
-    logits = hidden @ params["lm_head"]
+    head = params["lm_head"]
+    if head.dtype == jnp.int8:
+        logits = (hidden @ head.astype(hidden.dtype)) * params["lm_head_scale"].astype(hidden.dtype)
+    else:
+        logits = hidden @ head
     if cfg.arch == "phi":
         logits = logits + params["lm_head_bias"]
     return logits

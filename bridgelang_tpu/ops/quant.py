@@ -1,0 +1,136 @@
+"""Weight-only int8 quantization for serving.
+
+Counterpart of the reference's bitsandbytes 8-bit/4-bit inference modes
+(reference: vla-scripts/extern/verify_openvla.py:49-60 benchmarks them;
+finetune.py:142-148 uses NF4 for QLoRA). TPU-native design: symmetric
+per-output-channel int8 on the decoder matrices, dequantized INSIDE the
+consuming matmul (`y = (x @ W_int8) * scale`), so HBM reads — the bottleneck
+of autoregressive decode — are halved while the MXU still sees bf16. On
+bandwidth-bound decode this is FASTER than bf16, unlike bitsandbytes on GPU.
+
+Quantized leaves keep their names (int8 dtype) with a sibling `<name>_scale`
+leaf; bridgelang_tpu.models.llm.llama's projection helper and embedding/head
+lookups detect int8 and apply scales. Norms and biases stay bf16/fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _quantize_2d(w32: jnp.ndarray, axis: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    absmax = jnp.max(jnp.abs(w32), axis=axis, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
+
+
+def _quantize_tensor(w: jnp.ndarray, axis: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 over `axis`-reduced absmax (per remaining channel).
+    Stacked [L, ...] arrays quantize layer-by-layer via lax.map so fp32
+    temporaries stay one layer large (matters when quantizing 7B in-place
+    next to the bf16 originals on a 16 GB chip)."""
+    if w.ndim == 3:
+        import jax
+
+        return jax.lax.map(lambda wl: _quantize_2d(wl.astype(jnp.float32), axis - 1), w)
+    return _quantize_2d(w.astype(jnp.float32), axis)
+
+
+def quantize_llm_int8(
+    llm_params: Params,
+    targets: Sequence[str] = QUANT_TARGETS,
+    quantize_embed: bool = True,
+    quantize_head: bool = True,
+) -> Params:
+    """Quantize decoder layer matrices [L, in, out] per (layer, out-channel);
+    optionally the embedding table (per-row) and lm_head (per-column)."""
+    out = dict(llm_params)
+    layers = dict(llm_params["layers"])
+    for name in targets:
+        if name not in layers or layers[name].dtype == jnp.int8:
+            continue
+        q, scale = _quantize_tensor(layers[name], axis=1)  # reduce over `in`
+        layers[name] = q
+        layers[name + "_scale"] = scale  # [L, 1, out]
+    out["layers"] = layers
+
+    if quantize_embed and out["embed"].dtype != jnp.int8:
+        q, scale = _quantize_tensor(out["embed"], axis=1)  # per-row (token)
+        out["embed"] = q
+        out["embed_scale"] = scale  # [V, 1]
+    if quantize_head and out["lm_head"].dtype != jnp.int8:
+        q, scale = _quantize_tensor(out["lm_head"], axis=0)  # per-out-column
+        out["lm_head"] = q
+        out["lm_head_scale"] = scale  # [1, V]
+    return out
+
+
+def init_llm_params_int8(key, cfg) -> Params:
+    """Random-init a decoder directly in int8 (+ scales): each matrix is
+    generated and quantized inside one jit, so no full-precision copy of the
+    model ever exists — required to stand up 7B-scale weights for serving
+    benchmarks on a single 16 GB chip."""
+    import jax
+
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    D, I, L = cfg.dim, cfg.intermediate_size, cfg.n_layers
+    H, Hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    assert cfg.arch == "llama", "int8 init currently targets the Llama family"
+
+    def dense_q(k, shape, axis):
+        fan_in = shape[-2]
+
+        @jax.jit
+        def make(k):
+            w = jax.random.normal(k, shape, dtype=jnp.bfloat16) * jnp.asarray(fan_in ** -0.5, jnp.bfloat16)
+            return _quantize_tensor(w, axis)
+
+        return make(k)
+
+    lk = jax.random.split(k_layers, 8)
+    layers: Params = {"attn_norm": jnp.ones((L, D), jnp.bfloat16), "mlp_norm": jnp.ones((L, D), jnp.bfloat16)}
+    for name, k, shape in (
+        ("wq", lk[0], (L, D, H * hd)),
+        ("wk", lk[1], (L, D, Hkv * hd)),
+        ("wv", lk[2], (L, D, Hkv * hd)),
+        ("wo", lk[3], (L, H * hd, D)),
+        ("w_gate", lk[4], (L, D, I)),
+        ("w_up", lk[5], (L, D, I)),
+        ("w_down", lk[6], (L, I, D)),
+    ):
+        q, s = dense_q(k, shape, axis=1)
+        layers[name], layers[name + "_scale"] = q, s
+
+    @jax.jit
+    def make_embed(k):
+        w = jax.random.normal(k, (cfg.padded_vocab_size, D), dtype=jnp.bfloat16) * jnp.asarray(0.02, jnp.bfloat16)
+        return _quantize_tensor(w, axis=1)
+
+    @jax.jit
+    def make_head(k):
+        w = jax.random.normal(k, (D, cfg.padded_vocab_size), dtype=jnp.bfloat16) * jnp.asarray(D ** -0.5, jnp.bfloat16)
+        return _quantize_tensor(w, axis=0)
+
+    embed_q, embed_s = make_embed(k_embed)
+    head_q, head_s = make_head(k_head)
+    return {
+        "embed": embed_q,
+        "embed_scale": embed_s,
+        "layers": layers,
+        "final_norm": jnp.ones((D,), jnp.bfloat16),
+        "lm_head": head_q,
+        "lm_head_scale": head_s,
+    }
+
+
+def quantized_bytes(params: Params) -> int:
+    import jax
+
+    return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))

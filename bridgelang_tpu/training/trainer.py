@@ -148,20 +148,31 @@ def make_vla_train_step(
     trainable_mask: Optional[Params] = None,
     n_action_bins: int = 256,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    image_transform=None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jittable VLA train step. Batch keys: input_ids,
-    attention_mask, pixel_values, labels (all fixed-shape, right-padded)."""
+    attention_mask, labels, and either pre-normalized `pixel_values` or raw
+    uint8 `frames` [B, H, W, 3] — with `image_transform` given, normalization
+    runs ON DEVICE inside this jitted step (the reference normalizes per-frame
+    in host torch transforms, datasets.py:42-47)."""
     _, bin_centers = make_bins(n_action_bins)
     vocab_size = model.cfg.llm.vocab_size
     action_begin = vocab_size - (n_action_bins + 1)
 
     def loss_fn(params, batch):
         compute_params = jax.tree.map(lambda p: p.astype(compute_dtype) if p.dtype == jnp.float32 else p, params)
+        if "pixel_values" in batch:
+            pixel_values = batch["pixel_values"]
+        else:
+            from bridgelang_tpu.ops.image_ops import preprocess_batch
+
+            assert image_transform is not None, "raw frames need an image_transform"
+            pixel_values = preprocess_batch(batch["frames"], image_transform, dtype=compute_dtype)
         logits, fused_labels = model.forward_train(
             compute_params,
             batch["input_ids"],
             batch["attention_mask"],
-            batch["pixel_values"],
+            pixel_values,
             batch["labels"],
             remat=True,
         )

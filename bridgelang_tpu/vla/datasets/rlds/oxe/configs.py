@@ -1,0 +1,136 @@
+"""Open X-Embodiment per-dataset configurations.
+
+Counterpart of reference prismatic/vla/datasets/rlds/oxe/configs.py:32-673
+(the public OXE/Octo registry of observation-key maps and encodings). Stored
+as frozen dataclasses rather than nested dicts; the rebuild registers the
+datasets used by the OpenVLA training mixtures (Magic-Soup(+), bridge, droid,
+libero, tdroid) — the registry is open for the long tail.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import IntEnum
+from typing import Dict, Optional, Tuple
+
+
+class StateEncoding(IntEnum):
+    """Proprioceptive state layout (8-dim canonical)."""
+
+    NONE = -1
+    POS_EULER = 1      # xyz + rpy + pad + gripper
+    POS_QUAT = 2       # xyz + quat + gripper
+    JOINT = 3          # 7 joints + gripper
+    JOINT_BIMANUAL = 4
+
+
+class ActionEncoding(IntEnum):
+    EEF_POS = 1            # delta xyz + delta rpy + gripper (7)
+    JOINT_POS = 2          # 7 joint deltas + gripper (8)
+    JOINT_POS_BIMANUAL = 3
+    EEF_R6 = 4             # xyz + R6 rotation + gripper (10)
+
+
+@dataclasses.dataclass(frozen=True)
+class OXEDatasetConfig:
+    # observation-key name in the raw dataset for each canonical camera slot
+    image_primary: Optional[str] = None
+    image_secondary: Optional[str] = None
+    image_wrist: Optional[str] = None
+    depth_primary: Optional[str] = None
+    depth_secondary: Optional[str] = None
+    depth_wrist: Optional[str] = None
+    # raw state keys composing the 8-dim proprio vector (None = zero pad)
+    state_obs_keys: Tuple[Optional[str], ...] = ()
+    state_encoding: StateEncoding = StateEncoding.NONE
+    action_encoding: ActionEncoding = ActionEncoding.EEF_POS
+
+    @property
+    def image_obs_keys(self) -> Dict[str, Optional[str]]:
+        return {"primary": self.image_primary, "secondary": self.image_secondary, "wrist": self.image_wrist}
+
+    @property
+    def depth_obs_keys(self) -> Dict[str, Optional[str]]:
+        return {"primary": self.depth_primary, "secondary": self.depth_secondary, "wrist": self.depth_wrist}
+
+
+C = OXEDatasetConfig
+PE, PQ, J, NONE = StateEncoding.POS_EULER, StateEncoding.POS_QUAT, StateEncoding.JOINT, StateEncoding.NONE
+
+OXE_DATASET_CONFIGS: Dict[str, OXEDatasetConfig] = {
+    "fractal20220817_data": C("image", None, None,
+                              state_obs_keys=("base_pose_tool_reached", "gripper_closed"), state_encoding=PQ),
+    "kuka": C("image", None, None,
+              state_obs_keys=("clip_function_input/base_pose_tool_reached", "gripper_closed"), state_encoding=PQ),
+    "bridge_oxe": C("image", "image_1", None,
+                    state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
+    "bridge_orig": C("image_0", "image_1", None,
+                     state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
+    "bridge_dataset": C("image_0", "image_1", None,
+                        state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
+    "taco_play": C("rgb_static", None, "rgb_gripper", "depth_static", None, "depth_gripper",
+                   state_obs_keys=("state_eef", None, "state_gripper"), state_encoding=PE),
+    "jaco_play": C("image", None, "image_wrist",
+                   state_obs_keys=("state_eef", None, "state_gripper"), state_encoding=PE),
+    "berkeley_cable_routing": C("image", "top_image", "wrist45_image",
+                                state_obs_keys=("robot_state", None), state_encoding=J),
+    "roboturk": C("front_rgb", None, None,
+                  state_obs_keys=(None,) * 8, state_encoding=NONE),
+    "nyu_door_opening_surprising_effectiveness": C(None, None, "image",
+                                                   state_obs_keys=(None,) * 8, state_encoding=NONE),
+    "viola": C("agentview_rgb", None, "eye_in_hand_rgb",
+               state_obs_keys=("joint_states", "gripper_states"), state_encoding=J),
+    "berkeley_autolab_ur5": C("image", None, "hand_image", "depth", None, None,
+                              state_obs_keys=("state",), state_encoding=PQ),
+    "toto": C("image", None, None, state_obs_keys=("state", None), state_encoding=J),
+    "language_table": C("rgb", None, None,
+                        state_obs_keys=("effector_translation", None, None, None, None, None, None),
+                        state_encoding=PE),
+    "stanford_hydra_dataset_converted_externally_to_rlds": C(
+        "image", None, "wrist_image", state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "austin_buds_dataset_converted_externally_to_rlds": C(
+        "image", None, "wrist_image", state_obs_keys=("state",), state_encoding=J),
+    "nyu_franka_play_dataset_converted_externally_to_rlds": C(
+        "image", "image_additional_view", None, "depth", "depth_additional_view", None,
+        state_obs_keys=("eef_state", None, None), state_encoding=PE),
+    "furniture_bench_dataset_converted_externally_to_rlds": C(
+        "image", None, "wrist_image", state_obs_keys=("state",), state_encoding=PQ),
+    "ucsd_kitchen_dataset_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("joint_state", None), state_encoding=J),
+    "austin_sailor_dataset_converted_externally_to_rlds": C(
+        "image", None, "wrist_image", state_obs_keys=("state",), state_encoding=PQ),
+    "austin_sirius_dataset_converted_externally_to_rlds": C(
+        "image", None, "wrist_image", state_obs_keys=("state",), state_encoding=PQ),
+    "bc_z": C("image", None, None,
+              state_obs_keys=("present/xyz", "present/axis_angle", None, "present/sensed_close"),
+              state_encoding=PE),
+    "dlr_edan_shared_control_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("state", None), state_encoding=PE),
+    "iamlab_cmu_pickup_insert_converted_externally_to_rlds": C(
+        "image", None, "wrist_image", state_obs_keys=("joint_state", "gripper_state"), state_encoding=J),
+    "utaustin_mutex": C("image", None, "wrist_image", state_obs_keys=("state",), state_encoding=J),
+    "berkeley_fanuc_manipulation": C("image", None, "wrist_image",
+                                     state_obs_keys=("joint_state", None, "gripper_state"), state_encoding=J),
+    "cmu_stretch": C("image", None, None,
+                     state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "fmb_dataset": C("image_side_1", "image_side_2", "image_wrist_1",
+                     "image_side_1_depth", "image_side_2_depth", "image_wrist_1_depth",
+                     state_obs_keys=("proprio",), state_encoding=PE),
+    "dobbe": C("wrist_image", None, None, state_obs_keys=("proprio",), state_encoding=PE),
+    "droid": C("exterior_image_1_left", "exterior_image_2_left", "wrist_image_left",
+               state_obs_keys=("proprio",), state_encoding=PQ),
+    "tdroid_carrot_in_bowl": C("static_image", None, None, "static_depth_image", None, None,
+                               state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
+    "tdroid_pour_corn_in_pot": C("static_image", None, None, "static_depth_image", None, None,
+                                 state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
+    "libero_spatial_no_noops": C("image", None, "wrist_image",
+                                 state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
+    "libero_object_no_noops": C("image", None, "wrist_image",
+                                state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
+    "libero_goal_no_noops": C("image", None, "wrist_image",
+                              state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
+    "libero_10_no_noops": C("image", None, "wrist_image",
+                            state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
+    "libero_combined": C("image", None, "wrist_image",
+                         state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
+}

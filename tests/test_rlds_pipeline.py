@@ -1,0 +1,182 @@
+"""RLDS pipeline tests over in-memory trajectories (no TFDS needed) — the
+pipeline stages the reference can only exercise against live GCS datasets."""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from bridgelang_tpu.vla.datasets.rlds.dataset import (  # noqa: E402
+    apply_frame_transforms,
+    apply_trajectory_transforms,
+    flatten_to_frames,
+    make_dataset_from_rlds,
+    make_interleaved_dataset,
+)
+from bridgelang_tpu.vla.datasets.rlds.utils.data_utils import (  # noqa: E402
+    NormalizationType,
+    allocate_threads,
+    binarize_gripper_actions,
+    get_dataset_statistics,
+    rel2abs_gripper_actions,
+)
+
+
+def _traj(t=10, seed=0, with_lang=True):
+    rng = np.random.default_rng(seed)
+    jpeg = tf.io.encode_jpeg(tf.cast(rng.integers(0, 255, (32, 32, 3)), tf.uint8)).numpy()
+    return {
+        "observation": {
+            "image_0": np.array([jpeg] * t),
+            "state": rng.normal(size=(t, 7)).astype(np.float32),
+        },
+        "action": rng.uniform(-0.5, 0.5, size=(t, 7)).astype(np.float32),
+        "language_instruction": np.array([b"pick up the block" if with_lang else b""] * t),
+    }
+
+
+def _traj_dataset(n=4, t=10):
+    trajs = [_traj(t=t, seed=i) for i in range(n)]
+
+    def gen():
+        yield from trajs
+
+    spec = tf.nest.map_structure(lambda x: tf.TensorSpec(x.shape, tf.as_dtype(x.dtype)), trajs[0])
+    return tf.data.Dataset.from_generator(gen, output_signature=spec)
+
+
+def _builder(split):
+    return _traj_dataset()
+
+
+DATASET_KWARGS = dict(
+    name="test_ds",
+    builder=_builder,
+    image_obs_keys={"primary": "image_0", "wrist": None},
+    proprio_obs_key="state",
+    language_key="language_instruction",
+    action_normalization_mask=[True] * 6 + [False],
+    absolute_action_mask=[False] * 6 + [True],
+)
+
+
+def test_make_dataset_restructures_and_normalizes(tmp_path):
+    ds, stats = make_dataset_from_rlds(train=True, **DATASET_KWARGS)
+    assert stats["num_trajectories"] == 4 and stats["num_transitions"] == 40
+    traj = next(iter(ds.as_numpy_iterator()))
+    assert set(traj["observation"].keys()) == {"image_primary", "image_wrist", "proprio"}
+    assert traj["observation"]["image_wrist"][0] == b""  # missing view padded
+    assert traj["task"]["language_instruction"][0] == b"pick up the block"
+    assert traj["dataset_name"][0] == b"test_ds"
+    # q99-normalized actions live in [-1, 1] on masked dims
+    assert np.abs(traj["action"][:, :6]).max() <= 1.0 + 1e-6
+    assert traj["absolute_action_mask"].shape == (10, 7)
+
+
+def test_statistics_cache_roundtrip(tmp_path):
+    ds = _traj_dataset()
+    s1 = get_dataset_statistics(ds, ["k1"], save_dir=str(tmp_path))
+    s2 = get_dataset_statistics(_traj_dataset(), ["k1"], save_dir=str(tmp_path))
+    assert s1 == s2  # second call served from cache
+    assert (tmp_path / f"dataset_statistics_{__import__('hashlib').sha256(b'k1').hexdigest()}.json").exists()
+
+
+def test_trajectory_transforms_chunking():
+    ds, _ = make_dataset_from_rlds(train=True, **DATASET_KWARGS)
+    out = apply_trajectory_transforms(ds, train=True, window_size=2, future_action_window_size=1)
+    traj = next(iter(out.as_numpy_iterator()))
+    # [T, window, ...] observations; [T, window+future, action_dim] actions
+    assert traj["observation"]["image_primary"].shape[:2] == (10, 2)
+    assert traj["action"].shape == (10, 3, 7)
+    assert not traj["observation"]["timestep_pad_mask"][0, 0]  # first frame's history is padding
+    assert traj["observation"]["timestep_pad_mask"][0, 1]
+
+
+def test_skip_unlabeled_filters():
+    trajs = [_traj(seed=0, with_lang=False)]
+
+    def gen():
+        yield from trajs
+
+    spec = tf.nest.map_structure(lambda x: tf.TensorSpec(x.shape, tf.as_dtype(x.dtype)), trajs[0])
+    builder = lambda split: tf.data.Dataset.from_generator(gen, output_signature=spec)  # noqa: E731
+    kwargs = dict(DATASET_KWARGS, builder=builder)
+    ds, _ = make_dataset_from_rlds(train=True, **kwargs)
+    out = apply_trajectory_transforms(ds, train=True, skip_unlabeled=True)
+    assert len(list(out.as_numpy_iterator())) == 0
+
+
+def test_frame_pipeline_decodes_and_resizes():
+    ds, _ = make_dataset_from_rlds(train=True, **DATASET_KWARGS)
+    ds = apply_trajectory_transforms(ds, train=True, window_size=1)
+    frames = flatten_to_frames(ds)
+    frames = apply_frame_transforms(frames, train=True, resize_size=(24, 24))
+    frame = next(iter(frames.as_numpy_iterator()))
+    assert frame["observation"]["image_primary"].shape == (1, 24, 24, 3)
+    assert frame["observation"]["image_primary"].dtype == np.uint8
+    # padded wrist view synthesized as zeros
+    assert frame["observation"]["image_wrist"].shape == (1, 24, 24, 3)
+    assert frame["observation"]["image_wrist"].sum() == 0
+
+
+def test_augmentation_changes_pixels():
+    ds, _ = make_dataset_from_rlds(train=True, **DATASET_KWARGS)
+    ds = apply_trajectory_transforms(ds, train=True)
+    frames = flatten_to_frames(ds)
+    aug_kwargs = {
+        "random_brightness": [0.4],
+        "augment_order": ["random_brightness"],
+    }
+    plain = apply_frame_transforms(flatten_to_frames(apply_trajectory_transforms(
+        make_dataset_from_rlds(train=True, **DATASET_KWARGS)[0], train=True)), train=True, resize_size=(24, 24))
+    auged = apply_frame_transforms(frames, train=True, resize_size=(24, 24), image_augment_kwargs=aug_kwargs)
+    a = next(iter(auged.as_numpy_iterator()))["observation"]["image_primary"]
+    p = next(iter(plain.as_numpy_iterator()))["observation"]["image_primary"]
+    assert a.shape == p.shape
+
+
+def test_interleaved_mixture_balances_and_batches():
+    kwargs_a = dict(DATASET_KWARGS, name="ds_a")
+    kwargs_b = dict(DATASET_KWARGS, name="ds_b")
+    ds = make_interleaved_dataset(
+        [kwargs_a, kwargs_b],
+        [1.0, 1.0],
+        train=True,
+        shuffle_buffer_size=50,
+        traj_transform_kwargs={"window_size": 1},
+        frame_transform_kwargs={"resize_size": (24, 24)},
+        balance_weights=True,
+    )
+    it = ds.as_numpy_iterator()
+    names = [next(it)["dataset_name"] for _ in range(40)]
+    assert {b"ds_a", b"ds_b"} == set(names)
+    assert ds.true_length > 0
+    assert abs(sum(ds.sample_weights) - 1.0) < 1e-6
+
+
+def test_gripper_relabel_helpers():
+    acts = tf.constant([0.0, 0.02, 0.5, 0.98, 0.5, 0.01], tf.float32)
+    binarized = binarize_gripper_actions(acts).numpy()
+    assert binarized[0] == 0.0 and binarized[3] == 1.0
+    # intermediate 0.5 at idx 2 resolves to the NEXT definitive state (open)
+    assert binarized[2] == 1.0
+    # and idx 4's next definitive is closed
+    assert binarized[4] == 0.0
+
+    # Relative: -0.8 = opening command, 0.9 = closing command (RT-1 convention)
+    rel = tf.constant([0.0, -0.8, 0.0, 0.9, 0.0], tf.float32)
+    absg = rel2abs_gripper_actions(rel).numpy()
+    # pre-first-command state = inverse of first command (closed), then open, then closed
+    assert absg[0] == 0.0
+    assert absg[1] == 1.0 and absg[2] == 1.0
+    assert absg[3] == 0.0 and absg[4] == 0.0
+    # all-hold trajectory defaults to open
+    hold = rel2abs_gripper_actions(tf.zeros([4], tf.float32)).numpy()
+    assert (hold == 1.0).all()
+
+
+def test_allocate_threads_proportional():
+    alloc = allocate_threads(16, np.array([0.5, 0.3, 0.2]))
+    assert alloc.sum() == 16 and (alloc >= 1).all()
+    alloc2 = allocate_threads(3, np.array([0.9, 0.05, 0.05]))
+    assert alloc2.sum() == 3 and (alloc2 >= 1).all()

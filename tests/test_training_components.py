@@ -128,3 +128,33 @@ def test_sidecars(tmp_path):
     save_sidecars(tmp_path, {"vla_id": "debug"}, {"bridge_orig": {"action": {"q01": [0.0]}}})
     assert json.load(open(tmp_path / "config.json"))["vla_id"] == "debug"
     assert "bridge_orig" in json.load(open(tmp_path / "dataset_statistics.json"))
+
+
+def test_int8_quantized_forward_close_to_fp():
+    from bridgelang_tpu.ops.quant import quantize_llm_int8
+
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    qparams = quantize_llm_int8(params)
+    assert qparams["layers"]["wq"].dtype == jnp.int8
+    assert qparams["embed"].dtype == jnp.int8
+    ids = jnp.asarray([[1, 5, 9, 12, 44, 101]], dtype=jnp.int32)
+    base = np.asarray(_fwd(params, ids), dtype=np.float32)
+    quant = np.asarray(_fwd(qparams, ids), dtype=np.float32)
+    # int8 weight-only should track the fp forward closely in direction
+    denom = np.linalg.norm(base) + 1e-6
+    rel = np.linalg.norm(base - quant) / denom
+    assert rel < 0.1, f"relative error {rel}"
+    # argmax over logits mostly agrees
+    agree = (base.argmax(-1) == quant.argmax(-1)).mean()
+    assert agree >= 0.5
+
+
+def test_int8_init_structure():
+    from bridgelang_tpu.ops.quant import init_llm_params_int8
+
+    qp = init_llm_params_int8(jax.random.key(1), TINY_LLM)
+    assert qp["layers"]["w_down"].dtype == jnp.int8
+    assert qp["layers"]["w_down_scale"].shape == (TINY_LLM.n_layers, 1, TINY_LLM.dim)
+    ids = jnp.asarray([[1, 3, 7]], dtype=jnp.int32)
+    out = _fwd(qp, ids)
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()

@@ -1,0 +1,98 @@
+"""Batch transform / collator / end-to-end tiny training smoke test."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bridgelang_tpu.models.vlm as vlm_mod
+from bridgelang_tpu.models.vision.vit import ViT
+from bridgelang_tpu.models.vlm import IGNORE_INDEX, LLAMA_EMPTY_TOKEN, PrismaticVLM, VLMConfig
+from bridgelang_tpu.vla.action_tokenizer import ActionTokenizer
+from bridgelang_tpu.vla.datasets.datasets import (
+    DummyDataset,
+    EOS_TOKEN_ID,
+    PaddedCollatorForActionPrediction,
+    RLDSBatchTransform,
+)
+from tests.helpers import TINY_LLM, TINY_VIT, StubTokenizer
+
+
+def _transform():
+    tok = StubTokenizer()
+    return RLDSBatchTransform(ActionTokenizer(tok), tok)
+
+
+def _frame():
+    rng = np.random.default_rng(0)
+    return {
+        "dataset_name": b"bridge_orig",
+        "action": rng.uniform(-1, 1, size=(1, 7)).astype(np.float32),
+        "observation": {"image_primary": rng.integers(0, 255, size=(1, 32, 32, 3), dtype=np.uint8)},
+        "task": {"language_instruction": b"Pick Up The Cup"},
+    }
+
+
+def test_batch_transform_token_layout():
+    bt = _transform()
+    ex = bt(_frame())
+    ids, labels = ex["input_ids"], ex["labels"]
+    assert ids[-1] == EOS_TOKEN_ID
+    # 7 action tokens immediately before EOS, drawn from the vocab tail
+    action_ids = ids[-8:-1]
+    assert (action_ids > StubTokenizer.vocab_size - 257).all()
+    # '▁' empty token precedes the action tokens (training/inference parity)
+    assert ids[-9] == LLAMA_EMPTY_TOKEN
+    # loss mask: only action tokens + EOS are supervised
+    assert (labels[:-8] == IGNORE_INDEX).all()
+    np.testing.assert_array_equal(labels[-8:], ids[-8:])
+    assert ex["frames"].shape == (32, 32, 3)
+    assert ex["dataset_name"] == "bridge_orig"
+
+
+def test_collator_pads_to_fixed_bucket():
+    bt = _transform()
+    coll = PaddedCollatorForActionPrediction(max_length=48, pad_token_id=512)
+    batch = coll([bt(_frame()) for _ in range(4)])
+    assert batch["input_ids"].shape == (4, 48)
+    assert batch["attention_mask"].shape == (4, 48)
+    assert batch["frames"].shape == (4, 32, 32, 3)
+    n_real = batch["attention_mask"][0].sum()
+    assert (batch["input_ids"][0, n_real:] == 512).all()
+    assert (batch["labels"][0, n_real:] == IGNORE_INDEX).all()
+
+
+def test_dummy_dataset_end_to_end_training_improves():
+    """The reference has NO end-to-end train test at all (SURVEY.md §4); this
+    is the tiny-config smoke: DummyDataset -> collator -> jitted SPMD step."""
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.training.trainer import OptimConfig, init_train_state, make_optimizer, make_vla_train_step
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = PrismaticVLM(cfg, dtype=jnp.float32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    bt = _transform()
+    coll = PaddedCollatorForActionPrediction(max_length=48, pad_token_id=TINY_LLM.pad_token_id)
+    ds = DummyDataset(bt, n=8, image_hw=(32, 32))
+    batch = coll(list(ds))
+
+    optimizer = make_optimizer(OptimConfig(learning_rate=3e-3), params)
+    step = jax.jit(make_vla_train_step(model, optimizer, compute_dtype=jnp.float32,
+                                       image_transform=model.image_transform))
+    state = init_train_state(params, optimizer)
+
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "dataset_names"}
+    state, m0 = step(state, jb)
+    for _ in range(10):
+        state, m = step(state, jb)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
+    assert float(m["action_accuracy"]) >= float(m0["action_accuracy"]) - 0.05
