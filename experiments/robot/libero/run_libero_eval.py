@@ -1,0 +1,126 @@
+"""LIBERO closed-loop evaluation: 4 suites x 10 tasks x 50 trials.
+
+Counterpart of reference experiments/robot/libero/run_libero_eval.py:54-286.
+Requires the `libero` simulator package (not in the TPU image — run on a sim
+host against a remote TPU server via --remote_host, or install libero).
+
+  python experiments/robot/libero/run_libero_eval.py \
+      --pretrained_checkpoint /ckpts/openvla-7b-libero --task_suite_name libero_spatial
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+sys.path.insert(0, str(Path(__file__).parent.parent.parent.parent))
+
+from bridgelang_tpu.conf import parse_cli
+from experiments.robot.robot_utils import (
+    get_action,
+    get_model,
+    invert_gripper_action,
+    normalize_gripper_action,
+    set_seed_everywhere,
+)
+
+NUM_SETTLE_STEPS = 10  # let objects drop before acting (reference :186-193)
+TASK_MAX_STEPS = {
+    "libero_spatial": 220, "libero_object": 280, "libero_goal": 300,
+    "libero_10": 520, "libero_90": 400,
+}
+
+
+@dataclass
+class LiberoEvalConfig:
+    model_family: str = "openvla"
+    pretrained_checkpoint: str = ""
+    tokenizer_path: Optional[str] = None
+    remote_host: Optional[str] = None
+    remote_port: int = 8000
+    task_suite_name: str = "libero_spatial"
+    num_trials_per_task: int = 50
+    unnorm_key: Optional[str] = None
+    center_crop: bool = True  # models trained with image aug need this
+    seed: int = 7
+    resolution: int = 256
+    video_out_dir: Optional[str] = None
+
+
+def get_libero_image(obs, resolution: int):
+    """Agent-view camera, flipped upright (LIBERO renders upside down)."""
+    img = obs["agentview_image"]
+    return img[::-1, ::-1]
+
+
+def main(cfg: LiberoEvalConfig) -> None:
+    try:
+        from libero.libero import benchmark
+        from libero.libero.envs import OffScreenRenderEnv
+    except ImportError as e:
+        raise SystemExit(
+            "LIBERO simulator not installed. Install `libero` on a sim host, or use "
+            "--remote_host to query a TPU serving endpoint from that machine."
+        ) from e
+
+    set_seed_everywhere(cfg.seed)
+    if cfg.unnorm_key is None:
+        cfg.unnorm_key = f"{cfg.task_suite_name}_no_noops"
+    model = get_model(cfg)
+
+    suite = benchmark.get_benchmark_dict()[cfg.task_suite_name]()
+    max_steps = TASK_MAX_STEPS[cfg.task_suite_name]
+
+    total_successes, total_episodes = 0, 0
+    for task_id in range(suite.n_tasks):
+        task = suite.get_task(task_id)
+        env = OffScreenRenderEnv(
+            bddl_file_name=str(Path(suite.get_task_bddl_file_path(task_id))),
+            camera_heights=cfg.resolution, camera_widths=cfg.resolution,
+        )
+        task_successes = 0
+        init_states = suite.get_task_init_states(task_id)
+        for episode in range(cfg.num_trials_per_task):
+            env.reset()
+            obs = env.set_init_state(init_states[episode % len(init_states)])
+            frames = []
+            for _ in range(NUM_SETTLE_STEPS):
+                obs, *_ = env.step([0.0] * 6 + [-1.0])
+            done = False
+            for _ in range(max_steps):
+                try:
+                    img = get_libero_image(obs, cfg.resolution)
+                    frames.append(img)
+                    action = get_action(cfg, model, {"full_image": img}, task.language)
+                    # [0,1] gripper -> [-1,1], then invert for LIBERO (-1 = open)
+                    action = invert_gripper_action(normalize_gripper_action(action, binarize=True))
+                    obs, reward, done, info = env.step(action.tolist())
+                    if done:
+                        break
+                except Exception as e:  # per-step containment (reference :235-238)
+                    print(f"[episode error] {e}")
+                    break
+            task_successes += int(done)
+            total_successes += int(done)
+            total_episodes += 1
+            if cfg.video_out_dir and frames:
+                _save_video(frames, Path(cfg.video_out_dir) / f"task{task_id}_ep{episode}_{'ok' if done else 'fail'}.mp4")
+        env.close()
+        print(f"[task {task_id}] {task.language!r}: {task_successes}/{cfg.num_trials_per_task}")
+    print(f"TOTAL success rate: {total_successes}/{total_episodes} = {total_successes/max(total_episodes,1):.3f}")
+
+
+def _save_video(frames, path: Path) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        import imageio
+
+        imageio.mimwrite(str(path), frames, fps=30)
+    except ImportError:
+        pass
+
+
+if __name__ == "__main__":
+    main(parse_cli(LiberoEvalConfig))

@@ -1,0 +1,60 @@
+"""OpenVLA-specific eval helpers: model loading + action queries.
+
+Counterpart of reference experiments/robot/openvla_utils.py:31-170. Two
+backends: in-process (load_vla + jitted predict_action) or a remote REST
+server (bridgelang_tpu.serving) — the sim machine then needs no TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class InProcessVLA:
+    def __init__(self, checkpoint: str, tokenizer_path: Optional[str] = None, quantize_int8: bool = True):
+        from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
+        from bridgelang_tpu.models.load import load_vla
+
+        self.model, self.params = load_vla(checkpoint, quantize_int8=quantize_int8)
+        self.model.tokenizer = get_tokenizer(tokenizer_path)
+
+    def predict(self, image: np.ndarray, instruction: str, unnorm_key: Optional[str]) -> np.ndarray:
+        return self.model.predict_action(self.params, image, instruction, unnorm_key=unnorm_key)
+
+
+class RemoteVLA:
+    def __init__(self, host: str, port: int):
+        self.host, self.port = host, port
+
+    def predict(self, image: np.ndarray, instruction: str, unnorm_key: Optional[str]) -> np.ndarray:
+        from bridgelang_tpu.serving.server import client_act
+
+        return client_act(self.host, self.port, image, instruction, unnorm_key)
+
+
+def get_vla(cfg) -> Any:
+    if getattr(cfg, "remote_host", None):
+        return RemoteVLA(cfg.remote_host, cfg.remote_port)
+    return InProcessVLA(cfg.pretrained_checkpoint, getattr(cfg, "tokenizer_path", None))
+
+
+def crop_and_resize(image01: np.ndarray, crop_scale: float = 0.9) -> np.ndarray:
+    """Center-crop sqrt(scale) per side + resize back — must match the
+    train-time random-crop statistics (reference openvla_utils.py:81-124 warns
+    LIBERO-trained models degrade without it)."""
+    import jax.numpy as jnp
+
+    from bridgelang_tpu.ops.image_ops import crop_and_resize_eval
+
+    return np.asarray(crop_and_resize_eval(jnp.asarray(image01, dtype=jnp.float32), crop_scale))
+
+
+def get_vla_action(vla, obs: Dict[str, Any], task_label: str, unnorm_key: Optional[str] = None,
+                   center_crop: bool = False) -> np.ndarray:
+    image = np.asarray(obs["full_image"])
+    if center_crop:
+        image01 = image.astype(np.float32) / 255.0
+        image = (crop_and_resize(image01) * 255.0).round().astype(np.uint8)
+    return vla.predict(image, task_label, unnorm_key)

