@@ -28,6 +28,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the 7B serving graph is a multi-minute
+    # one-time compile on this backend; cache it across bench invocations.
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/bridgelang_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     import dataclasses
     from bridgelang_tpu.models.vla import OpenVLA
     from bridgelang_tpu.models.vlm import VLMConfig
@@ -128,6 +140,31 @@ def main():
         f"p90={np.percentile(lat,90)*1e3:.1f}ms -> {actions_per_sec:.2f} actions/s",
         file=sys.stderr,
     )
+
+    # Secondary: OFT-style parallel decode (one forward for all 7 tokens) —
+    # the serving mode for models fine-tuned with the parallel objective.
+    try:
+        predict_par = model._jitted_predict(7, parallel_decode=True)
+
+        def one_call_par(frame_np):
+            pix = pre_jit(jnp.asarray(frame_np[None]))
+            return np.asarray(predict_par(params, ids_d, mask_d, pix, q01, q99, smask))
+
+        t0 = time.time()
+        one_call_par(frame)
+        print(f"[bench] parallel-decode compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+        for _ in range(3):
+            one_call_par(frame)
+        lat_p = []
+        for i in range(30):
+            f = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
+            t0 = time.time()
+            one_call_par(f)
+            lat_p.append(time.time() - t0)
+        p50_p = float(np.percentile(lat_p, 50))
+        print(f"[bench] parallel-decode p50={p50_p*1e3:.1f}ms -> {1.0/p50_p:.2f} actions/s", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] parallel-decode mode failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     print(
         json.dumps(

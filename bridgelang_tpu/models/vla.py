@@ -81,19 +81,26 @@ class OpenVLA(PrismaticVLM):
         q99: jnp.ndarray,
         stat_mask: jnp.ndarray,
         action_dim: int,
+        parallel_decode: bool = False,
     ) -> jnp.ndarray:
         """[B, T] prompts + [B, C, H, W] images -> [B, action_dim] continuous
-        actions, entirely on device. Jit with static `action_dim`."""
-        token_ids = self.generate_greedy(params, input_ids, attention_mask, pixel_values, max_new_tokens=action_dim)
+        actions, entirely on device. Jit with static `action_dim`.
+        `parallel_decode` uses the single-forward OFT-style decoder (requires a
+        model fine-tuned for it; see PrismaticVLM.generate_parallel)."""
+        if parallel_decode:
+            token_ids = self.generate_parallel(params, input_ids, attention_mask, pixel_values, max_new_tokens=action_dim)
+        else:
+            token_ids = self.generate_greedy(params, input_ids, attention_mask, pixel_values, max_new_tokens=action_dim)
         normalized = token_ids_to_actions(token_ids, jnp.asarray(self.bin_centers), self.cfg.llm.vocab_size)
         return unnormalize_actions(normalized.astype(jnp.float32), q01, q99, stat_mask)
 
-    def _jitted_predict(self, action_dim: int):
-        if action_dim not in self._predict_fns:
-            self._predict_fns[action_dim] = jax.jit(
-                partial(self.predict_action_device, action_dim=action_dim),
+    def _jitted_predict(self, action_dim: int, parallel_decode: bool = False):
+        key = (action_dim, parallel_decode)
+        if key not in self._predict_fns:
+            self._predict_fns[key] = jax.jit(
+                partial(self.predict_action_device, action_dim=action_dim, parallel_decode=parallel_decode),
             )
-        return self._predict_fns[action_dim]
+        return self._predict_fns[key]
 
     # --- host-side convenience API (mirrors reference predict_action) ---
 

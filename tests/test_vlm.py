@@ -188,3 +188,19 @@ def test_predict_action_device_matches_formula():
         jnp.asarray(stats["mask"]), action_dim=7,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected)[0:1], atol=1e-6)
+
+
+def test_parallel_decode_shape_and_independence():
+    """Parallel decode: one forward, outputs independent of query count prefix."""
+    model, params = _tiny_openvla()
+    ids, mask = model.pad_prompt([model.prepare_prompt_ids("do the thing")])
+    pix = jnp.zeros((1, 3, 32, 32), dtype=jnp.float32)
+    out7 = np.asarray(model.generate_parallel(params, jnp.asarray(ids), jnp.asarray(mask), pix, max_new_tokens=7))
+    out3 = np.asarray(model.generate_parallel(params, jnp.asarray(ids), jnp.asarray(mask), pix, max_new_tokens=3))
+    assert out7.shape == (1, 7)
+    # conditional independence given prefix: first 3 tokens identical
+    np.testing.assert_array_equal(out7[:, :3], out3)
+    # first token must equal sequential greedy's first token (same context)
+    seq = np.asarray(model.generate_greedy(params, jnp.asarray(ids), jnp.asarray(mask), pix, max_new_tokens=1,
+                                           cache_dtype=jnp.float32))
+    assert out7[0, 0] == seq[0, 0]
