@@ -158,3 +158,29 @@ def test_int8_init_structure():
     ids = jnp.asarray([[1, 3, 7]], dtype=jnp.int32)
     out = _fwd(qp, ids)
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_profiling_utils():
+    from bridgelang_tpu.util.profiling import StepTimer, annotate, device_memory_stats
+
+    t = StepTimer()
+    with annotate("test_phase"):
+        x = jnp.ones((8, 8)) * 2
+    dt = t.tick(sync_on=x)
+    assert dt >= 0
+    assert t.avg is not None
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+
+
+def test_noop_filter():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from experiments.robot.libero.regenerate_libero_dataset import is_noop
+
+    assert is_noop(np.array([0, 0, 0, 0, 0, 0, -1.0]))
+    assert not is_noop(np.array([0.1, 0, 0, 0, 0, 0, -1.0]))
+    # gripper change alone is NOT a no-op
+    assert not is_noop(np.array([0, 0, 0, 0, 0, 0, 1.0]), np.array([0, 0, 0, 0, 0, 0, -1.0]))
