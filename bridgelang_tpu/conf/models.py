@@ -171,3 +171,69 @@ _register(
     llm_backbone_id="phi-2-3b",
     image_resize_strategy="resize-naive",
 )
+
+# --- Extended registry: remaining reference variants (prismatic/conf/models.py
+# ids; hparams inherit family defaults unless noted) ---
+_register(
+    "one-stage+13b",
+    arch_specifier="no-align+gelu-mlp",
+    vision_backbone_id="clip-vit-l-336px",
+    llm_backbone_id="vicuna-v15-13b",
+    image_resize_strategy="letterbox",
+)
+for _mid in ("full-ft-multi-stage+7b", "full-ft-one-stage+7b"):
+    _register(
+        _mid,
+        arch_specifier="gelu-mlp" if "multi" in _mid else "no-align+gelu-mlp",
+        vision_backbone_id="clip-vit-l-336px",
+        llm_backbone_id="vicuna-v15-7b",
+        image_resize_strategy="letterbox",
+    )
+# Vision-backbone ablations at 224px
+for _mid, _vb in (("in1k-224px+7b", "in1k-vit-l"), ("dinov2-224px+7b", "dinov2-vit-l"),
+                  ("clip-224px+7b", "clip-vit-l"), ("siglip-224px+7b", "siglip-vit-so400m")):
+    _register(_mid, arch_specifier="no-align+gelu-mlp", vision_backbone_id=_vb,
+              llm_backbone_id="vicuna-v15-7b", image_resize_strategy="letterbox")
+# Resolution / resize-strategy ablations
+for _mid, _vb, _strategy in (
+    ("clip-336px-resize-crop+7b", "clip-vit-l-336px", "resize-crop"),
+    ("clip-336px-resize-naive+7b", "clip-vit-l-336px", "resize-naive"),
+    ("siglip-384px-letterbox+7b", "siglip-vit-so400m-384px", "letterbox"),
+    ("siglip-384px-resize-crop+7b", "siglip-vit-so400m-384px", "resize-crop"),
+    ("siglip-384px-resize-naive+7b", "siglip-vit-so400m-384px", "resize-naive"),
+    ("dinoclip-336px-letterbox+7b", "dinoclip-vit-l-336px", "letterbox"),
+    ("dinoclip-336px-resize-naive+7b", "dinoclip-vit-l-336px", "resize-naive"),
+    ("dinosiglip-384px-letterbox+7b", "dinosiglip-vit-so-384px", "letterbox"),
+    ("dinosiglip-384px-resize-naive+7b", "dinosiglip-vit-so-384px", "resize-naive"),
+):
+    _register(_mid, arch_specifier="no-align+fused-gelu-mlp" if "dino" in _vb else "no-align+gelu-mlp",
+              vision_backbone_id=_vb, llm_backbone_id="vicuna-v15-7b", image_resize_strategy=_strategy)
+# LLM-backbone ablations
+for _mid, _llm in (("llama2+7b", "llama2-7b-pure"), ("llama2+13b", "llama2-13b-pure"),
+                   ("llama2-chat+7b", "llama2-7b-chat"), ("llama2-chat+13b", "llama2-13b-chat"),
+                   ("mistral-v0.1+7b", "mistral-v0.1-7b-pure"),
+                   ("mistral-instruct-v0.1+7b", "mistral-v0.1-7b-instruct"),
+                   ("phi-2+3b", "phi-2-3b"),
+                   ("vicuna-no-cotraining+7b", "vicuna-v15-7b"), ("llama2-no-cotraining+7b", "llama2-7b-pure")):
+    _register(_mid, arch_specifier="no-align+gelu-mlp", vision_backbone_id="clip-vit-l-336px",
+              llm_backbone_id=_llm, image_resize_strategy="letterbox")
+# Schedule / data ablations
+for _mid, _ep in (("train-1.25-epochs+7b", 2), ("train-1.5-epochs+7b", 2),
+                  ("train-2-epochs+7b", 2), ("train-3-epochs+7b", 3)):
+    _register(_mid, arch_specifier="no-align+gelu-mlp", vision_backbone_id="siglip-vit-so400m-384px",
+              llm_backbone_id="vicuna-v15-7b", image_resize_strategy="letterbox", finetune_epochs=_ep)
+for _mid in ("llava-lvis4v+7b", "llava-lrv+7b", "llava-lvis4v-lrv+7b"):
+    _register(_mid, arch_specifier="no-align+gelu-mlp", vision_backbone_id="siglip-vit-so400m-384px",
+              llm_backbone_id="vicuna-v15-7b", image_resize_strategy="letterbox")
+# Prism controlled + full-recipe family
+for _mid, _vb, _llm, _strategy in (
+    ("prism-clip-controlled+7b", "clip-vit-l-336px", "vicuna-v15-7b", "letterbox"),
+    ("prism-clip-controlled+13b", "clip-vit-l-336px", "vicuna-v15-13b", "letterbox"),
+    ("prism-clip+13b", "clip-vit-l-336px", "llama2-13b-pure", "resize-naive"),
+    ("prism-siglip-controlled+7b", "siglip-vit-so400m-384px", "vicuna-v15-7b", "letterbox"),
+    ("prism-siglip+13b", "siglip-vit-so400m-384px", "llama2-13b-pure", "resize-naive"),
+    ("prism-dinosiglip-controlled+13b", "dinosiglip-vit-so-384px", "vicuna-v15-13b", "letterbox"),
+    ("prism-dinosiglip-224px-controlled+7b", "dinosiglip-vit-so-224px", "vicuna-v15-7b", "letterbox"),
+):
+    _register(_mid, arch_specifier="no-align+fused-gelu-mlp" if "dino" in _vb else "no-align+gelu-mlp",
+              vision_backbone_id=_vb, llm_backbone_id=_llm, image_resize_strategy=_strategy)

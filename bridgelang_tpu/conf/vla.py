@@ -121,3 +121,62 @@ for _mix in (
         shuffle_buffer_size=256_000,
         image_aug=True,
     )
+
+# --- Remaining reference experiment ids (prismatic/conf/vla.py) ---
+_register(
+    "siglip-224px+mx-bridge",
+    base_vlm="siglip-224px+7b",
+    data_mix="bridge",
+    expected_device_count=8,
+    global_batch_size=256,
+    per_device_batch_size=32,
+    shuffle_buffer_size=256_000,
+)
+_register(
+    "siglip-224px-icy+mx-bridge",
+    base_vlm="siglip-224px+7b",
+    freeze_vision_backbone=True,
+    data_mix="bridge",
+    expected_device_count=8,
+    global_batch_size=256,
+    per_device_batch_size=32,
+    shuffle_buffer_size=256_000,
+)
+_register(
+    "siglip-224px+mx-oxe-magic-soup",
+    base_vlm="siglip-224px+7b",
+    data_mix="oxe_magic_soup",
+    expected_device_count=64,
+    global_batch_size=2048,
+    per_device_batch_size=32,
+)
+for _suffix, _kw in (
+    ("siglip-224px+mx-tdroid_carrot_in_bowl", {}),
+    ("siglip-224px+mx-tdroid_pour_corn_in_pot", {"data_mix": "tdroid_pour_corn_in_pot"}),
+    ("siglip-224px-icy+mx-tdroid_carrot_in_bowl", {"freeze_vision_backbone": True}),
+    ("siglip-224px-last_layer+mx-tdroid_carrot_in_bowl",
+     {"freeze_vision_backbone": True, "freeze_llm_backbone": True, "unfreeze_last_llm_layer": True}),
+    ("siglip-224px-sandwich+mx-tdroid_carrot_in_bowl",
+     {"freeze_llm_backbone": True, "unfreeze_last_llm_layer": True}),
+):
+    _register(
+        _suffix,
+        base_vlm="siglip-224px+7b",
+        data_mix=_kw.pop("data_mix", "tdroid_carrot_in_bowl"),
+        expected_device_count=8,
+        global_batch_size=128,
+        per_device_batch_size=16,
+        shuffle_buffer_size=100_000,
+        image_aug=True,
+        **_kw,
+    )
+_register(
+    "siglip-224px+mx-droid_wipe",
+    base_vlm="siglip-224px+7b",
+    data_mix="droid_wipe",
+    expected_device_count=8,
+    global_batch_size=128,
+    per_device_batch_size=16,
+    shuffle_buffer_size=100_000,
+    image_aug=True,
+)

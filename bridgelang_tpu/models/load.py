@@ -23,9 +23,64 @@ import numpy as np
 # Registered model ids -> descriptions (abbreviated registry; counterpart of
 # prismatic/models/registry.py's 49 entries).
 MODEL_REGISTRY: Dict[str, str] = {
-    "openvla-7b": "OpenVLA 7B: fused DINOv2+SigLIP, Llama-2-7B, OXE Magic Soup++",
-    "openvla-v01-7b": "OpenVLA v0.1 7B: SigLIP-only, Vicuna-v1.5-7B, OXE Magic Soup",
-    "prism-dinosiglip-224px+7b": "Prism VLM: fused DINOv2+SigLIP 224px, Llama-2-7B",
+    # --- VLA checkpoints ---
+    "openvla-7b": "OpenVLA 7B: fused DINOv2+SigLIP 224px, Llama-2-7B, OXE Magic Soup++ (flagship)",
+    "openvla-v01-7b": "OpenVLA v0.1 7B: SigLIP 224px, Vicuna-v1.5-7B, OXE Magic Soup",
+    # --- LLaVA reproductions ---
+    "reproduction-llava-v15+7b": "LLaVA v1.5 reproduction: CLIP ViT-L 336px letterbox, Vicuna-v1.5-7B",
+    "reproduction-llava-v15+13b": "LLaVA v1.5 reproduction at 13B",
+    "one-stage+7b": "single-stage (no align) LLaVA-style training, 7B",
+    "one-stage+13b": "single-stage at 13B",
+    "full-ft-multi-stage+7b": "two-stage with full vision fine-tuning",
+    "full-ft-one-stage+7b": "one-stage with full vision fine-tuning",
+    # --- vision backbone ablations (224px) ---
+    "in1k-224px+7b": "IN1K ViT-L backbone ablation",
+    "dinov2-224px+7b": "DINOv2 ViT-L backbone ablation",
+    "clip-224px+7b": "CLIP ViT-L backbone ablation",
+    "siglip-224px+7b": "SigLIP so400m backbone ablation",
+    # --- resolution / resize-strategy ablations ---
+    "clip-336px-resize-crop+7b": "CLIP 336px resize-crop",
+    "clip-336px-resize-naive+7b": "CLIP 336px naive resize",
+    "siglip-384px-letterbox+7b": "SigLIP 384px letterbox",
+    "siglip-384px-resize-crop+7b": "SigLIP 384px resize-crop",
+    "siglip-384px-resize-naive+7b": "SigLIP 384px naive resize",
+    # --- fused-backbone ablations ---
+    "dinoclip-336px-letterbox+7b": "fused DINOv2+CLIP 336px letterbox",
+    "dinoclip-336px-resize-naive+7b": "fused DINOv2+CLIP 336px naive resize",
+    "dinosiglip-384px-letterbox+7b": "fused DINOv2+SigLIP 384px letterbox",
+    "dinosiglip-384px-resize-naive+7b": "fused DINOv2+SigLIP 384px naive resize",
+    # --- LLM backbone ablations ---
+    "llama2+7b": "Llama-2-7B base LLM",
+    "llama2+13b": "Llama-2-13B base LLM",
+    "llama2-chat+7b": "Llama-2-7B chat LLM",
+    "llama2-chat+13b": "Llama-2-13B chat LLM",
+    "mistral-v0.1+7b": "Mistral-v0.1-7B base LLM",
+    "mistral-instruct-v0.1+7b": "Mistral-v0.1-7B instruct LLM",
+    "phi-2+3b": "Phi-2 3B LLM",
+    "vicuna-no-cotraining+7b": "Vicuna without language-only co-training",
+    "llama2-no-cotraining+7b": "Llama-2 without language-only co-training",
+    # --- training-duration / data ablations ---
+    "train-1.25-epochs+7b": "1.25-epoch schedule",
+    "train-1.5-epochs+7b": "1.5-epoch schedule",
+    "train-2-epochs+7b": "2-epoch schedule",
+    "train-3-epochs+7b": "3-epoch schedule",
+    "llava-lvis4v+7b": "+LVIS-Instruct-4V data",
+    "llava-lrv+7b": "+LRV-Instruct data",
+    "llava-lvis4v-lrv+7b": "+both extra data mixes",
+    # --- Prism family ---
+    "prism-clip-controlled+7b": "Prism CLIP, controlled comparison",
+    "prism-clip-controlled+13b": "Prism CLIP controlled, 13B",
+    "prism-clip+7b": "Prism CLIP full recipe",
+    "prism-clip+13b": "Prism CLIP full recipe, 13B",
+    "prism-siglip-controlled+7b": "Prism SigLIP, controlled comparison",
+    "prism-siglip+7b": "Prism SigLIP full recipe",
+    "prism-siglip+13b": "Prism SigLIP full recipe, 13B",
+    "prism-dinosiglip-controlled+7b": "Prism fused DINOv2+SigLIP, controlled",
+    "prism-dinosiglip-controlled+13b": "Prism fused controlled, 13B",
+    "prism-dinosiglip+7b": "Prism fused DINOv2+SigLIP 384px",
+    "prism-dinosiglip+13b": "Prism fused 384px, 13B",
+    "prism-dinosiglip-224px-controlled+7b": "Prism fused 224px, controlled",
+    "prism-dinosiglip-224px+7b": "Prism fused 224px (the openvla-7b base VLM)",
 }
 
 
