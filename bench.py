@@ -110,12 +110,12 @@ def main():
 
     frame = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
 
-    pre_jit = jax.jit(lambda f: preprocess_batch(f, model.image_transform, dtype=jnp.bfloat16))
-    predict = model._jitted_predict(7)
+    del preprocess_batch  # fused into the predict program below
+    predict = model._jitted_predict_frames(7)
 
     def one_call(frame_np):
-        pix = pre_jit(jnp.asarray(frame_np[None]))
-        out = predict(params, ids_d, mask_d, pix, q01, q99, smask)
+        # single device dispatch: preprocess+encode+decode+unnormalize fused
+        out = predict(params, ids_d, mask_d, jnp.asarray(frame_np[None]), q01, q99, smask)
         return np.asarray(out)  # host sync, like a robot control loop
 
     # Warmup / compile
@@ -144,11 +144,10 @@ def main():
     # Secondary: OFT-style parallel decode (one forward for all 7 tokens) —
     # the serving mode for models fine-tuned with the parallel objective.
     try:
-        predict_par = model._jitted_predict(7, parallel_decode=True)
+        predict_par = model._jitted_predict_frames(7, parallel_decode=True)
 
         def one_call_par(frame_np):
-            pix = pre_jit(jnp.asarray(frame_np[None]))
-            return np.asarray(predict_par(params, ids_d, mask_d, pix, q01, q99, smask))
+            return np.asarray(predict_par(params, ids_d, mask_d, jnp.asarray(frame_np[None]), q01, q99, smask))
 
         t0 = time.time()
         one_call_par(frame)

@@ -102,6 +102,35 @@ class OpenVLA(PrismaticVLM):
             )
         return self._predict_fns[key]
 
+    def predict_from_frames_device(
+        self,
+        params: Params,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        frames_u8: jnp.ndarray,
+        q01: jnp.ndarray,
+        q99: jnp.ndarray,
+        stat_mask: jnp.ndarray,
+        action_dim: int,
+        parallel_decode: bool = False,
+    ) -> jnp.ndarray:
+        """Raw camera frames [B, H, W, 3] uint8 -> actions: image normalization
+        is fused into the same program as encode/decode/unnormalize, so serving
+        is ONE device dispatch per control-loop tick."""
+        pixel_values = preprocess_batch(frames_u8, self.image_transform, dtype=self.dtype)
+        return self.predict_action_device(
+            params, input_ids, attention_mask, pixel_values, q01, q99, stat_mask,
+            action_dim=action_dim, parallel_decode=parallel_decode,
+        )
+
+    def _jitted_predict_frames(self, action_dim: int, parallel_decode: bool = False):
+        key = ("frames", action_dim, parallel_decode)
+        if key not in self._predict_fns:
+            self._predict_fns[key] = jax.jit(
+                partial(self.predict_from_frames_device, action_dim=action_dim, parallel_decode=parallel_decode),
+            )
+        return self._predict_fns[key]
+
     # --- host-side convenience API (mirrors reference predict_action) ---
 
     def prepare_prompt_ids(self, instruction: str) -> np.ndarray:
@@ -158,11 +187,9 @@ class OpenVLA(PrismaticVLM):
         stat_mask = jnp.asarray(stats.get("mask", [True] * action_dim))
 
         frames = np.stack([np.asarray(im.convert("RGB") if hasattr(im, "convert") else im) for im in images])
-        pixel_values = preprocess_batch(jnp.asarray(frames), self.image_transform, dtype=self.dtype)
-
         ids, mask = self.pad_prompt([self.prepare_prompt_ids(t) for t in instructions])
-        fn = self._jitted_predict(action_dim)
-        out = fn(params, jnp.asarray(ids), jnp.asarray(mask), pixel_values, q01, q99, stat_mask)
+        fn = self._jitted_predict_frames(action_dim)
+        out = fn(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(frames), q01, q99, stat_mask)
         return np.asarray(out)
 
 
