@@ -95,13 +95,16 @@ def save_config(cfg: Any, path: Union[str, Path]) -> None:
         json.dump(config_to_dict(cfg), f, indent=2, default=str)
 
 
-def _resolve_annotation(annotation: Any) -> Any:
-    """Resolve postponed (string) annotations best-effort."""
+def _resolve_annotation(annotation: Any, owner_module: Optional[str] = None) -> Any:
+    """Resolve postponed (string) annotations best-effort, consulting the
+    owning module's globals so project types (VLAConfig, ...) resolve."""
     if not isinstance(annotation, str):
         return annotation
     import typing
 
     ns = {**vars(typing), "Path": Path, "int": int, "float": float, "bool": bool, "str": str}
+    if owner_module and owner_module in sys.modules:
+        ns = {**sys.modules[owner_module].__dict__, **ns}
     try:
         return eval(annotation, ns)  # noqa: S307 — annotations are first-party source
     except Exception:
@@ -190,9 +193,7 @@ def parse_cli(config_cls: Type[T], argv: Optional[List[str]] = None) -> T:
     # Instantiate: nested dataclass fields get defaults first, then overrides.
     kwargs: Dict[str, Any] = {}
     for f in fields(config_cls):
-        ftype = f.type
-        if isinstance(ftype, str):  # postponed annotations: resolve best-effort
-            ftype = config_cls.__dataclass_fields__[f.name].type
+        ftype = _resolve_annotation(f.type, owner_module=config_cls.__module__)
         if f.name in tree:
             raw = tree.pop(f.name)
             if isinstance(raw, dict):
