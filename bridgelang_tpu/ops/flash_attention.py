@@ -221,6 +221,9 @@ def _flash_fwd_impl(q, k, v, causal, block_q, block_k, lengths):
             jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, t_pad, STAT_W), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
         interpret=_interpret(),
     )(lengths.astype(jnp.int32), qt, kt, vt)
     out_t = jnp.transpose(out, (0, 2, 1, 3))[:, :t]
@@ -260,6 +263,9 @@ def _flash_bwd(causal, block_q, block_k, res, g):
             out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, qq, *_: (bb, hh, qq, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
         interpret=_interpret(),
     )(lengths.astype(jnp.int32), qt, kt, vt, do, lse, delta)
 
@@ -283,6 +289,9 @@ def _flash_bwd(causal, block_q, block_k, res, g):
             jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
         interpret=_interpret(),
     )(lengths.astype(jnp.int32), qt, kt, vt, do, lse, delta)
 

@@ -166,7 +166,13 @@ def main(cfg: TrainConfig) -> None:
         if step >= total_steps:
             break
         dataset_names = batch.pop("dataset_names")
-        device_batch = jax.device_put({k: jnp.asarray(v) for k, v in batch.items()}, sharding)
+        host_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if jax.process_count() > 1:
+            from bridgelang_tpu.parallel.sharding import make_array_from_process_local
+
+            device_batch = make_array_from_process_local(mesh, host_batch)
+        else:
+            device_batch = jax.device_put(host_batch, sharding)
         state, m = step_fn(state, device_batch)
         step += 1
 
