@@ -2,9 +2,9 @@
 
 Counterpart of reference prismatic/vla/datasets/rlds/oxe/configs.py:32-673
 (the public OXE/Octo registry of observation-key maps and encodings). Stored
-as frozen dataclasses rather than nested dicts; the rebuild registers the
-datasets used by the OpenVLA training mixtures (Magic-Soup(+), bridge, droid,
-libero, tdroid) — the registry is open for the long tail.
+as frozen dataclasses rather than nested dicts; 67 datasets registered —
+every member of the OpenVLA training mixtures (Magic-Soup(+), bridge, droid,
+libero, tdroid) plus the long tail.
 """
 
 from __future__ import annotations
@@ -134,3 +134,73 @@ OXE_DATASET_CONFIGS: Dict[str, OXEDatasetConfig] = {
     "libero_combined": C("image", None, "wrist_image",
                          state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
 }
+
+# --- Long-tail OXE datasets (registry completion) ---
+OXE_DATASET_CONFIGS.update({
+    "ppgm": C("image", None, "wrist_image",
+              state_obs_keys=("cartesian_position", "gripper_position"), state_encoding=PE),
+    "ppgm_static": C("image", None, None,
+                     state_obs_keys=("cartesian_position", "gripper_position"), state_encoding=PE),
+    "ppgm_wrist": C("wrist_image", None, None,
+                    state_obs_keys=("cartesian_position", "gripper_position"), state_encoding=PE),
+    "columbia_cairlab_pusht_real": C("image", None, "wrist_image",
+                                     state_obs_keys=("robot_state", None, None, None, None, None, None),
+                                     state_encoding=PE),
+    "stanford_kuka_multimodal_dataset_converted_externally_to_rlds": C(
+        "image", None, None, "depth_image", None, None,
+        state_obs_keys=("ee_position", "ee_orientation", None), state_encoding=PQ),
+    "nyu_rot_dataset_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "maniskill_dataset_converted_externally_to_rlds": C(
+        "image", None, "wrist_image", "depth", None, "wrist_depth",
+        state_obs_keys=("tcp_pose", "gripper_state"), state_encoding=PQ),
+    "cmu_franka_exploration_dataset_converted_externally_to_rlds": C(
+        "highres_image", None, None, state_obs_keys=(None,) * 8, state_encoding=NONE),
+    "ucsd_pick_and_place_dataset_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "utokyo_pr2_opening_fridge_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "utokyo_pr2_tabletop_manipulation_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "utokyo_xarm_pick_and_place_converted_externally_to_rlds": C(
+        "image", "image2", "hand_image", state_obs_keys=("end_effector_pose", None, None), state_encoding=PE),
+    "utokyo_xarm_bimanual_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("pose_r", None, None), state_encoding=PE),
+    "robo_net": C("image", "image1", None,
+                  state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "berkeley_mvp_converted_externally_to_rlds": C(
+        None, None, "hand_image", state_obs_keys=("pose", "gripper"), state_encoding=PQ,
+        action_encoding=ActionEncoding.JOINT_POS),
+    "berkeley_rpt_converted_externally_to_rlds": C(
+        None, None, "hand_image", state_obs_keys=("joint_pos", "gripper"), state_encoding=J,
+        action_encoding=ActionEncoding.JOINT_POS),
+    "kaist_nonprehensile_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("state", None), state_encoding=PQ),
+    "stanford_mask_vit_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "tokyo_u_lsmo_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "dlr_sara_pour_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("state", None, None), state_encoding=PE),
+    "dlr_sara_grid_clamp_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("state", None, None), state_encoding=PE),
+    "asu_table_top_converted_externally_to_rlds": C(
+        "image", None, None, state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "stanford_robocook_converted_externally_to_rlds": C(
+        "image_1", "image_2", None, "depth_1", "depth_2", None,
+        state_obs_keys=("eef_state", None, "gripper_state"), state_encoding=PE),
+    "imperialcollege_sawyer_wrist_cam": C(
+        "image", None, "wrist_image", state_obs_keys=(None, None, None, None, None, None, None, "state"),
+        state_encoding=NONE),
+    "uiuc_d3field": C("image_1", "image_2", None, "depth_1", "depth_2", None,
+                      state_obs_keys=(None,) * 8, state_encoding=NONE),
+    "cmu_playing_with_food": C("image", None, "finger_vision_1",
+                               state_obs_keys=("state", None, None), state_encoding=PE),
+    "cmu_play_fusion": C("image", None, None, state_obs_keys=("state",), state_encoding=J),
+    "roboset": C("image_left", "image_right", "image_wrist",
+                 state_obs_keys=("proprio",), state_encoding=J, action_encoding=ActionEncoding.JOINT_POS),
+    "rh20t": C("image_front", "image_side_right", "image_wrist",
+               state_obs_keys=("proprio",), state_encoding=PE),
+    "droid_wipe": C("exterior_image_2_left", None, "wrist_image_left",
+                    state_obs_keys=("proprio",), state_encoding=PE),
+})

@@ -421,3 +421,197 @@ OXE_STANDARDIZATION_TRANSFORMS: Dict[str, Callable[[Traj], Traj]] = {
     "libero_10_no_noops": libero,
     "libero_combined": libero,
 }
+
+
+# --- Long-tail transforms (registry completion) ---
+
+
+def ppgm(traj: Traj) -> Traj:
+    traj["action"] = tf.concat(
+        (traj["action"][:, :6], binarize_gripper_actions(traj["action"][:, -1])[:, None]), axis=1
+    )
+    obs = traj["observation"]
+    obs["EEF_state"] = obs["cartesian_position"][:, :6]
+    obs["gripper_state"] = obs["gripper_position"][:, -1:]
+    return traj
+
+
+def pusht(traj: Traj) -> Traj:
+    a = traj["action"]
+    traj["action"] = tf.concat(
+        (a["world_vector"], a["rotation_delta"], a["gripper_closedness_action"][:, None]), axis=-1
+    )
+    traj["language_instruction"] = traj["observation"]["natural_language_instruction"]
+    return traj
+
+
+def stanford_kuka_multimodal(traj: Traj) -> Traj:
+    obs = traj["observation"]
+    obs["depth_image"] = obs["depth_image"][..., 0]
+    a = traj["action"]
+    traj["action"] = tf.concat((a[:, :3], tf.zeros_like(a[:, :3]), a[:, -1:]), axis=-1)
+    return traj
+
+
+def nyu_rot(traj: Traj) -> Traj:
+    obs = traj["observation"]
+    obs["eef_state"] = obs["state"][..., :6]
+    obs["gripper_state"] = obs["state"][..., -1:]
+    traj["action"] = traj["action"][..., :7]
+    return traj
+
+
+def maniskill(traj: Traj) -> Traj:
+    traj["observation"]["gripper_state"] = traj["observation"]["state"][..., 7:8]
+    return traj
+
+
+def cmu_franka_exploration(traj: Traj) -> Traj:
+    traj["action"] = traj["action"][..., :-1]
+    return traj
+
+
+def ucsd_pick_place(traj: Traj) -> Traj:
+    obs = traj["observation"]
+    obs["eef_state"] = obs["state"][:, :6]
+    obs["gripper_state"] = obs["state"][:, -1:]
+    a = traj["action"]
+    traj["action"] = tf.concat((a[:, :3], tf.zeros_like(a[:, :3]), a[:, -1:]), axis=-1)
+    return traj
+
+
+def utokyo_pr2(traj: Traj) -> Traj:
+    obs = traj["observation"]
+    obs["eef_state"] = obs["state"][:, :6]
+    obs["gripper_state"] = obs["state"][:, -1:]
+    traj["action"] = traj["action"][..., :-1]
+    return traj
+
+
+def utokyo_xarm_bimanual(traj: Traj) -> Traj:
+    traj["action"] = traj["action"][..., -7:]
+    return traj
+
+
+def robo_net(traj: Traj) -> Traj:
+    obs = traj["observation"]
+    obs["eef_state"] = tf.concat((obs["state"][:, :4], tf.zeros_like(obs["state"][:, :2])), axis=-1)
+    obs["gripper_state"] = obs["state"][:, -1:]
+    a = traj["action"]
+    traj["action"] = tf.concat((a[:, :4], tf.zeros_like(a[:, :2]), a[:, -1:]), axis=-1)
+    return traj
+
+
+def kaist_nonprehensile(traj: Traj) -> Traj:
+    traj["observation"]["state"] = traj["observation"]["state"][:, -7:]
+    a = traj["action"]
+    traj["action"] = tf.concat((a[:, :6], tf.zeros_like(a[:, :1])), axis=-1)
+    return traj
+
+
+def stanford_mask_vit(traj: Traj) -> Traj:
+    obs = traj["observation"]
+    obs["eef_state"] = tf.concat(
+        (obs["end_effector_pose"][:, :4], tf.zeros_like(obs["end_effector_pose"][:, :2])), axis=-1
+    )
+    obs["gripper_state"] = obs["end_effector_pose"][:, -1:]
+    a = traj["action"]
+    traj["action"] = tf.concat((a[:, :4], tf.zeros_like(a[:, :2]), a[:, -1:]), axis=-1)
+    return traj
+
+
+def tokyo_lsmo(traj: Traj) -> Traj:
+    obs = traj["observation"]
+    obs["eef_state"] = obs["state"][:, :6]
+    obs["gripper_state"] = obs["state"][:, -1:]
+    return traj
+
+
+def dlr_sara_grid_clamp(traj: Traj) -> Traj:
+    traj["observation"]["state"] = traj["observation"]["state"][:, :6]
+    return traj
+
+
+def asu_table_top(traj: Traj) -> Traj:
+    traj["observation"]["eef_state"] = traj["ground_truth_states"]["EE"]
+    traj["observation"]["gripper_state"] = traj["observation"]["state"][:, -1:]
+    return traj
+
+
+def robocook(traj: Traj) -> Traj:
+    obs = traj["observation"]
+    obs["eef_state"] = obs["state"][:, :6]
+    obs["gripper_state"] = obs["state"][:, -1:]
+    return traj
+
+
+def imperial_wristcam(traj: Traj) -> Traj:
+    traj["action"] = traj["action"][..., :-1]
+    return traj
+
+
+def uiuc_d3field(traj: Traj) -> Traj:
+    a = traj["action"]
+    traj["action"] = tf.concat((a, tf.zeros_like(a), tf.zeros_like(a[:, :1])), axis=-1)
+    return traj
+
+
+def cmu_playing_with_food(traj: Traj) -> Traj:
+    a = traj["action"]
+    traj["action"] = tf.concat((a[:, :3], _quat_action_to_euler(a[:, 3:7]), a[:, -1:]), axis=-1)
+    return traj
+
+
+def playfusion(traj: Traj) -> Traj:
+    a = traj["action"]
+    traj["action"] = tf.concat((a[:, :3], a[:, -4:]), axis=-1)
+    return traj
+
+
+def roboset(traj: Traj) -> Traj:
+    traj["observation"]["proprio"] = traj["observation"]["state"]
+    grip = invert_gripper_actions(tf.clip_by_value(traj["action"][:, -1:], 0, 1))
+    traj["action"] = tf.concat((traj["action"][:, :7], grip), axis=-1)
+    return traj
+
+
+def rh20t(traj: Traj) -> Traj:
+    a = traj["action"]
+    traj["action"] = tf.concat((a["tcp_base"], tf.cast(a["gripper"][:, None], tf.float32)), axis=-1)
+    obs = traj["observation"]
+    obs["proprio"] = tf.concat((obs["tcp_base"], obs["gripper_width"][..., None]), axis=-1)
+    return traj
+
+
+OXE_STANDARDIZATION_TRANSFORMS.update({
+    "ppgm": ppgm,
+    "ppgm_static": ppgm,
+    "ppgm_wrist": ppgm,
+    "columbia_cairlab_pusht_real": pusht,
+    "stanford_kuka_multimodal_dataset_converted_externally_to_rlds": stanford_kuka_multimodal,
+    "nyu_rot_dataset_converted_externally_to_rlds": nyu_rot,
+    "maniskill_dataset_converted_externally_to_rlds": maniskill,
+    "cmu_franka_exploration_dataset_converted_externally_to_rlds": cmu_franka_exploration,
+    "ucsd_pick_and_place_dataset_converted_externally_to_rlds": ucsd_pick_place,
+    "utokyo_pr2_opening_fridge_converted_externally_to_rlds": utokyo_pr2,
+    "utokyo_pr2_tabletop_manipulation_converted_externally_to_rlds": utokyo_pr2,
+    "utokyo_xarm_pick_and_place_converted_externally_to_rlds": identity,
+    "utokyo_xarm_bimanual_converted_externally_to_rlds": utokyo_xarm_bimanual,
+    "robo_net": robo_net,
+    "berkeley_mvp_converted_externally_to_rlds": identity,
+    "berkeley_rpt_converted_externally_to_rlds": identity,
+    "kaist_nonprehensile_converted_externally_to_rlds": kaist_nonprehensile,
+    "stanford_mask_vit_converted_externally_to_rlds": stanford_mask_vit,
+    "tokyo_u_lsmo_converted_externally_to_rlds": tokyo_lsmo,
+    "dlr_sara_pour_converted_externally_to_rlds": identity,
+    "dlr_sara_grid_clamp_converted_externally_to_rlds": dlr_sara_grid_clamp,
+    "asu_table_top_converted_externally_to_rlds": asu_table_top,
+    "stanford_robocook_converted_externally_to_rlds": robocook,
+    "imperialcollege_sawyer_wrist_cam": imperial_wristcam,
+    "uiuc_d3field": uiuc_d3field,
+    "cmu_playing_with_food": cmu_playing_with_food,
+    "cmu_play_fusion": playfusion,
+    "roboset": roboset,
+    "rh20t": rh20t,
+    "droid_wipe": droid_baseact,
+})
