@@ -146,3 +146,60 @@ def test_tensor_parallel_mesh_runs():
     batch = jax.device_put(_batch(b=4), batch_sharding(mesh))
     state, m = jax.jit(step_fn)(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sharded_inference_generate(eight_device_mesh):
+    """Batched greedy generation with FSDP+TP-sharded params — multi-chip
+    serving (a capability absent in the reference; generation there is
+    single-GPU batch-1)."""
+    mesh = eight_device_mesh
+    model, params = _tiny_model()
+    params = jax.device_put(params, param_shardings(mesh, params))
+    rng = np.random.default_rng(0)
+    ids = np.full((8, 12), TINY_LLM.pad_token_id, np.int32)
+    msk = np.zeros((8, 12), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1:9] = rng.integers(3, 400, (8, 8))
+    msk[:, :9] = 1
+    pix = jnp.asarray(rng.normal(size=(8, 3, 32, 32)), dtype=jnp.float32)
+    batch_in = jax.device_put(
+        {"ids": jnp.asarray(ids), "mask": jnp.asarray(msk), "pix": pix}, batch_sharding(mesh)
+    )
+    gen = jax.jit(lambda p, b: model.generate_greedy(p, b["ids"], b["mask"], b["pix"],
+                                                     max_new_tokens=4, cache_dtype=jnp.float32))
+    out = gen(params, batch_in)
+    assert out.shape == (8, 4)
+    # must equal single-device generation (sharding is numerics-preserving);
+    # same seed -> identical unsharded params
+    local_params = _tiny_model()[1]
+    local = model.generate_greedy(local_params, jnp.asarray(ids), jnp.asarray(msk), pix,
+                                  max_new_tokens=4, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(local))
+
+
+def test_grad_accumulation_matches_large_batch(eight_device_mesh):
+    """optax.MultiSteps with k=2 on half-batches == one step on the full batch
+    (the VLM loop's accumulation contract, reference base_strategy.py:208-221)."""
+    mesh = eight_device_mesh
+    model, params = _tiny_model()
+    full = _batch(b=8)
+    half1 = {k: v[:4] if hasattr(v, "shape") and v.shape[0] == 8 else v for k, v in full.items()}
+    half2 = {k: v[4:] if hasattr(v, "shape") and v.shape[0] == 8 else v for k, v in full.items()}
+
+    ocfg = OptimConfig(learning_rate=1e-3, max_grad_norm=1e9)  # no clipping: sums must match
+    opt_full = make_optimizer(ocfg, params)
+    opt_accum = make_optimizer(ocfg, params, grad_accum_steps=2)
+
+    step_full = jax.jit(make_vla_train_step(model, opt_full, compute_dtype=jnp.float32))
+    step_accum = jax.jit(make_vla_train_step(model, opt_accum, compute_dtype=jnp.float32))
+
+    s_full = init_train_state(params, opt_full)
+    s_full, _ = step_full(s_full, full)
+
+    s_acc = init_train_state(params, opt_accum)
+    s_acc, _ = step_accum(s_acc, half1)
+    s_acc, _ = step_accum(s_acc, half2)
+
+    a = np.asarray(s_full.params["llm"]["layers"]["wq"])
+    b = np.asarray(s_acc.params["llm"]["layers"]["wq"])
+    np.testing.assert_allclose(a, b, atol=2e-4)
