@@ -136,7 +136,19 @@ def vla_metrics_on_device(
     cont_pred = centers[jnp.clip(vocab_size - preds - 1, 0, centers.shape[0] - 1)]
     cont_gt = centers[jnp.clip(vocab_size - gt - 1, 0, centers.shape[0] - 1)]
     l1 = jnp.sum(jnp.abs(cont_pred - cont_gt) * action_mask) / denom
-    return {"action_accuracy": accuracy, "l1_loss": l1}
+
+    # Per-example versions: the host maps these onto dataset names for the
+    # per-dataset breakdowns (reference base_strategy.py:334-356 recomputes
+    # them on CPU per step; here they ride out of the jitted step for free).
+    ex_denom = jnp.maximum(jnp.sum(action_mask, axis=1), 1)
+    ex_accuracy = jnp.sum(correct, axis=1) / ex_denom
+    ex_l1 = jnp.sum(jnp.abs(cont_pred - cont_gt) * action_mask, axis=1) / ex_denom
+    return {
+        "action_accuracy": accuracy,
+        "l1_loss": l1,
+        "per_example_accuracy": ex_accuracy,
+        "per_example_l1": ex_l1,
+    }
 
 
 # --- train step ---------------------------------------------------------------

@@ -46,6 +46,7 @@ class TrainConfig:
 def main(cfg: TrainConfig) -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from bridgelang_tpu.models.vlm import PrismaticVLM, VLMConfig
     from bridgelang_tpu.conf.models import ModelConfig
@@ -184,8 +185,15 @@ def main(cfg: TrainConfig) -> None:
             grad_norm=float(m["grad_norm"]),
             lr=float(ocfg.learning_rate),
         )
+        ex_acc = np.asarray(m["per_example_accuracy"])
+        ex_l1 = np.asarray(m["per_example_l1"])
         for name in set(dataset_names):
-            metrics.commit_for_dataset(name, action_accuracy=float(m["action_accuracy"]))
+            idx = [i for i, n in enumerate(dataset_names) if n == name]
+            metrics.commit_for_dataset(
+                name,
+                action_accuracy=float(ex_acc[idx].mean()),
+                l1_loss=float(ex_l1[idx].mean()),
+            )
         if step % 10 == 0:
             overwatch.info(metrics.push())
 
