@@ -163,6 +163,33 @@ def main(cfg: TrainConfig) -> None:
     sharding = batch_sharding(mesh)
     step = start_step
     t_last = time.time()
+    try:
+        step = _train_loop(cfg, vla, ocfg, dataset, step_fn, state, metrics, ckpt, mesh, sharding,
+                           step, total_steps, t_last)
+    except (KeyboardInterrupt, Exception) as e:  # noqa: BLE001
+        # Failure containment the reference lacks (SURVEY.md §5: any rank
+        # failure kills the job with nothing saved): emergency checkpoint.
+        if overwatch.is_rank_zero() and _LAST_STATE[0] is not None:
+            overwatch.error("Training interrupted at step %d (%s); saving emergency checkpoint", step, e)
+            ckpt.save(_LAST_STATE[0], step=step, epoch=0, loss=0.0)
+        raise
+    if overwatch.is_rank_zero() and _LAST_STATE[0] is not None:
+        ckpt.save(_LAST_STATE[0], step=step, epoch=0, loss=_LAST_LOSS[0])
+    metrics.finalize()
+    overwatch.info("Training complete at step %d", step)
+
+
+_LAST_STATE = [None]
+_LAST_LOSS = [float("nan")]
+
+
+def _train_loop(cfg, vla, ocfg, dataset, step_fn, state, metrics, ckpt, mesh, sharding,
+                step, total_steps, t_last):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _LAST_STATE[0] = state
     for batch in dataset:
         if step >= total_steps:
             break
@@ -175,6 +202,8 @@ def main(cfg: TrainConfig) -> None:
         else:
             device_batch = jax.device_put(host_batch, sharding)
         state, m = step_fn(state, device_batch)
+        _LAST_STATE[0] = state
+        _LAST_LOSS[0] = float(m["loss"])
         step += 1
 
         metrics.commit(
@@ -201,11 +230,7 @@ def main(cfg: TrainConfig) -> None:
             ckpt.save(state, step=step, epoch=0, loss=float(m["loss"]))
             overwatch.info("Saved checkpoint at step %d (%.1fs)", step, time.time() - t_last)
             t_last = time.time()
-
-    if overwatch.is_rank_zero():
-        ckpt.save(state, step=step, epoch=0, loss=float(m["loss"]))
-    metrics.finalize()
-    overwatch.info("Training complete at step %d", step)
+    return step
 
 
 def _load_tokenizer(tokenizer_path: Optional[str]):
