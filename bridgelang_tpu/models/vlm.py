@@ -206,8 +206,12 @@ class PrismaticVLM:
         pixel_values: jnp.ndarray,
         max_new_tokens: int,
         cache_dtype: jnp.dtype = jnp.bfloat16,
+        temperature: float = 0.0,
+        rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
-        """Jittable batched greedy decode.
+        """Jittable batched decode: greedy by default, temperature sampling
+        when `temperature > 0` and an `rng` key is given (the VLM REPL's
+        sampling mode; the VLA path always decodes greedily).
 
         input_ids/attention_mask: [B, T] right-padded prompts (BOS first).
         Returns generated token ids [B, max_new_tokens].
@@ -229,10 +233,19 @@ class PrismaticVLM:
             cache=cache, cache_positions=positions,
             attention_impl=self.attention_impl, remat=False,
         )
+        sample = temperature > 0.0 and rng is not None
+
+        def select(logits, key):
+            if sample:
+                return jax.random.categorical(key, logits.astype(jnp.float32) / temperature, axis=-1).astype(jnp.int32)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        keys = jax.random.split(rng, max_new_tokens + 1) if sample else jnp.zeros((max_new_tokens + 1, 2), jnp.uint32)
+
         # Last REAL token's hidden state drives the first sampled token.
         last_idx = jnp.clip(true_len - 1, 0, f_len - 1)
         last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # [B,1,D]
-        next_token = jnp.argmax(lm_logits(params["llm"], last_hidden, cfg), axis=-1).astype(jnp.int32)  # [B,1]
+        next_token = select(lm_logits(params["llm"], last_hidden, cfg), keys[0] if sample else None)
 
         def step(carry, i):
             cache, token = carry
@@ -244,7 +257,7 @@ class PrismaticVLM:
                 cache=cache, cache_positions=pos,
                 attention_impl=self.attention_impl, remat=False,
             )
-            nxt = jnp.argmax(lm_logits(params["llm"], hidden, cfg), axis=-1).astype(jnp.int32)
+            nxt = select(lm_logits(params["llm"], hidden, cfg), keys[i + 1] if sample else None)
             return (new_cache, nxt), token[:, 0]
 
         (_, last_tok), toks = jax.lax.scan(step, (cache, next_token), jnp.arange(max_new_tokens))

@@ -204,3 +204,20 @@ def test_parallel_decode_shape_and_independence():
     seq = np.asarray(model.generate_greedy(params, jnp.asarray(ids), jnp.asarray(mask), pix, max_new_tokens=1,
                                            cache_dtype=jnp.float32))
     assert out7[0, 0] == seq[0, 0]
+
+
+def test_temperature_sampling(tiny_vlm):
+    model, params = tiny_vlm
+    pix = _pixels()
+    ids, mask = _prompt(model, t=9)
+    greedy = model.generate_greedy(params, ids, mask, pix, max_new_tokens=6, cache_dtype=jnp.float32)
+    # temperature=0 path unchanged
+    greedy2 = model.generate_greedy(params, ids, mask, pix, max_new_tokens=6, cache_dtype=jnp.float32,
+                                    temperature=0.0, rng=jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(greedy2))
+    # high temperature with different keys gives different rollouts
+    s1 = model.generate_greedy(params, ids, mask, pix, max_new_tokens=6, cache_dtype=jnp.float32,
+                               temperature=5.0, rng=jax.random.key(1))
+    s2 = model.generate_greedy(params, ids, mask, pix, max_new_tokens=6, cache_dtype=jnp.float32,
+                               temperature=5.0, rng=jax.random.key(2))
+    assert not np.array_equal(np.asarray(s1), np.asarray(s2))
