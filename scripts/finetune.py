@@ -49,6 +49,7 @@ class FinetuneConfig:
     lora_rank: int = 32
     lora_dropout: float = 0.0
     use_quantization: bool = False  # int8 weight-only base (QLoRA analogue)
+    export_hf: bool = True  # also write HF-format checkpoints (reference finetune.py saves HF ckpts)
     mesh_shape: Optional[str] = None
     trackers: str = "jsonl"
 
@@ -136,22 +137,30 @@ def main(cfg: FinetuneConfig) -> None:
         if step % 10 == 0:
             overwatch.info(metrics.push())
         if step % cfg.save_steps == 0 and overwatch.is_rank_zero():
-            _save(ckpt, state, step, float(m["loss"]), cfg.use_lora)
+            _save(ckpt, state, step, float(m["loss"]), cfg.use_lora, model, run_dir if cfg.export_hf else None)
     if overwatch.is_rank_zero():
-        _save(ckpt, state, step, float(m["loss"]), cfg.use_lora)
+        _save(ckpt, state, step, float(m["loss"]), cfg.use_lora, model, run_dir if cfg.export_hf else None)
     metrics.finalize()
 
 
-def _save(ckpt, state, step, loss, use_lora):
-    """LoRA runs save BOTH the adapter and the merged model (reference
-    finetune.py:320-364 merge_and_unload-and-save)."""
+def _save(ckpt, state, step, loss, use_lora, model=None, hf_export_dir=None):
+    """LoRA runs save the MERGED model (reference finetune.py:320-364
+    merge_and_unload-and-save); optionally also exports the HF-format
+    checkpoint the reference's serving stack consumes."""
     from bridgelang_tpu.training.lora import merge_lora
 
     if use_lora:
-        merged = state.replace(params=dict(state.params, llm=merge_lora(state.params["llm"])))
-        ckpt.save(merged, step=step, epoch=0, loss=loss)
+        save_state = state.replace(params=dict(state.params, llm=merge_lora(state.params["llm"])))
     else:
-        ckpt.save(state, step=step, epoch=0, loss=loss)
+        save_state = state
+    ckpt.save(save_state, step=step, epoch=0, loss=loss)
+    if hf_export_dir is not None and model is not None:
+        import jax
+
+        from bridgelang_tpu.extern.hf_export import export_checkpoint
+
+        # latest-only HF export (reference keeps latest only, finetune.py:328)
+        export_checkpoint(model, jax.device_get(save_state.params), Path(hf_export_dir) / "hf_export")
 
 
 if __name__ == "__main__":
