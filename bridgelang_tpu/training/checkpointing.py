@@ -44,8 +44,18 @@ class CheckpointManager:
         self.run_dir = Path(run_dir)
         self.ckpt_root = self.run_dir / "checkpoints"
         self.ckpt_root.mkdir(parents=True, exist_ok=True)
+        self.keep = keep
         self._ocp = ocp
         self._ckptr = ocp.StandardCheckpointer()
+
+    def _enforce_retention(self) -> None:
+        if not self.keep:
+            return
+        ckpts = sorted(self.ckpt_root.glob("step-*"), key=lambda p: parse_checkpoint_name(p.name)[0])
+        import shutil
+
+        for old in ckpts[: max(0, len(ckpts) - self.keep)]:
+            shutil.rmtree(old, ignore_errors=True)
 
     def save(self, state, step: int, epoch: int, loss: float, only_trainable_mask: Optional[Any] = None) -> Path:
         """Save a TrainState (params + optimizer state + step). If
@@ -64,6 +74,7 @@ class CheckpointManager:
         self._ckptr.wait_until_finished()
         latest = self.run_dir / "latest-checkpoint.txt"
         latest.write_text(path.name)
+        self._enforce_retention()
         return path
 
     def restore(self, path, target_state):
@@ -81,6 +92,17 @@ class CheckpointManager:
         return ckpts[-1] if ckpts else None
 
 
+def _jsonable(obj):
+    """numpy arrays/scalars -> lists/floats (statistics pytrees carry ndarrays)."""
+    import numpy as np
+
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (np.floating, np.integer, np.bool_)):
+        return obj.item()
+    return str(obj)
+
+
 def save_sidecars(run_dir, config: Dict[str, Any], dataset_statistics: Optional[Dict[str, Any]] = None) -> None:
     """config.json (+yaml-ish) and dataset_statistics.json next to checkpoints
     (reference: train.py:133-138, 203-204)."""
@@ -90,7 +112,7 @@ def save_sidecars(run_dir, config: Dict[str, Any], dataset_statistics: Optional[
         json.dump(config, f, indent=2, default=str)
     if dataset_statistics is not None:
         with open(run_dir / "dataset_statistics.json", "w") as f:
-            json.dump(dataset_statistics, f, indent=2, default=float)
+            json.dump(dataset_statistics, f, indent=2, default=_jsonable)
 
 
 def load_dataset_statistics(path) -> Dict[str, Any]:

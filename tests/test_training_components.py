@@ -184,3 +184,26 @@ def test_noop_filter():
     assert not is_noop(np.array([0.1, 0, 0, 0, 0, 0, -1.0]))
     # gripper change alone is NOT a no-op
     assert not is_noop(np.array([0, 0, 0, 0, 0, 0, 1.0]), np.array([0, 0, 0, 0, 0, 0, -1.0]))
+
+
+def test_sidecar_handles_numpy_statistics(tmp_path):
+    stats = {"ds": {"action": {"q01": np.array([-0.1, 0.2]), "mask": np.array([True, False]),
+                               "mean": np.float32(0.5)},
+                    "num_transitions": np.int64(100)}}
+    save_sidecars(tmp_path, {"a": 1}, stats)
+    loaded = json.load(open(tmp_path / "dataset_statistics.json"))
+    assert loaded["ds"]["action"]["q01"] == [-0.10000000149011612, 0.20000000298023224] or \
+        abs(loaded["ds"]["action"]["q01"][0] + 0.1) < 1e-6
+    assert loaded["ds"]["action"]["mask"] == [True, False]
+
+
+def test_checkpoint_retention(tmp_path):
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    opt = make_optimizer(OptimConfig(), params)
+    state = init_train_state(params, opt)
+    mgr = CheckpointManager(tmp_path, keep=2)
+    for step in (1, 2, 3, 4):
+        mgr.save(state, step=step, epoch=0, loss=0.5)
+    remaining = sorted(p.name for p in (tmp_path / "checkpoints").glob("step-*"))
+    assert len(remaining) == 2
+    assert remaining[-1].startswith("step-000004")
