@@ -50,6 +50,11 @@ class LLMConfig:
     arch: str = "llama"               # "llama" (RMSNorm+SwiGLU) | "phi" (LN + parallel GELU block)
     rotary_pct: float = 1.0           # fraction of head_dim that is rotary (phi-2: 0.4)
     use_bias: bool = False
+    # Serving speed knob: with int8 weights, ALSO quantize activations
+    # per-token to int8 so matmuls run on the MXU's int8 path (~2x bf16 rate).
+    # Opt-in: per-token symmetric quant has no outlier handling, so validate
+    # accuracy on real weights before enabling (w8-only stays the default).
+    w8a8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -239,9 +244,16 @@ def _block(
         # Base matmul + optional LoRA low-rank update (adapters are extra
         # stacked leaves added by bridgelang_tpu.training.lora). int8 weights
         # (bridgelang_tpu.ops.quant) dequantize inside the matmul: HBM reads
-        # stay 1 byte/weight, MXU computes in the activation dtype.
+        # stay 1 byte/weight, MXU computes in the activation dtype. With
+        # cfg.w8a8, activations quantize per-token and the matmul runs int8.
         w = lp[name]
-        if w.dtype == jnp.int8:
+        if w.dtype == jnp.int8 and cfg.w8a8:
+            absmax = jnp.max(jnp.abs(inp.astype(jnp.float32)), axis=-1, keepdims=True)
+            xs = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+            q = jnp.round(inp.astype(jnp.float32) / xs).astype(jnp.int8)
+            acc = jax.lax.dot_general(q, w, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32) * xs * lp[name + "_scale"].astype(jnp.float32)).astype(inp.dtype)
+        elif w.dtype == jnp.int8:
             y = (inp @ w.astype(inp.dtype)) * lp[name + "_scale"].astype(inp.dtype)
         else:
             y = inp @ w

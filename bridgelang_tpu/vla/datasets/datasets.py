@@ -225,14 +225,14 @@ class EpisodicRLDSDataset:
         self.batch_transform = batch_transform
 
     def __iter__(self) -> Iterator[List[Dict[str, Any]]]:
+        def index(node, i):
+            if isinstance(node, dict):
+                return {k: index(v, i) for k, v in node.items()}
+            return node[i]
+
         for traj in self.dataset.as_numpy_iterator():
             n = len(traj["action"])
-            yield [
-                self.batch_transform(
-                    {k: (v[i] if not isinstance(v, dict) else {k2: v2[i] for k2, v2 in v.items()}) for k, v in traj.items()}
-                )
-                for i in range(n)
-            ]
+            yield [self.batch_transform(index(traj, i)) for i in range(n)]
 
 
 class DummyDataset:

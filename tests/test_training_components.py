@@ -207,3 +207,27 @@ def test_checkpoint_retention(tmp_path):
     remaining = sorted(p.name for p in (tmp_path / "checkpoints").glob("step-*"))
     assert len(remaining) == 2
     assert remaining[-1].startswith("step-000004")
+
+
+def test_w8a8_forward_close_to_w8():
+    import dataclasses
+
+    from bridgelang_tpu.models.llm.llama import llm_forward as _llmf
+    from bridgelang_tpu.ops.quant import quantize_llm_int8
+
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    qparams = quantize_llm_int8(params)
+    cfg8 = dataclasses.replace(TINY_LLM, w8a8=True)
+    ids = jnp.asarray([[1, 5, 9, 12, 44, 101]], dtype=jnp.int32)
+
+    def fwd(cfg, p):
+        x = embed_tokens(p, ids)
+        pos = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
+        h, _ = _llmf(p, cfg, x, pos, _causal(*ids.shape))
+        return np.asarray(lm_logits(p, h, cfg), dtype=np.float32)
+
+    w8 = fwd(TINY_LLM, qparams)
+    w8a8 = fwd(cfg8, qparams)
+    rel = np.linalg.norm(w8 - w8a8) / (np.linalg.norm(w8) + 1e-6)
+    assert rel < 0.15, f"w8a8 drifted {rel}"
+    assert (w8.argmax(-1) == w8a8.argmax(-1)).mean() >= 0.5

@@ -96,3 +96,42 @@ def test_dummy_dataset_end_to_end_training_improves():
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss"]) < float(m0["loss"])
     assert float(m["action_accuracy"]) >= float(m0["action_accuracy"]) - 0.05
+
+
+def test_episodic_dataset_yields_whole_trajectories():
+    import tensorflow as tf
+
+    from bridgelang_tpu.vla.datasets.datasets import EpisodicRLDSDataset
+
+    def traj(seed):
+        rng = np.random.default_rng(seed)
+        t = 6
+        jpeg = tf.io.encode_jpeg(tf.cast(rng.integers(0, 255, (32, 32, 3)), tf.uint8)).numpy()
+        return {
+            "observation": {"image": np.array([jpeg] * t),
+                            "state": rng.normal(size=(t, 8)).astype(np.float32)},
+            "action": rng.uniform(-0.4, 0.4, size=(t, 7)).astype(np.float32),
+            "language_instruction": np.array([b"sort the blocks"] * t),
+        }
+
+    trajs = [traj(i) for i in range(2)]
+    spec = tf.nest.map_structure(lambda x: tf.TensorSpec(x.shape, tf.as_dtype(x.dtype)), trajs[0])
+    builder = lambda split: tf.data.Dataset.from_generator(lambda: iter(trajs), output_signature=spec)  # noqa: E731
+
+    # libero-style config uses image/wrist keys; monkeypatch a simple config via kwargs
+    import bridgelang_tpu.vla.datasets.rlds.oxe.materialize as mat
+
+    kwargs = mat.make_oxe_dataset_kwargs("libero_spatial_no_noops", "unused")
+    kwargs["builder"] = builder
+    # episodic wrapper takes dataset_name + builder
+    ds = EpisodicRLDSDataset.__new__(EpisodicRLDSDataset)
+    from bridgelang_tpu.vla.datasets.rlds.dataset import apply_trajectory_transforms, make_dataset_from_rlds
+
+    raw, stats = make_dataset_from_rlds(train=True, **{k: v for k, v in kwargs.items() if k != "data_dir"})
+    ds.dataset = apply_trajectory_transforms(raw, train=True, window_size=1)
+    ds.batch_transform = _transform()
+    episodes = list(ds)
+    assert len(episodes) == 2
+    # bridge-style relabel in the libero transform keeps all 6 steps (no drop)
+    assert len(episodes[0]) == 6
+    assert episodes[0][0]["input_ids"][-1] == EOS_TOKEN_ID
