@@ -1,0 +1,132 @@
+"""VLM pretraining data layer: align/finetune datasets, LM collator,
+modality-split batching, and an end-to-end align-stage train smoke."""
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+import bridgelang_tpu.models.vlm as vlm_mod
+from bridgelang_tpu.models.vision.vit import ViT
+from bridgelang_tpu.models.vlm import IGNORE_INDEX, PrismaticVLM, VLMConfig
+from bridgelang_tpu.preprocessing.datasets import (
+    AlignDataset,
+    FinetuneDataset,
+    PaddedCollatorForLanguageModeling,
+    SplitModalityBatcher,
+)
+from tests.helpers import TINY_LLM, TINY_VIT, StubTokenizer
+
+
+@pytest.fixture(scope="module")
+def llava_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("llava")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    examples = []
+    for i in range(6):
+        name = f"img{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(img_dir / name)
+        ex = {
+            "image": name,
+            "conversations": [
+                {"from": "human", "value": "<image>\nWhat is shown?"},
+                {"from": "gpt", "value": f"A colorful pattern number {i}."},
+            ],
+        }
+        examples.append(ex)
+    # two text-only examples (unimodal co-training)
+    for i in range(2):
+        examples.append({
+            "conversations": [
+                {"from": "human", "value": "Say hi."},
+                {"from": "gpt", "value": "hi there"},
+            ],
+        })
+    chat = root / "chat.json"
+    chat.write_text(json.dumps(examples))
+    return chat, img_dir
+
+
+def test_align_dataset(llava_data):
+    chat, img_dir = llava_data
+    ds = AlignDataset(chat, img_dir, StubTokenizer(), image_size=32)
+    # text-only examples lack images -> align stage indexes only the first 6 safely
+    ex = ds[0]
+    assert ex["frames"].shape == (32, 32, 3)
+    assert ex["labels"][0] == IGNORE_INDEX  # BOS unsupervised
+    assert ex["input_ids"][-1] == 2  # EOS
+    assert len(ds.get_modality_lengths()) == len(ds)
+
+
+def test_finetune_dataset_supervises_gpt_turns_only(llava_data):
+    chat, img_dir = llava_data
+    ds = FinetuneDataset(chat, img_dir, StubTokenizer(), llm_family="llama2-pure", image_size=32)
+    ex = ds[0]
+    sup = ex["labels"] != IGNORE_INDEX
+    assert sup.any() and not sup.all()
+    assert ex["multimodal"] is True
+    ex_text = ds[6]
+    assert ex_text["multimodal"] is False and ex_text["frames"] is None
+
+
+def test_collator_multimodal_indices(llava_data):
+    chat, img_dir = llava_data
+    ds = FinetuneDataset(chat, img_dir, StubTokenizer(), image_size=32)
+    coll = PaddedCollatorForLanguageModeling(max_length=64, pad_token_id=512, image_hw=(32, 32))
+    batch = coll([ds[0], ds[6]])
+    assert batch["input_ids"].shape == (2, 64)
+    assert list(batch["multimodal_indices"]) == [0]
+    assert batch["frames"][1].sum() == 0  # dummy pixels for the unimodal row
+
+
+def test_split_modality_batcher(llava_data):
+    chat, img_dir = llava_data
+    ds = FinetuneDataset(chat, img_dir, StubTokenizer(), image_size=32)
+    batcher = SplitModalityBatcher(ds.get_modality_lengths(), batch_size=2, seed=0)
+    batches = batcher.batches(epoch=0)
+    lengths = ds.get_modality_lengths()
+    for b in batches:
+        mods = {lengths[i][0] for i in b}
+        assert len(mods) == 1, "batch mixes modalities"
+    # process sharding: two processes see disjoint batches
+    b0 = SplitModalityBatcher(lengths, 2, seed=0, process_index=0, process_count=2).batches(0)
+    b1 = SplitModalityBatcher(lengths, 2, seed=0, process_index=1, process_count=2).batches(0)
+    assert not (set(map(tuple, b0)) & set(map(tuple, b1)))
+
+
+def test_align_stage_training_smoke(llava_data):
+    chat, img_dir = llava_data
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.training.trainer import OptimConfig, init_train_state, make_optimizer, make_vla_train_step
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = PrismaticVLM(cfg, dtype=jnp.float32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    ds = AlignDataset(chat, img_dir, StubTokenizer(), image_size=32)
+    coll = PaddedCollatorForLanguageModeling(max_length=48, pad_token_id=TINY_LLM.pad_token_id, image_hw=(32, 32))
+    batch = coll([ds[i] for i in range(4)])
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "multimodal_indices"}
+
+    mask = model.trainable_mask(params, "align")
+    optimizer = make_optimizer(OptimConfig(learning_rate=5e-3), params)
+    step = jax.jit(make_vla_train_step(model, optimizer, trainable_mask=mask,
+                                       compute_dtype=jnp.float32, image_transform=model.image_transform))
+    state = init_train_state(params, optimizer)
+    state, m0 = step(state, jb)
+    for _ in range(8):
+        state, m = step(state, jb)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
