@@ -136,10 +136,12 @@ def main(cfg: FinetuneConfig) -> None:
                        action_accuracy=float(m["action_accuracy"]), l1_loss=float(m["l1_loss"]))
         if step % 10 == 0:
             overwatch.info(metrics.push())
-        if step % cfg.save_steps == 0 and overwatch.is_rank_zero():
-            _save(ckpt, state, step, float(m["loss"]), cfg.use_lora, model, run_dir if cfg.export_hf else None)
-    if overwatch.is_rank_zero():
-        _save(ckpt, state, step, float(m["loss"]), cfg.use_lora, model, run_dir if cfg.export_hf else None)
+        if step % cfg.save_steps == 0:
+            # all processes participate in the sharded Orbax write
+            _save(ckpt, state, step, float(m["loss"]), cfg.use_lora, model,
+                  run_dir if (cfg.export_hf and overwatch.is_rank_zero()) else None)
+    _save(ckpt, state, step, float(m["loss"]), cfg.use_lora, model,
+          run_dir if (cfg.export_hf and overwatch.is_rank_zero()) else None)
     metrics.finalize()
 
 

@@ -127,8 +127,7 @@ def main(cfg: PretrainConfig) -> None:
             metrics.commit(global_step=step, loss=float(mtr["loss"]), lr=lr)
             if step % 10 == 0:
                 overwatch.info(metrics.push())
-        if overwatch.is_rank_zero():
-            ckpt.save(state, step=step, epoch=epoch, loss=float(mtr["loss"]))
+        ckpt.save(state, step=step, epoch=epoch, loss=float(mtr["loss"]))  # all procs participate
     metrics.finalize()
 
 

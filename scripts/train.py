@@ -169,11 +169,11 @@ def main(cfg: TrainConfig) -> None:
     except (KeyboardInterrupt, Exception) as e:  # noqa: BLE001
         # Failure containment the reference lacks (SURVEY.md §5: any rank
         # failure kills the job with nothing saved): emergency checkpoint.
-        if overwatch.is_rank_zero() and _LAST_STATE[0] is not None:
+        if _LAST_STATE[0] is not None:
             overwatch.error("Training interrupted at step %d (%s); saving emergency checkpoint", step, e)
             ckpt.save(_LAST_STATE[0], step=step, epoch=0, loss=0.0)
         raise
-    if overwatch.is_rank_zero() and _LAST_STATE[0] is not None:
+    if _LAST_STATE[0] is not None:
         ckpt.save(_LAST_STATE[0], step=step, epoch=0, loss=_LAST_LOSS[0])
     metrics.finalize()
     overwatch.info("Training complete at step %d", step)
@@ -226,7 +226,9 @@ def _train_loop(cfg, vla, ocfg, dataset, step_fn, state, metrics, ckpt, mesh, sh
         if step % 10 == 0:
             overwatch.info(metrics.push())
 
-        if step % vla.save_interval == 0 and overwatch.is_rank_zero():
+        if step % vla.save_interval == 0:
+            # NOTE: every process participates — Orbax coordinates the
+            # sharded write (rank-0-only gating would deadlock a pod).
             ckpt.save(state, step=step, epoch=0, loss=float(m["loss"]))
             overwatch.info("Saved checkpoint at step %d (%.1fs)", step, time.time() - t_last)
             t_last = time.time()
