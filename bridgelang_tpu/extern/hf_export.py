@@ -56,7 +56,8 @@ def export_llm_state_dict(llm: Dict[str, Any], prefix: str = "language_model.") 
 def export_vit_state_dict(tower: Dict[str, Any], depth: int, prefix: str) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     pe = tower["patch_embed"]
-    out[prefix + "patch_embed.proj.weight"] = np.transpose(_np(pe["kernel"]), (3, 2, 0, 1))
+    # contiguity matters: safetensors serializes the raw buffer
+    out[prefix + "patch_embed.proj.weight"] = np.ascontiguousarray(np.transpose(_np(pe["kernel"]), (3, 2, 0, 1)))
     out[prefix + "patch_embed.proj.bias"] = _np(pe["bias"])
     out[prefix + "pos_embed"] = _np(tower["pos_embed"])
     if "cls_token" in tower:

@@ -1,0 +1,114 @@
+"""Full-lifecycle integration: export an HF-format checkpoint to disk,
+load it back through the public `load_vla` path, serve predictions, fine-tune
+with LoRA, merge, re-export — the complete user journey end to end."""
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bridgelang_tpu.models.load as load_mod
+import bridgelang_tpu.models.vlm as vlm_mod
+from bridgelang_tpu.extern.hf_export import export_checkpoint
+from bridgelang_tpu.models.vision.vit import VIT_CONFIGS, ViT, ViTConfig
+from bridgelang_tpu.models.vla import OpenVLA
+from bridgelang_tpu.models.vlm import VLMConfig
+from tests.helpers import TINY_LLM, TINY_NORM_STATS, TINY_VIT, StubTokenizer, random_image
+
+TINY_SINGLE_VIT = dataclasses.replace(TINY_VIT, num_reg_tokens=0, no_embed_class=False, layerscale_init=None)
+
+
+def _tiny_openvla(seed=0):
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_SINGLE_VIT, dtype=dtype), TINY_SINGLE_VIT.width, TINY_SINGLE_VIT.num_patches
+    )
+    try:
+        cfg = dataclasses.replace(
+            VLMConfig(
+                vision_backbone_id="siglip-vit-so400m",
+                arch_specifier="no-align+fused-gelu-mlp",
+            ),
+            llm=TINY_LLM,
+        )
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+        from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(seed))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+    return model, params
+
+
+def test_export_load_predict_finetune_reexport(tmp_path, monkeypatch):
+    model, params = _tiny_openvla()
+    img = random_image(40, 40)
+    baseline = model.predict_action(params, img, "stack the cups")
+
+    # 1. export HF-format checkpoint to disk
+    ckpt_dir = export_checkpoint(model, params, tmp_path / "ckpt")
+    files = {p.name for p in ckpt_dir.iterdir()}
+    assert {"config.json", "model.safetensors", "dataset_statistics.json"} <= files
+
+    # 2. load back through the PUBLIC loader (patch registries so the tiny
+    #    vision/llm configs resolve under their real ids)
+    monkeypatch.setitem(VIT_CONFIGS, "siglip-vit-so400m", TINY_SINGLE_VIT)
+    import bridgelang_tpu.models.llm.llama as llama_mod
+
+    monkeypatch.setitem(llama_mod.LLM_CONFIGS, "llama2-7b-pure", TINY_LLM)
+    monkeypatch.setattr(
+        vlm_mod, "build_vision_backbone",
+        lambda bid, dtype=jnp.float32: (ViT(TINY_SINGLE_VIT, dtype=dtype), TINY_SINGLE_VIT.width, TINY_SINGLE_VIT.num_patches),
+    )
+    model2, params2 = load_mod.load_vla(str(ckpt_dir), dtype=jnp.float32)
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+
+    model2.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+    model2.tokenizer = StubTokenizer()
+
+    # 3. loaded model reproduces the original actions exactly
+    reloaded = model2.predict_action(params2, img, "stack the cups")
+    np.testing.assert_allclose(reloaded, baseline, atol=1e-5)
+    assert model2.norm_stats.keys() == TINY_NORM_STATS.keys()
+
+    # 4. LoRA fine-tune a few steps, merge, actions change but stay in range
+    from bridgelang_tpu.training.lora import add_lora_params, lora_trainable_mask, merge_lora
+    from bridgelang_tpu.training.trainer import OptimConfig, init_train_state, make_optimizer, make_vla_train_step
+
+    lora_params = dict(params2, llm=add_lora_params(jax.random.key(1), params2["llm"], rank=4))
+    mask = lora_trainable_mask(lora_params)
+    optimizer = make_optimizer(OptimConfig(learning_rate=5e-2), lora_params)
+    step = jax.jit(make_vla_train_step(model2, optimizer, trainable_mask=mask,
+                                       compute_dtype=jnp.float32, image_transform=model2.image_transform))
+    state = init_train_state(lora_params, optimizer)
+    rng = np.random.default_rng(0)
+    b = 2
+    ids = np.full((b, 32), TINY_LLM.pad_token_id, np.int32)
+    msk = np.zeros((b, 32), np.int32)
+    lbl = np.full((b, 32), -100, np.int32)
+    for i in range(b):
+        ids[i, 0] = 1
+        ids[i, 1:8] = rng.integers(3, 400, 7)
+        ids[i, 8:15] = rng.integers(TINY_LLM.vocab_size - 256, TINY_LLM.vocab_size, 7)
+        msk[i, :15] = 1
+        lbl[i, 8:15] = ids[i, 8:15]
+    batch = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(msk), "labels": jnp.asarray(lbl),
+             "frames": jnp.asarray(np.stack([random_image(40, 40, seed=i) for i in range(b)]))}
+    for _ in range(4):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+    merged_params = dict(state.params, llm=merge_lora(state.params["llm"]))
+    tuned = model2.predict_action(merged_params, img, "stack the cups")
+    assert tuned.shape == (7,)
+
+    # 5. re-export the tuned model; round-trips through the loader again
+    ckpt2 = export_checkpoint(model2, merged_params, tmp_path / "ckpt2")
+    model3, params3 = load_mod.load_vla(str(ckpt2), dtype=jnp.float32)
+    model3.image_transform = model2.image_transform
+    model3.tokenizer = StubTokenizer()
+    np.testing.assert_allclose(model3.predict_action(params3, img, "stack the cups"), tuned, atol=1e-5)
