@@ -50,6 +50,10 @@ class LLMConfig:
     arch: str = "llama"               # "llama" (RMSNorm+SwiGLU) | "phi" (LN + parallel GELU block)
     rotary_pct: float = 1.0           # fraction of head_dim that is rotary (phi-2: 0.4)
     use_bias: bool = False
+    # Sliding-window attention width (Mistral: 4096). None = dense. At the
+    # VLA context (<=2048 tokens) a 4096 window never clips, so configs keep
+    # the field for fidelity; masking applies when window < sequence.
+    sliding_window: Optional[int] = None
     # Serving speed knob: with int8 weights, ALSO quantize activations
     # per-token to int8 so matmuls run on the MXU's int8 path (~2x bf16 rate).
     # Opt-in: per-token symmetric quant has no outlier handling, so validate
@@ -74,8 +78,8 @@ LLM_CONFIGS: Dict[str, LLMConfig] = {
     "llama2-13b-pure": LLMConfig(dim=5120, n_layers=40, n_heads=40, n_kv_heads=40, intermediate_size=13824),
     "llama2-13b-chat": LLMConfig(dim=5120, n_layers=40, n_heads=40, n_kv_heads=40, intermediate_size=13824),
     "vicuna-v15-13b": LLMConfig(dim=5120, n_layers=40, n_heads=40, n_kv_heads=40, intermediate_size=13824),
-    "mistral-v0.1-7b-pure": LLMConfig(n_kv_heads=8, intermediate_size=14336, max_seq_len=2048),
-    "mistral-v0.1-7b-instruct": LLMConfig(n_kv_heads=8, intermediate_size=14336, max_seq_len=2048),
+    "mistral-v0.1-7b-pure": LLMConfig(n_kv_heads=8, intermediate_size=14336, max_seq_len=2048, sliding_window=4096),
+    "mistral-v0.1-7b-instruct": LLMConfig(n_kv_heads=8, intermediate_size=14336, max_seq_len=2048, sliding_window=4096),
     "phi-2-3b": LLMConfig(
         vocab_size=51200, padded_vocab_size=51264, dim=2560, n_layers=32, n_heads=32, n_kv_heads=32,
         intermediate_size=10240, arch="phi", rotary_pct=0.4, use_bias=True, norm_eps=1e-5,

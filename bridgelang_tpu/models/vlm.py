@@ -164,11 +164,17 @@ class PrismaticVLM:
         return fused, fused_mask, fused_labels
 
     def _causal_mask(self, fused_mask: jnp.ndarray, s_len: Optional[int] = None) -> jnp.ndarray:
-        """[B, T] validity -> [B, 1, T, S] causal+padding bool mask."""
+        """[B, T] validity -> [B, 1, T, S] causal+padding bool mask; applies
+        the LLM's sliding window when configured (Mistral)."""
         b, t = fused_mask.shape
         s = t if s_len is None else s_len
         key_valid = fused_mask if s == t else jnp.pad(fused_mask, ((0, 0), (0, s - t)))
-        causal = jnp.arange(s)[None, :] <= jnp.arange(t)[:, None]
+        q_idx = jnp.arange(t)[:, None]
+        k_idx = jnp.arange(s)[None, :]
+        causal = k_idx <= q_idx
+        window = self.cfg.llm.sliding_window
+        if window is not None:
+            causal = causal & (k_idx > q_idx - window)
         return causal[None, None] & key_valid[:, None, None, :].astype(bool)
 
     # --- training forward -------------------------------------------------

@@ -144,3 +144,23 @@ def test_published_config_dims():
     assert (c13.dim, c13.n_layers, c13.intermediate_size) == (5120, 40, 13824)
     cm = LLM_CONFIGS["mistral-v0.1-7b-pure"]
     assert (cm.n_kv_heads, cm.intermediate_size) == (8, 14336)
+
+
+def test_sliding_window_mask():
+    import bridgelang_tpu.models.vlm as vlm_mod
+    from bridgelang_tpu.models.vlm import PrismaticVLM, VLMConfig
+    from bridgelang_tpu.models.vision.vit import ViT
+    from tests.helpers import TINY_VIT
+
+    cfg_llm = dataclasses.replace(TINY_LLM, sliding_window=3)
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        model = vlm_mod.PrismaticVLM(dataclasses.replace(VLMConfig(), llm=cfg_llm), dtype=jnp.float32)
+    finally:
+        vlm_mod.build_vision_backbone = orig
+    mask = np.asarray(model._causal_mask(jnp.ones((1, 6), jnp.int32)))
+    # row 5 can see keys 3,4,5 only (window 3)
+    assert mask[0, 0, 5].tolist() == [False, False, False, True, True, True]
+    # row 2 sees 0,1,2 (window not yet clipping)
+    assert mask[0, 0, 2].tolist() == [True, True, True, False, False, False]
