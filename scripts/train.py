@@ -41,6 +41,7 @@ class TrainConfig:
     trackers: str = "jsonl"  # comma-separated: jsonl,wandb
     seed: int = 7
     max_steps_override: Optional[int] = None
+    profile_dir: Optional[str] = None  # write a jax.profiler trace of steps 10-12
 
 
 def main(cfg: TrainConfig) -> None:
@@ -201,10 +202,19 @@ def _train_loop(cfg, vla, ocfg, dataset, step_fn, state, metrics, ckpt, mesh, sh
             device_batch = make_array_from_process_local(mesh, host_batch)
         else:
             device_batch = jax.device_put(host_batch, sharding)
+        if cfg.profile_dir and step == 9:
+            from bridgelang_tpu.util.profiling import trace as _profiler_trace
+
+            _prof_cm = _profiler_trace(cfg.profile_dir)
+            _prof_cm.__enter__()
         state, m = step_fn(state, device_batch)
         _LAST_STATE[0] = state
         _LAST_LOSS[0] = float(m["loss"])
         step += 1
+        if cfg.profile_dir and step == 12:
+            jax.block_until_ready(m["loss"])
+            _prof_cm.__exit__(None, None, None)
+            overwatch.info("Wrote profiler trace to %s", cfg.profile_dir)
 
         metrics.commit(
             global_step=step,
