@@ -75,7 +75,12 @@ def make_optimizer(
     trainable_mask: Optional[Params] = None,
     grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """With `trainable_mask`, the optimizer operates on the TRAINABLE
+    partition only — frozen leaves get no Adam moments (the reference keeps
+    full optimizer state even for frozen modules)."""
     schedule = make_lr_schedule(cfg)
+    if trainable_mask is not None:
+        params, _ = partition_params(params, _leaf_trainable(trainable_mask))
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
@@ -86,9 +91,6 @@ def make_optimizer(
             mask=_decay_mask(params),
         ),
     )
-    # Freezing is applied to gradients (apply_trainable_mask) rather than via
-    # optax.masked, keeping the opt-state pytree structure stable for pjit.
-    del trainable_mask
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx
@@ -98,6 +100,33 @@ def apply_trainable_mask(grads: Params, trainable_mask: Optional[Params]) -> Par
     if trainable_mask is None:
         return grads
     return jax.tree.map(lambda g, m: g * jnp.asarray(m, dtype=g.dtype), grads, trainable_mask)
+
+
+# --- parameter partitioning (memory-efficient freezing) ------------------------
+#
+# Frozen leaves get NO gradient buffers and NO optimizer state — the reference
+# keeps full AdamW state for frozen modules too. A leaf counts as trainable if
+# its mask has ANY True (partially-trainable stacked leaves, e.g. the
+# last-layer stage, additionally multiply their gradient by the mask).
+
+
+def _leaf_trainable(trainable_mask: Params) -> Params:
+    import numpy as np
+
+    return jax.tree.map(lambda m: bool(np.any(np.asarray(m))), trainable_mask)
+
+
+def partition_params(params: Params, leaf_trainable: Params):
+    trainable = jax.tree.map(lambda p, t: p if t else None, params, leaf_trainable)
+    frozen = jax.tree.map(lambda p, t: None if t else p, params, leaf_trainable)
+    return trainable, frozen
+
+
+def combine_params(trainable: Params, frozen: Params) -> Params:
+    return jax.tree.map(
+        lambda a, b: b if a is None else a, trainable, frozen,
+        is_leaf=lambda x: x is None,
+    )
 
 
 # --- loss + metrics -----------------------------------------------------------
@@ -171,6 +200,8 @@ def make_vla_train_step(
     vocab_size = model.cfg.llm.vocab_size
     action_begin = vocab_size - (n_action_bins + 1)
 
+    leaf_trainable = _leaf_trainable(trainable_mask) if trainable_mask is not None else None
+
     def loss_fn(params, batch):
         compute_params = jax.tree.map(lambda p: p.astype(compute_dtype) if p.dtype == jnp.float32 else p, params)
         if "pixel_values" in batch:
@@ -193,17 +224,49 @@ def make_vla_train_step(
         return loss, metrics
 
     def train_step(state: TrainState, batch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
-        grads = apply_trainable_mask(grads, trainable_mask)
-        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if leaf_trainable is None:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            return (
+                TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
+                dict(metrics, loss=loss, grad_norm=gnorm),
+            )
+
+        trainable, frozen = partition_params(state.params, leaf_trainable)
+
+        def loss_on_trainable(tr, batch):
+            return loss_fn(combine_params(tr, frozen), batch)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_on_trainable, has_aux=True)(trainable, batch)
+        # Partially-trainable leaves (e.g. last-layer stage) still need masking.
+        mask_tr = jax.tree.map(lambda m, t: m if t else None, trainable_mask, leaf_trainable)
+        grads = jax.tree.map(lambda g, m: (g * jnp.asarray(m, g.dtype)).astype(jnp.float32), grads, mask_tr)
+        updates, new_opt = optimizer.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_params = combine_params(new_trainable, frozen)
         gnorm = optax.global_norm(grads)
-        metrics = dict(metrics, loss=loss, grad_norm=gnorm)
-        return TrainState(step=state.step + 1, params=new_params, opt_state=new_opt), metrics
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
+            dict(metrics, loss=loss, grad_norm=gnorm),
+        )
 
     return train_step
 
 
-def init_train_state(params: Params, optimizer: optax.GradientTransformation) -> TrainState:
+def init_train_state_partitioned(params: Params, optimizer, trainable_mask: Params) -> TrainState:
+    """TrainState whose optimizer state covers ONLY trainable leaves."""
+    trainable, _ = partition_params(params, _leaf_trainable(trainable_mask))
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=optimizer.init(trainable))
+
+
+def init_train_state(
+    params: Params,
+    optimizer: optax.GradientTransformation,
+    trainable_mask: Optional[Params] = None,
+) -> TrainState:
+    if trainable_mask is not None:
+        return init_train_state_partitioned(params, optimizer, trainable_mask)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=optimizer.init(params))

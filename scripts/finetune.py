@@ -106,11 +106,11 @@ def main(cfg: FinetuneConfig) -> None:
     mesh = make_mesh(cfg.mesh_shape)
     params = jax.device_put(params, param_shardings(mesh, params))
     ocfg = OptimConfig(learning_rate=cfg.learning_rate, lr_scheduler_type="constant", total_steps=cfg.max_steps)
-    optimizer = make_optimizer(ocfg, params, grad_accum_steps=cfg.grad_accumulation_steps)
+    optimizer = make_optimizer(ocfg, params, trainable_mask=trainable, grad_accum_steps=cfg.grad_accumulation_steps)
     step_fn = jax.jit(
         make_vla_train_step(model, optimizer, trainable_mask=trainable, image_transform=model.image_transform)
     )
-    state = init_train_state(params, optimizer)
+    state = init_train_state(params, optimizer, trainable_mask=trainable)
     ckpt = CheckpointManager(run_dir)
     metrics = VLAMetrics(
         build_trackers(cfg.trackers.split(","), exp_id, run_dir, config_to_dict(cfg)),

@@ -101,10 +101,10 @@ def main(cfg: PretrainConfig) -> None:
 
     ocfg = OptimConfig(learning_rate=lr, weight_decay=wd, max_grad_norm=grad_clip,
                        lr_scheduler_type=schedule, warmup_ratio=warmup, total_steps=total_steps)
-    optimizer = make_optimizer(ocfg, params, grad_accum_steps=grad_accum)
+    optimizer = make_optimizer(ocfg, params, trainable_mask=trainable, grad_accum_steps=grad_accum)
     step_fn = jax.jit(make_vla_train_step(model, optimizer, trainable_mask=trainable,
                                           image_transform=model.image_transform))
-    state = init_train_state(params, optimizer)
+    state = init_train_state(params, optimizer, trainable_mask=trainable)
     ckpt = CheckpointManager(run_dir)
     if overwatch.is_rank_zero():
         save_sidecars(run_dir, config_to_dict(cfg))

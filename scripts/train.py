@@ -137,11 +137,11 @@ def main(cfg: TrainConfig) -> None:
         warmup_ratio=vla.warmup_ratio,
         total_steps=total_steps,
     )
-    optimizer = make_optimizer(ocfg, params)
+    optimizer = make_optimizer(ocfg, params, trainable_mask=trainable)
     step_fn = jax.jit(
         make_vla_train_step(model, optimizer, trainable_mask=trainable, image_transform=model.image_transform)
     )
-    state = init_train_state(params, optimizer)
+    state = init_train_state(params, optimizer, trainable_mask=trainable)
 
     ckpt = CheckpointManager(run_dir)
     start_step = 0

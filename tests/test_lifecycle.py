@@ -81,10 +81,10 @@ def test_export_load_predict_finetune_reexport(tmp_path, monkeypatch):
 
     lora_params = dict(params2, llm=add_lora_params(jax.random.key(1), params2["llm"], rank=4))
     mask = lora_trainable_mask(lora_params)
-    optimizer = make_optimizer(OptimConfig(learning_rate=5e-2), lora_params)
+    optimizer = make_optimizer(OptimConfig(learning_rate=5e-2), lora_params, trainable_mask=mask)
     step = jax.jit(make_vla_train_step(model2, optimizer, trainable_mask=mask,
                                        compute_dtype=jnp.float32, image_transform=model2.image_transform))
-    state = init_train_state(lora_params, optimizer)
+    state = init_train_state(lora_params, optimizer, trainable_mask=mask)
     rng = np.random.default_rng(0)
     b = 2
     ids = np.full((b, 32), TINY_LLM.pad_token_id, np.int32)

@@ -119,11 +119,11 @@ def test_frozen_params_stay_fixed(eight_device_mesh):
     model, params = _tiny_model()
     mask = model.trainable_mask(params, "align")  # only projector trains
     ocfg = OptimConfig(learning_rate=1e-2)
-    optimizer = make_optimizer(ocfg, params)
+    optimizer = make_optimizer(ocfg, params, trainable_mask=mask)
     step_fn = make_vla_train_step(model, optimizer, trainable_mask=mask, compute_dtype=jnp.float32)
 
     params = jax.device_put(params, param_shardings(mesh, params))
-    state = init_train_state(params, optimizer)
+    state = init_train_state(params, optimizer, trainable_mask=mask)
     batch = jax.device_put(_batch(), batch_sharding(mesh))
     new_state, _ = jax.jit(step_fn)(state, batch)
 

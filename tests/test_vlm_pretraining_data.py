@@ -121,10 +121,10 @@ def test_align_stage_training_smoke(llava_data):
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "multimodal_indices"}
 
     mask = model.trainable_mask(params, "align")
-    optimizer = make_optimizer(OptimConfig(learning_rate=5e-3), params)
+    optimizer = make_optimizer(OptimConfig(learning_rate=5e-3), params, trainable_mask=mask)
     step = jax.jit(make_vla_train_step(model, optimizer, trainable_mask=mask,
                                        compute_dtype=jnp.float32, image_transform=model.image_transform))
-    state = init_train_state(params, optimizer)
+    state = init_train_state(params, optimizer, trainable_mask=mask)
     state, m0 = step(state, jb)
     for _ in range(8):
         state, m = step(state, jb)
