@@ -202,6 +202,31 @@ class PrismaticVLM:
         logits = lm_logits(params["llm"], hidden, self.cfg.llm)
         return logits, fused_labels
 
+    def forward_hidden(
+        self,
+        params: Params,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        pixel_values: jnp.ndarray,
+        labels: jnp.ndarray,
+        remat: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Like forward_train but returns final hidden states instead of
+        logits — callers compute the loss with a chunked LM head so the full
+        [B, F, vocab] logits tensor never materializes (a large memory win at
+        32k vocab; see training.trainer.chunked_ce_and_metrics)."""
+        patch_embeds = self.encode_vision(params, pixel_values)
+        token_embeds = embed_tokens(params["llm"], input_ids, dtype=self.dtype)
+        fused, fused_mask, fused_labels = self.fuse_after_bos(token_embeds, patch_embeds, attention_mask, labels)
+        t = fused.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(t), fused.shape[:2])
+        mask = self._causal_mask(fused_mask)
+        hidden, _ = llm_forward(
+            params["llm"], self.cfg.llm, fused, positions, mask,
+            attention_impl=self.attention_impl, remat=remat,
+        )
+        return hidden, fused_labels
+
     # --- generation ---------------------------------------------------------
 
     def generate_greedy(

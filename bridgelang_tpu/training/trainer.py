@@ -180,6 +180,71 @@ def vla_metrics_on_device(
     }
 
 
+def chunked_ce_and_metrics(
+    llm_params: Params,
+    cfg_llm,
+    hidden: jnp.ndarray,
+    labels: jnp.ndarray,
+    action_token_begin_idx: int,
+    bin_centers: jnp.ndarray,
+    chunk: int = 128,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Cross entropy + action metrics WITHOUT materializing [B, F, vocab]:
+    the LM head applies per sequence-chunk under jax.checkpoint, so peak
+    logits memory is [B, chunk, vocab] in both passes. Numerically identical
+    to the dense path (fp32 log-softmax)."""
+    from bridgelang_tpu.models.llm.llama import lm_logits
+
+    b, f, d = hidden.shape
+    h = hidden[:, :-1]
+    y = labels[:, 1:]
+    t = h.shape[1]
+    n = -(-t // chunk)
+    pad = n * chunk - t
+    h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+    y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX)
+    h_chunks = h.reshape(b, n, chunk, d).transpose(1, 0, 2, 3)
+    y_chunks = y.reshape(b, n, chunk).transpose(1, 0, 2)
+
+    vocab_size = cfg_llm.vocab_size
+    centers = jnp.asarray(bin_centers)
+
+    @jax.checkpoint
+    def one(hc, yc):
+        logits = lm_logits(llm_params, hc, cfg_llm).astype(jnp.float32)
+        valid = yc != IGNORE_INDEX
+        safe = jnp.maximum(yc, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll = -jnp.sum(tok_lp * valid)
+        count = jnp.sum(valid)
+        preds = jnp.argmax(logits, axis=-1)
+        a_mask = yc > action_token_begin_idx
+        correct = jnp.sum((preds == yc) & a_mask)
+        a_count = jnp.sum(a_mask)
+        cp = centers[jnp.clip(vocab_size - preds - 1, 0, centers.shape[0] - 1)]
+        cg = centers[jnp.clip(vocab_size - yc - 1, 0, centers.shape[0] - 1)]
+        l1 = jnp.sum(jnp.abs(cp - cg) * a_mask)
+        # per-example partials for per-dataset breakdowns
+        ex_correct = jnp.sum((preds == yc) & a_mask, axis=1)
+        ex_count = jnp.sum(a_mask, axis=1)
+        ex_l1 = jnp.sum(jnp.abs(cp - cg) * a_mask, axis=1)
+        return nll, count, correct, a_count, l1, ex_correct, ex_count, ex_l1
+
+    outs = jax.lax.map(lambda args: one(*args), (h_chunks, y_chunks))
+    nll, count, correct, a_count, l1, ex_c, ex_n, ex_l1 = [jnp.sum(o, axis=0) for o in outs]
+    loss = nll / jnp.maximum(count, 1)
+    denom = jnp.maximum(a_count, 1)
+    ex_denom = jnp.maximum(ex_n, 1)
+    metrics = {
+        "action_accuracy": correct / denom,
+        "l1_loss": l1 / denom,
+        "per_example_accuracy": ex_c / ex_denom,
+        "per_example_l1": ex_l1 / ex_denom,
+    }
+    return loss, metrics
+
+
 # --- train step ---------------------------------------------------------------
 
 
@@ -211,7 +276,7 @@ def make_vla_train_step(
 
             assert image_transform is not None, "raw frames need an image_transform"
             pixel_values = preprocess_batch(batch["frames"], image_transform, dtype=compute_dtype)
-        logits, fused_labels = model.forward_train(
+        hidden, fused_labels = model.forward_hidden(
             compute_params,
             batch["input_ids"],
             batch["attention_mask"],
@@ -219,9 +284,9 @@ def make_vla_train_step(
             batch["labels"],
             remat=True,
         )
-        loss = cross_entropy_ignore_index(logits, fused_labels)
-        metrics = vla_metrics_on_device(logits, fused_labels, action_begin, bin_centers, vocab_size)
-        return loss, metrics
+        return chunked_ce_and_metrics(
+            compute_params["llm"], model.cfg.llm, hidden, fused_labels, action_begin, bin_centers
+        )
 
     def train_step(state: TrainState, batch):
         if leaf_trainable is None:

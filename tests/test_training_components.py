@@ -231,3 +231,36 @@ def test_w8a8_forward_close_to_w8():
     rel = np.linalg.norm(w8 - w8a8) / (np.linalg.norm(w8) + 1e-6)
     assert rel < 0.15, f"w8a8 drifted {rel}"
     assert (w8.argmax(-1) == w8a8.argmax(-1)).mean() >= 0.5
+
+
+def test_chunked_ce_matches_dense():
+    import dataclasses
+
+    from bridgelang_tpu.training.trainer import chunked_ce_and_metrics, cross_entropy_ignore_index, vla_metrics_on_device
+    from bridgelang_tpu.vla.action_tokenizer import make_bins
+
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    rng = np.random.default_rng(0)
+    b, f, d = 2, 37, TINY_LLM.dim  # deliberately not a multiple of the chunk
+    hidden = jnp.asarray(rng.normal(size=(b, f, d)), jnp.float32)
+    labels = np.full((b, f), -100, np.int32)
+    labels[:, 20:28] = rng.integers(TINY_LLM.vocab_size - 256, TINY_LLM.vocab_size, (b, 8))
+    labels[:, 10:14] = rng.integers(2, 400, (b, 4))
+    labels = jnp.asarray(labels)
+    _, centers = make_bins()
+    begin = TINY_LLM.vocab_size - 257
+
+    logits = lm_logits(params, hidden, TINY_LLM)
+    dense_loss = cross_entropy_ignore_index(logits, labels)
+    dense_m = vla_metrics_on_device(logits, labels, begin, centers, TINY_LLM.vocab_size)
+
+    loss, m = chunked_ce_and_metrics(params, TINY_LLM, hidden, labels, begin, centers, chunk=16)
+    np.testing.assert_allclose(float(loss), float(dense_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(m["action_accuracy"]), float(dense_m["action_accuracy"]), atol=1e-6)
+    np.testing.assert_allclose(float(m["l1_loss"]), float(dense_m["l1_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m["per_example_accuracy"]),
+                               np.asarray(dense_m["per_example_accuracy"]), atol=1e-6)
+
+    # gradients flow through the chunked path
+    g = jax.grad(lambda h: chunked_ce_and_metrics(params, TINY_LLM, h, labels, begin, centers, chunk=16)[0])(hidden)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
