@@ -255,6 +255,7 @@ def make_vla_train_step(
     n_action_bins: int = 256,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     image_transform=None,
+    remat: bool = True,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jittable VLA train step. Batch keys: input_ids,
     attention_mask, labels, and either pre-normalized `pixel_values` or raw
@@ -282,7 +283,7 @@ def make_vla_train_step(
             batch["attention_mask"],
             pixel_values,
             batch["labels"],
-            remat=True,
+            remat=remat,
         )
         return chunked_ce_and_metrics(
             compute_params["llm"], model.cfg.llm, hidden, fused_labels, action_begin, bin_centers

@@ -78,3 +78,11 @@ def test_serving_roundtrip_tiny_model():
         np.testing.assert_allclose(action, action2, atol=1e-6)
     finally:
         httpd.shutdown()
+
+
+def test_convert_weights_config_parses():
+    from bridgelang_tpu.conf import parse_cli
+
+    mod = _load("convert_weights")
+    cfg = parse_cli(mod.ConvertConfig, ["--direction", "to_hf", "--run_dir", "runs/x"])
+    assert cfg.run_dir == "runs/x"
