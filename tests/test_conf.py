@@ -70,3 +70,19 @@ def test_parse_cli_rejects_unknown_keys():
 
     with pytest.raises(ValueError):
         parse_cli(C, ["--bogus", "1"])
+
+
+def test_available_models_registry():
+    from bridgelang_tpu.models.load import available_models, MODEL_REGISTRY
+
+    models = available_models()
+    assert "openvla-7b" in models and len(models) == len(MODEL_REGISTRY) >= 50
+
+
+def test_load_vla_missing_path_message():
+    import pytest as _pytest
+
+    from bridgelang_tpu.models.load import load_vla
+
+    with _pytest.raises(FileNotFoundError, match="no network egress"):
+        load_vla("openvla-7b")
