@@ -203,3 +203,23 @@ def test_grad_accumulation_matches_large_batch(eight_device_mesh):
     a = np.asarray(s_full.params["llm"]["layers"]["wq"])
     b = np.asarray(s_acc.params["llm"]["layers"]["wq"])
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_strategy_spec_builds_mesh():
+    mesh = make_mesh(strategy_mesh_spec("fsdp-full-shard", 8, devices_per_slice=4))
+    assert dict(mesh.shape) == {"replica": 2, "fsdp": 4, "tensor": 1}
+
+
+def test_training_is_seed_deterministic(eight_device_mesh):
+    mesh = eight_device_mesh
+    losses = []
+    for _ in range(2):
+        model, params = _tiny_model()  # same seed inside
+        optimizer = make_optimizer(OptimConfig(learning_rate=1e-3), params)
+        step_fn = jax.jit(make_vla_train_step(model, optimizer, compute_dtype=jnp.float32))
+        state = init_train_state(jax.device_put(params, param_shardings(mesh, params)), optimizer)
+        batch = jax.device_put(_batch(), batch_sharding(mesh))
+        state, m = step_fn(state, batch)
+        state, m = step_fn(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[0] == losses[1]
