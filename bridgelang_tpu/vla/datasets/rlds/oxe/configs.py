@@ -2,9 +2,9 @@
 
 Counterpart of reference prismatic/vla/datasets/rlds/oxe/configs.py:32-673
 (the public OXE/Octo registry of observation-key maps and encodings). Stored
-as frozen dataclasses rather than nested dicts; 67 datasets registered —
-every member of the OpenVLA training mixtures (Magic-Soup(+), bridge, droid,
-libero, tdroid) plus the long tail.
+as frozen dataclasses rather than nested dicts; 74 datasets registered —
+a 1:1 superset of the reference's registry (every mixture member + long tail
++ navigation/GNM + all T-DROID tasks).
 """
 
 from __future__ import annotations
@@ -204,3 +204,13 @@ OXE_DATASET_CONFIGS.update({
     "droid_wipe": C("exterior_image_2_left", None, "wrist_image_left",
                     state_obs_keys=("proprio",), state_encoding=PE),
 })
+
+# Navigation (GNM) + remaining T-DROID task datasets — completes the
+# reference's registry 1:1 (plus our ppgm/libero_combined extras).
+for _gnm in ("berkeley_gnm_recon", "berkeley_gnm_cory_hall", "berkeley_gnm_sac_son"):
+    OXE_DATASET_CONFIGS[_gnm] = C(None, None, "image",
+                                  state_obs_keys=("state", None, None), state_encoding=PE)
+for _td in ("tdroid_cover_object_with_towel", "tdroid_flip_pot_upright",
+            "tdroid_knock_object_over", "tdroid_move_object_onto_plate"):
+    OXE_DATASET_CONFIGS[_td] = C("static_image", None, None, "static_depth_image", None, None,
+                                 state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE)

@@ -615,3 +615,23 @@ OXE_STANDARDIZATION_TRANSFORMS.update({
     "rh20t": rh20t,
     "droid_wipe": droid_baseact,
 })
+
+
+def gnm(traj: Traj) -> Traj:
+    """Navigation datasets: 2D waypoint actions padded to the 7-dof layout."""
+    obs = traj["observation"]
+    obs["state"] = tf.concat(
+        (obs["position"], tf.zeros_like(obs["state"][:, :3]), obs["yaw"]), axis=-1
+    )
+    a = traj["action"]
+    traj["action"] = tf.concat(
+        (a, tf.zeros_like(a), tf.zeros_like(a), tf.zeros_like(a[:, :1])), axis=-1
+    )
+    return traj
+
+
+for _gnm_name in ("berkeley_gnm_recon", "berkeley_gnm_cory_hall", "berkeley_gnm_sac_son"):
+    OXE_STANDARDIZATION_TRANSFORMS[_gnm_name] = gnm
+for _td_name in ("tdroid_cover_object_with_towel", "tdroid_flip_pot_upright",
+                 "tdroid_knock_object_over", "tdroid_move_object_onto_plate"):
+    OXE_STANDARDIZATION_TRANSFORMS[_td_name] = tdroid
