@@ -208,12 +208,15 @@ def full_attention(
     v: jnp.ndarray,
     mask: jnp.ndarray,
     impl: str = "xla",
+    window: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Full-sequence attention [B,T,H,hd] with bool mask [B,1,T,S]."""
+    """Full-sequence attention [B,T,H,hd] with bool mask [B,1,T,S]. The XLA
+    path trusts the mask entirely; the Pallas path reduces the mask to
+    per-example lengths, so the sliding window must be passed explicitly."""
     if impl == "pallas":
         from bridgelang_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask=mask)
+        return flash_attention(q, k, v, mask=mask, window=window)
     n_rep = q.shape[2] // k.shape[2]
     k, v = _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
@@ -304,7 +307,10 @@ def _block(
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         attn_out = jnp.einsum("bhqs,bshd->bqhd", probs, vv)
     else:
-        attn_out = full_attention(q, attn_k.astype(q.dtype), attn_v.astype(q.dtype), mask, attention_impl)
+        attn_out = full_attention(
+            q, attn_k.astype(q.dtype), attn_v.astype(q.dtype), mask, attention_impl,
+            window=cfg.sliding_window,
+        )
 
     attn_out = proj(attn_out.reshape(B, T, H * hd), "wo")
     if cfg.use_bias:

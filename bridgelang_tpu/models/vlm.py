@@ -282,7 +282,10 @@ class PrismaticVLM:
             cache, token = carry
             pos = (true_len + i)[:, None]  # [B,1] position AND cache slot of this token
             tok_embed = embed_tokens(params["llm"], token, dtype=self.dtype)
-            step_mask = (jnp.arange(s_len)[None, None, None, :] <= pos[:, :, None, None]).astype(bool)
+            k_idx = jnp.arange(s_len)[None, None, None, :]
+            step_mask = (k_idx <= pos[:, :, None, None]).astype(bool)
+            if cfg.sliding_window is not None:
+                step_mask &= k_idx > pos[:, :, None, None] - cfg.sliding_window
             hidden, new_cache = llm_forward(
                 params["llm"], cfg, tok_embed, pos, step_mask,
                 cache=cache, cache_positions=pos,

@@ -12,6 +12,11 @@ accumulators, log-sum-exp saved for the backward) with:
     index maps — no materialized head repetition;
   * causal block skipping: query block i only loops over KV blocks <= i
     (and past the valid length, nothing at all);
+  * optional sliding-window masking (Mistral): row r attends cols in
+    (r - window, r]; the KV loop bounds tighten to the window band;
+  * keys may be LONGER than queries (prefill writing into a preallocated KV
+    cache): queries are assumed to sit at key positions 0..T-1, extra key
+    slots are dead cache space masked off by `lengths`;
   * custom VJP with Pallas dq and dk/dv kernels.
 
 Layout notes: activations are [B, T, H, D] at the API, transposed to
@@ -48,7 +53,7 @@ def _ceil_to(x: int, m: int) -> int:
 # --- forward kernel -----------------------------------------------------------
 
 
-def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, causal):
+def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, causal, window):
     b = pl.program_id(0)
     iq = pl.program_id(2)
     bq, d = q_ref.shape[2], q_ref.shape[3]
@@ -62,6 +67,11 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, bloc
         upper = jnp.minimum(pl.cdiv(q_start + bq, block_k), pl.cdiv(length, block_k))
     else:
         upper = pl.cdiv(length, block_k)
+    lower = 0
+    if window is not None:
+        # Row r attends cols in (r - window, r]; smallest allowed col in this
+        # query block is q_start - window + 1.
+        lower = jnp.maximum(0, (q_start - window + 1) // block_k)
 
     def body(kb, carry):
         acc, m_i, l_i = carry  # [bq,d], [bq,1], [bq,1]
@@ -74,6 +84,8 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, bloc
         mask = col_ids < length
         if causal:
             mask = mask & (col_ids <= row_ids)
+        if window is not None:
+            mask = mask & (col_ids > row_ids - window)
         logits = jnp.where(mask, logits, NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(logits, axis=1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
@@ -87,7 +99,7 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, bloc
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m_i, l_i = jax.lax.fori_loop(0, upper, body, (acc0, m0, l0))
+    acc, m_i, l_i = jax.lax.fori_loop(lower, upper, body, (acc0, m0, l0))
 
     l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
@@ -98,7 +110,7 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, bloc
 # --- backward kernels ---------------------------------------------------------
 
 
-def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, block_k, causal):
+def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, block_k, causal, window):
     b = pl.program_id(0)
     iq = pl.program_id(2)
     bq, d = q_ref.shape[2], q_ref.shape[3]
@@ -115,6 +127,9 @@ def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         upper = jnp.minimum(pl.cdiv(q_start + bq, block_k), pl.cdiv(length, block_k))
     else:
         upper = pl.cdiv(length, block_k)
+    lower = 0
+    if window is not None:
+        lower = jnp.maximum(0, (q_start - window + 1) // block_k)
 
     def body(kb, dq_acc):
         k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
@@ -124,17 +139,19 @@ def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         mask = col_ids < length
         if causal:
             mask = mask & (col_ids <= row_ids)
+        if window is not None:
+            mask = mask & (col_ids > row_ids - window)
         p = jnp.where(mask, jnp.exp(logits - lse), 0.0)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta)  # [bq, block_k]
         return dq_acc + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, upper, body, jnp.zeros((bq, d), jnp.float32))
+    dq = jax.lax.fori_loop(lower, upper, body, jnp.zeros((bq, d), jnp.float32))
     dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
-    lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, block_q, causal
+    lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, block_q, causal, window
 ):
     b = pl.program_id(0)
     jk = pl.program_id(2)
@@ -149,6 +166,11 @@ def _bwd_dkv_kernel(
 
     lower = (k_start // block_q) if causal else 0
     num_qb = pl.cdiv(t, block_q)
+    upper = num_qb
+    if window is not None:
+        # Col c is attended by rows in [c, c + window); the largest row for
+        # this KV block is (k_start + bk - 1) + window - 1.
+        upper = jnp.minimum(num_qb, (k_start + bk + window - 2) // block_q + 1)
 
     def body(qb, carry):
         dk_acc, dv_acc = carry
@@ -161,6 +183,8 @@ def _bwd_dkv_kernel(
         mask = col_ids < length
         if causal:
             mask = mask & (col_ids <= row_ids)
+        if window is not None:
+            mask = mask & (col_ids > row_ids - window)
         p = jnp.where(mask, jnp.exp(logits - lse_blk), 0.0)  # [block_q, bk]
         dv_acc = dv_acc + jax.lax.dot_general(p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -170,7 +194,7 @@ def _bwd_dkv_kernel(
 
     dk0 = jnp.zeros((bk, d), jnp.float32)
     dv0 = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(lower, num_qb, body, (dk0, dv0))
+    dk, dv = jax.lax.fori_loop(lower, upper, body, (dk0, dv0))
     # q_blk already carries the 1/sqrt(d) scale, so dk needs no extra factor.
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
@@ -185,29 +209,32 @@ def _pad_time(x: jnp.ndarray, t_pad: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, causal, block_q, block_k, lengths=None):
-    out, _ = _flash_fwd_impl(q, k, v, causal, block_q, block_k, lengths)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, causal, block_q, block_k, window, lengths=None):
+    out, _ = _flash_fwd_impl(q, k, v, causal, block_q, block_k, window, lengths)
     return out
 
 
-def _flash_fwd_impl(q, k, v, causal, block_q, block_k, lengths):
+def _flash_fwd_impl(q, k, v, causal, block_q, block_k, window, lengths):
     b, t, h, d = q.shape
+    s = k.shape[1]
+    assert s >= t, f"keys ({s}) must be at least as long as queries ({t}); queries sit at key positions 0..T-1"
     hkv = k.shape[2]
     group = h // hkv
     if lengths is None:
-        lengths = jnp.full((b,), t, jnp.int32)
-    t_pad = _ceil_to(_ceil_to(max(t, block_q), block_q), block_k)
+        lengths = jnp.full((b,), s, jnp.int32)
+    t_pad = _ceil_to(max(t, block_q), block_q)
+    s_pad = _ceil_to(max(s, block_k), block_k)
 
     qt = jnp.transpose(_pad_time(q, t_pad), (0, 2, 1, 3))  # [B, H, T, D]
-    kt = jnp.transpose(_pad_time(k, t_pad), (0, 2, 1, 3))
-    vt = jnp.transpose(_pad_time(v, t_pad), (0, 2, 1, 3))
+    kt = jnp.transpose(_pad_time(k, s_pad), (0, 2, 1, 3))  # [B, Hkv, S, D]
+    vt = jnp.transpose(_pad_time(v, s_pad), (0, 2, 1, 3))
     scale = d ** -0.5
 
     q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, qq, *_: (bb, hh, qq, 0))
-    kv_spec = pl.BlockSpec((1, 1, t_pad, d), lambda bb, hh, qq, *_: (bb, hh // group, 0, 0))
+    kv_spec = pl.BlockSpec((1, 1, s_pad, d), lambda bb, hh, qq, *_: (bb, hh // group, 0, 0))
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=block_k, causal=causal),
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k, causal=causal, window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h, t_pad // block_q),
@@ -227,35 +254,36 @@ def _flash_fwd_impl(q, k, v, causal, block_q, block_k, lengths):
         interpret=_interpret(),
     )(lengths.astype(jnp.int32), qt, kt, vt)
     out_t = jnp.transpose(out, (0, 2, 1, 3))[:, :t]
-    return out_t, (q, k, v, lengths, out_t, lse, t_pad)
+    return out_t, (q, k, v, lengths, out_t, lse, t_pad, s_pad)
 
 
-def _flash_fwd(q, k, v, causal, block_q, block_k, lengths=None):
-    out, res = _flash_fwd_impl(q, k, v, causal, block_q, block_k, lengths)
+def _flash_fwd(q, k, v, causal, block_q, block_k, window, lengths=None):
+    out, res = _flash_fwd_impl(q, k, v, causal, block_q, block_k, window, lengths)
     return out, res
 
 
-def _flash_bwd(causal, block_q, block_k, res, g):
-    q, k, v, lengths, out, lse, t_pad = res
+def _flash_bwd(causal, block_q, block_k, window, res, g):
+    q, k, v, lengths, out, lse, t_pad, s_pad = res
     b, t, h, d = q.shape
+    s = k.shape[1]
     hkv = k.shape[2]
     group = h // hkv
     scale = d ** -0.5
 
     qt = jnp.transpose(_pad_time(q, t_pad), (0, 2, 1, 3))
-    kt = jnp.transpose(_pad_time(k, t_pad), (0, 2, 1, 3))
-    vt = jnp.transpose(_pad_time(v, t_pad), (0, 2, 1, 3))
+    kt = jnp.transpose(_pad_time(k, s_pad), (0, 2, 1, 3))
+    vt = jnp.transpose(_pad_time(v, s_pad), (0, 2, 1, 3))
     do = jnp.transpose(_pad_time(g, t_pad), (0, 2, 1, 3))
     ot = jnp.transpose(_pad_time(out, t_pad), (0, 2, 1, 3))
     delta_row = jnp.sum(do.astype(jnp.float32) * ot.astype(jnp.float32), axis=-1)  # [B, H, T]
     delta = jnp.broadcast_to(delta_row[..., None], delta_row.shape + (STAT_W,))
 
     q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, qq, *_: (bb, hh, qq, 0))
-    kv_full_spec = pl.BlockSpec((1, 1, t_pad, d), lambda bb, hh, qq, *_: (bb, hh // group, 0, 0))
+    kv_full_spec = pl.BlockSpec((1, 1, s_pad, d), lambda bb, hh, qq, *_: (bb, hh // group, 0, 0))
     stat_q_spec = pl.BlockSpec((1, 1, block_q, STAT_W), lambda bb, hh, qq, *_: (bb, hh, qq, 0))
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, causal=causal),
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, causal=causal, window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h, t_pad // block_q),
@@ -275,10 +303,10 @@ def _flash_bwd(causal, block_q, block_k, res, g):
     kv_blk_spec = pl.BlockSpec((1, 1, block_k, d), lambda bb, hh, kk, *_: (bb, hh // group, kk, 0))
     full_stat_spec = pl.BlockSpec((1, 1, t_pad, STAT_W), lambda bb, hh, kk, *_: (bb, hh, 0, 0))
     dk_h, dv_h = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, causal=causal),
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, causal=causal, window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, h, t_pad // block_k),
+            grid=(b, h, s_pad // block_k),
             in_specs=[full_q_spec, kv_blk_spec, kv_blk_spec, full_q_spec, full_stat_spec, full_stat_spec],
             out_specs=[
                 pl.BlockSpec((1, 1, block_k, d), lambda bb, hh, kk, *_: (bb, hh, kk, 0)),
@@ -286,8 +314,8 @@ def _flash_bwd(causal, block_q, block_k, res, g):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
@@ -295,12 +323,12 @@ def _flash_bwd(causal, block_q, block_k, res, g):
         interpret=_interpret(),
     )(lengths.astype(jnp.int32), qt, kt, vt, do, lse, delta)
 
-    dk_h = dk_h.reshape(b, hkv, group, t_pad, d).sum(axis=2)
-    dv_h = dv_h.reshape(b, hkv, group, t_pad, d).sum(axis=2)
+    dk_h = dk_h.reshape(b, hkv, group, s_pad, d).sum(axis=2)
+    dv_h = dv_h.reshape(b, hkv, group, s_pad, d).sum(axis=2)
 
     dq_out = jnp.transpose(dq, (0, 2, 1, 3))[:, :t]
-    dk_out = jnp.transpose(dk_h, (0, 2, 1, 3))[:, :t].astype(k.dtype)
-    dv_out = jnp.transpose(dv_h, (0, 2, 1, 3))[:, :t].astype(v.dtype)
+    dk_out = jnp.transpose(dk_h, (0, 2, 1, 3))[:, :s].astype(k.dtype)
+    dv_out = jnp.transpose(dv_h, (0, 2, 1, 3))[:, :s].astype(v.dtype)
     return dq_out, dk_out, dv_out, None
 
 
@@ -314,21 +342,28 @@ def flash_attention(
     mask: Optional[jnp.ndarray] = None,
     lengths: Optional[jnp.ndarray] = None,
     causal: bool = True,
+    window: Optional[int] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
     """Causal flash attention over right-padded batches.
 
-    q: [B, T, H, D]; k/v: [B, T, Hkv, D] (GQA allowed). `lengths` [B] gives the
-    number of valid (non-pad) keys per example; if only `mask` [B, 1, T, S] is
-    given, lengths are recovered from the last query row (valid for the
-    causal+right-padding mask family this framework produces).
+    q: [B, T, H, D]; k/v: [B, S, Hkv, D] (GQA allowed; S >= T — the KV-cache
+    prefill case, where queries occupy key positions 0..T-1 and slots past
+    `lengths` are dead cache space). `lengths` [B] gives the number of valid
+    (non-pad) keys per example; if only `mask` [B, 1, T, S] is given, lengths
+    are recovered as the count of keys any query row attends (valid for the
+    causal/sliding-window + right-padding mask family this framework builds).
+    `window` is the sliding-window width (Mistral): row r attends keys in
+    (r - window, r].
     """
     if lengths is None and mask is not None:
-        lengths = jnp.sum(mask[:, 0, -1, : q.shape[1]].astype(jnp.int32), axis=-1)
+        lengths = jnp.sum(jnp.any(mask[:, 0], axis=1).astype(jnp.int32), axis=-1)
+    if window is not None and window >= k.shape[1]:
+        window = None  # window never clips at this sequence length
     block_q = min(block_q, _ceil_to(q.shape[1], 128))
-    block_k = min(block_k, _ceil_to(q.shape[1], 128))
-    return _flash(q, k, v, causal, block_q, block_k, lengths)
+    block_k = min(block_k, _ceil_to(k.shape[1], 128))
+    return _flash(q, k, v, causal, block_q, block_k, window, lengths)
 
 
 def attention_reference(q, k, v, mask):

@@ -128,6 +128,24 @@ def test_batched_generation(tiny_vlm):
     assert out.shape == (3, 4)
 
 
+def test_generate_pallas_prefill_long_cache(tiny_vlm):
+    """The TPU serving path prefills through the Pallas kernel with a cache
+    longer than the prompt (f_len + max_new_tokens). Round 1 crashed here with
+    a negative pad width for max_new_tokens=128 (ADVICE.md high); the pallas
+    (interpreter) and xla paths must now agree."""
+    model, params = tiny_vlm
+    pix = _pixels()
+    ids, mask = _prompt(model, t=9, pad_to=12)
+    out_xla = model.generate_greedy(params, ids, mask, pix, max_new_tokens=128, cache_dtype=jnp.float32)
+    orig = model.attention_impl
+    model.attention_impl = "pallas"
+    try:
+        out_pallas = model.generate_greedy(params, ids, mask, pix, max_new_tokens=128, cache_dtype=jnp.float32)
+    finally:
+        model.attention_impl = orig
+    np.testing.assert_array_equal(np.asarray(out_xla), np.asarray(out_pallas))
+
+
 def test_trainable_mask_stages(tiny_vlm):
     model, params = tiny_vlm
     m_align = model.trainable_mask(params, "align")
