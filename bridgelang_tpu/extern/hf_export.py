@@ -31,6 +31,14 @@ def _np(w) -> np.ndarray:
 
 
 def export_llm_state_dict(llm: Dict[str, Any], prefix: str = "language_model.") -> Dict[str, np.ndarray]:
+    import jax
+    import jax.numpy as jnp
+
+    if any(x.dtype == jnp.int8 for x in jax.tree_util.tree_leaves(llm)):
+        # int8 codes are meaningless without their scales; export real weights.
+        from bridgelang_tpu.ops.quant import dequantize_llm_int8
+
+        llm = dequantize_llm_int8(llm)
     out: Dict[str, np.ndarray] = {
         prefix + "model.embed_tokens.weight": _np(llm["embed"]),
         prefix + "model.norm.weight": _np(llm["final_norm"]),

@@ -130,6 +130,27 @@ def init_llm_params_int8(key, cfg) -> Params:
     }
 
 
+def dequantize_llm_int8(llm_params: Params, dtype: jnp.dtype = jnp.bfloat16) -> Params:
+    """Inverse of quantize_llm_int8: codes * scale back to `dtype`, dropping
+    the `*_scale` leaves. Used before checkpoint export / LoRA merge so int8
+    codes are never mistaken for real weights."""
+    out = dict(llm_params)
+    layers = dict(llm_params["layers"])
+    for name in [n for n in layers if not n.endswith("_scale")]:
+        w = layers[name]
+        if w.dtype == jnp.int8:
+            scale = layers.pop(name + "_scale")
+            layers[name] = (w.astype(jnp.float32) * scale.astype(jnp.float32)).astype(dtype)
+    out["layers"] = layers
+    if out["embed"].dtype == jnp.int8:
+        scale = out.pop("embed_scale")
+        out["embed"] = (out["embed"].astype(jnp.float32) * scale.astype(jnp.float32)).astype(dtype)
+    if out["lm_head"].dtype == jnp.int8:
+        scale = out.pop("lm_head_scale")
+        out["lm_head"] = (out["lm_head"].astype(jnp.float32) * scale.astype(jnp.float32)).astype(dtype)
+    return out
+
+
 def quantized_bytes(params: Params) -> int:
     import jax
 

@@ -60,19 +60,27 @@ def add_lora_params(
 
 def merge_lora(llm_params: Params) -> Params:
     """Fold adapters into base weights and drop the LoRA leaves
-    (reference merge_and_unload, finetune.py:335-361)."""
-    layers = dict(llm_params["layers"])
-    merged = {}
-    for name, w in list(layers.items()):
-        if name.endswith("_lora_a") or name.endswith("_lora_b"):
-            continue
+    (reference merge_and_unload, finetune.py:335-361). int8 bases (the QLoRA
+    analogue, scripts/finetune.py --use_quantization) dequantize with their
+    sibling `*_scale` leaf before the add and requantize after — adding fp32
+    deltas to raw int8 codes would corrupt the weights."""
+    from bridgelang_tpu.ops.quant import _quantize_tensor
+
+    layers = llm_params["layers"]
+    merged = {k: v for k, v in layers.items() if not (k.endswith("_lora_a") or k.endswith("_lora_b"))}
+    for name in [n for n in merged if not n.endswith("_scale")]:
         a = layers.get(name + "_lora_a")
         b = layers.get(name + "_lora_b")
-        if a is not None and b is not None:
-            delta = jnp.einsum("lir,lro->lio", a.astype(jnp.float32), b.astype(jnp.float32))
-            merged[name] = (w.astype(jnp.float32) + delta).astype(w.dtype)
+        if a is None or b is None:
+            continue
+        delta = jnp.einsum("lir,lro->lio", a.astype(jnp.float32), b.astype(jnp.float32))
+        w = merged[name]
+        if w.dtype == jnp.int8:
+            w32 = w.astype(jnp.float32) * merged[name + "_scale"].astype(jnp.float32)
+            q, scale = _quantize_tensor(w32 + delta, axis=1)
+            merged[name], merged[name + "_scale"] = q, scale
         else:
-            merged[name] = w
+            merged[name] = (w.astype(jnp.float32) + delta).astype(w.dtype)
     out = dict(llm_params)
     out["layers"] = merged
     return out

@@ -51,6 +51,7 @@ def make_dataset_from_rlds(
     image_obs_keys: Mapping[str, Optional[str]] = None,
     depth_obs_keys: Mapping[str, Optional[str]] = None,
     proprio_obs_key: Optional[str] = None,
+    state_obs_keys: Optional[Sequence[Optional[str]]] = None,
     language_key: Optional[str] = None,
     action_proprio_normalization_type: NormalizationType = NormalizationType.BOUNDS_Q99,
     dataset_statistics: Optional[Union[str, Dict[str, Any]]] = None,
@@ -90,7 +91,18 @@ def make_dataset_from_rlds(
                 new_obs[f"depth_{new}"] = tf.repeat("", traj_len)
             else:
                 new_obs[f"depth_{new}"] = old_obs[old]
-        if proprio_obs_key is not None:
+        if state_obs_keys:
+            # Concatenate raw state keys into one proprio vector, zero-padding
+            # each None slot with one dim (reference dataset.py:157-167).
+            new_obs["proprio"] = tf.concat(
+                [
+                    tf.zeros((traj_len, 1), dtype=tf.float32) if key is None
+                    else tf.cast(old_obs[key], tf.float32)
+                    for key in state_obs_keys
+                ],
+                axis=1,
+            )
+        elif proprio_obs_key is not None:
             new_obs["proprio"] = tf.cast(old_obs[proprio_obs_key], tf.float32)
 
         task = {}
@@ -129,6 +141,7 @@ def make_dataset_from_rlds(
         builder = _get_builder(name, data_dir)
 
     split = "train" if train else ("val" if _has_split(builder, "val") else "train[:5%]")
+    unsharded_trajs = None  # statistics source (must span ALL hosts' data)
     if callable(builder) and not hasattr(builder, "as_dataset"):
         dataset = builder(split)
     else:
@@ -146,13 +159,18 @@ def make_dataset_from_rlds(
         kwargs = dict(split=split, shuffle_files=shuffle and train)
         if read_config is not None:
             kwargs["read_config"] = read_config
-        dataset = builder.as_dataset(**kwargs)
+        episodes = builder.as_dataset(**kwargs)
         if shard_by_process:
             import jax
 
             if jax.process_count() > 1:
-                dataset = dataset.shard(jax.process_count(), jax.process_index())
-        dataset = episodes_to_trajs(dataset)
+                # Training shards per host, but statistics must NOT: every
+                # host has to normalize with identical full-dataset stats and
+                # the dataset_statistics.json sidecar must describe the whole
+                # dataset (reference computes stats before any sharding).
+                unsharded_trajs = episodes_to_trajs(episodes)
+                episodes = episodes.shard(jax.process_count(), jax.process_index())
+        dataset = episodes_to_trajs(episodes)
 
     dataset = dataset.map(restructure, num_parallel_calls=num_parallel_calls)
 
@@ -166,8 +184,12 @@ def make_dataset_from_rlds(
             str(split),
             inspect.getsource(standardize_fn) if standardize_fn is not None else "",
             str(proprio_obs_key),
+            str(state_obs_keys),
         ]
-        dataset_statistics = get_dataset_statistics(dataset, hash_dependencies=deps)
+        stats_source = dataset
+        if unsharded_trajs is not None:
+            stats_source = unsharded_trajs.map(restructure, num_parallel_calls=num_parallel_calls)
+        dataset_statistics = get_dataset_statistics(stats_source, hash_dependencies=deps)
     dataset_statistics = _tree_np(dataset_statistics)
 
     # Gripper (and any masked-off dims) are excluded from normalization

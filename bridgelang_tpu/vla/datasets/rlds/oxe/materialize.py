@@ -65,7 +65,14 @@ def make_oxe_dataset_kwargs(
         "action_normalization_mask": action_normalization_mask,
     }
     if load_proprio:
-        kwargs["proprio_obs_key"] = "proprio"
+        # Assemble proprio by concatenating the config's raw state keys with
+        # one zero-pad dim per None slot (reference materialize.py:49-63 +
+        # dataset.py:157-167); fall back to a pre-merged "proprio" key for
+        # configs that don't declare state_obs_keys.
+        if cfg.state_obs_keys:
+            kwargs["state_obs_keys"] = list(cfg.state_obs_keys)
+        else:
+            kwargs["proprio_obs_key"] = "proprio"
     return kwargs
 
 
@@ -84,7 +91,10 @@ def get_oxe_dataset_kwargs_and_weights(
     seen = set()
     for name, weight in mixture_spec:
         if name in seen:
-            raise ValueError(f"Duplicate dataset {name!r} in mixture")
+            # First occurrence wins (reference materialize.py:102-109 — the
+            # rtx_franka mixture repeats shared RT-X entries on purpose).
+            logger.warning("Skipping duplicate dataset %r", name)
+            continue
         seen.add(name)
         if name not in OXE_DATASET_CONFIGS or name not in OXE_STANDARDIZATION_TRANSFORMS:
             logger.warning("Skipping unregistered dataset %r", name)

@@ -40,7 +40,9 @@ def to_padding(tensor: tf.Tensor) -> tf.Tensor:
 def binarize_gripper_actions(actions: tf.Tensor) -> tf.Tensor:
     """Continuous gripper [0,1] -> binary {0,1}, resolving intermediate values
     by looking AHEAD to the next definitive (open/closed) position — a reverse
-    scan (reference data_utils.py; semantics must match so bridge-style
+    scan seeded with the trajectory's LAST action, so a trajectory that ends
+    mid-transition keeps its final value instead of being relabeled closed
+    (reference data_utils.py:106-135; semantics must match so bridge-style
     datasets train identically)."""
     open_mask = actions > 0.95
     closed_mask = actions < 0.05
@@ -50,7 +52,7 @@ def binarize_gripper_actions(actions: tf.Tensor) -> tf.Tensor:
     def scan_fn(carry, i):
         return tf.cond(in_between[i], lambda: tf.cast(carry, tf.float32), lambda: is_open_float[i])
 
-    return tf.scan(scan_fn, tf.range(tf.shape(actions)[0]), tf.zeros_like(actions[-1]), reverse=True)
+    return tf.scan(scan_fn, tf.range(tf.shape(actions)[0]), actions[-1], reverse=True)
 
 
 def invert_gripper_actions(actions: tf.Tensor) -> tf.Tensor:
@@ -112,24 +114,23 @@ def normalize_action_and_proprio(
             fn = lambda x, s=stats: (x - s["mean"]) / (s["std"] + 1e-8)  # noqa: E731
         elif normalization_type == NormalizationType.BOUNDS:
             fn = lambda x, s=stats: tf.clip_by_value(  # noqa: E731
-                2.0 * (x - s["min"]) / tf.maximum(s["max"] - s["min"], 1e-8) - 1.0, -1.0, 1.0
+                2.0 * (x - s["min"]) / (s["max"] - s["min"] + 1e-8) - 1.0, -1.0, 1.0
             )
         elif normalization_type == NormalizationType.BOUNDS_Q99:
             fn = lambda x, s=stats: tf.clip_by_value(  # noqa: E731
-                2.0 * (x - s["q01"]) / tf.maximum(s["q99"] - s["q01"], 1e-8) - 1.0, -1.0, 1.0
+                2.0 * (x - s["q01"]) / (s["q99"] - s["q01"] + 1e-8) - 1.0, -1.0, 1.0
             )
         else:
             raise ValueError(f"Unknown normalization {normalization_type}")
 
-        # Degenerate dims (q01 == q99 / min == max) normalize to zero:
-        if normalization_type in (NormalizationType.BOUNDS, NormalizationType.BOUNDS_Q99):
-            lo = stats["min"] if normalization_type == NormalizationType.BOUNDS else stats["q01"]
-            hi = stats["max"] if normalization_type == NormalizationType.BOUNDS else stats["q99"]
-            degenerate = tf.constant((np.asarray(hi) - np.asarray(lo)) == 0.0)
-            base_fn = fn
-            fn = lambda x, b=base_fn, d=degenerate: tf.where(d, tf.zeros_like(x), b(x))  # noqa: E731
-
         normalized = apply(target, mask, fn)
+        # Unused dims (min == max over the whole dataset) map to zero — keyed
+        # on min/max for BOTH bounds modes and applied regardless of `mask`,
+        # matching reference data_utils.py:95-99 (a q01==q99 dim with
+        # min != max is NOT zeroed; it normalizes to clipped +/-1).
+        if normalization_type in (NormalizationType.BOUNDS, NormalizationType.BOUNDS_Q99):
+            degenerate = tf.constant(np.asarray(stats["min"]) == np.asarray(stats["max"]))
+            normalized = tf.where(degenerate, tf.zeros_like(normalized), normalized)
         if traj_key == "proprio":
             out["observation"] = dict(out["observation"], proprio=normalized)
         else:

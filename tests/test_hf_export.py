@@ -27,6 +27,23 @@ def test_llm_roundtrip():
                                    atol=1e-6, err_msg=key)
 
 
+def test_export_int8_llm_dequantizes():
+    """Exporting int8 serving weights must write codes * scale, never raw
+    codes (ADVICE.md — round 1 wrote int8 codes as float32)."""
+    from bridgelang_tpu.ops.quant import dequantize_llm_int8, quantize_llm_int8
+
+    llm = init_llm_params(jax.random.key(0), TINY_LLM)
+    qllm = quantize_llm_int8(llm)
+    sd_q = export_llm_state_dict(qllm)
+    sd_deq = export_llm_state_dict(dequantize_llm_int8(qllm, dtype=jnp.float32))
+    assert set(sd_q) == set(sd_deq)
+    for k in sd_q:
+        np.testing.assert_allclose(sd_q[k], sd_deq[k], atol=1e-3, err_msg=k)
+    # sanity: dequantized embed is close to the original fp weights
+    np.testing.assert_allclose(sd_q["language_model.model.embed_tokens.weight"],
+                               np.asarray(llm["embed"]), atol=2e-3)
+
+
 def test_export_checkpoint_loads_back(tmp_path):
     orig = vlm_mod.build_vision_backbone
     vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)

@@ -175,7 +175,72 @@ def test_gripper_relabel_helpers():
     assert (hold == 1.0).all()
 
 
-def test_allocate_threads_proportional():
+def test_binarize_trailing_intermediate_keeps_last_action():
+    """A trajectory ending mid-transition keeps its final value — the reverse
+    scan seeds with actions[-1], not 0 (reference data_utils.py:113-125;
+    round 1 relabeled these 'closed', ADVICE.md)."""
+    acts = tf.constant([0.0, 0.98, 0.5, 0.6], tf.float32)
+    out = binarize_gripper_actions(acts).numpy()
+    assert out[0] == 0.0 and out[1] == 1.0
+    np.testing.assert_allclose(out[2:], [0.6, 0.6])
+
+
+def test_degenerate_dim_zeroing_keyed_on_min_max():
+    """Zeroing is keyed on min == max for BOTH bounds modes: a dim with
+    q01 == q99 but min != max normalizes to clipped values, it is NOT zeroed
+    (reference data_utils.py:95-99; ADVICE.md)."""
+    from bridgelang_tpu.vla.datasets.rlds.utils.data_utils import normalize_action_and_proprio
+
+    # dim0: nearly-constant (q01 == q99 == 0, min/max differ) -> clipped, not zeroed
+    # dim1: strictly constant (min == max) -> zeroed
+    # dim2: normal
+    meta = {"action": {
+        "q01": np.array([0.0, 5.0, -1.0], np.float32),
+        "q99": np.array([0.0, 5.0, 1.0], np.float32),
+        "min": np.array([-1.0, 5.0, -2.0], np.float32),
+        "max": np.array([2.0, 5.0, 2.0], np.float32),
+        "mask": np.array([True, True, True]),
+    }}
+    traj = {"observation": {}, "action": tf.constant([[0.5, 5.0, 0.5]], tf.float32)}
+    out = normalize_action_and_proprio(traj, meta, NormalizationType.BOUNDS_Q99)["action"].numpy()
+    assert out[0, 0] == 1.0, "q01==q99 with min!=max must clip to +1, not zero"
+    assert out[0, 1] == 0.0, "min==max dims must map to zero"
+    np.testing.assert_allclose(out[0, 2], 0.5, atol=1e-5)
+
+
+def test_state_obs_keys_concat_with_zero_pad():
+    """Multi-key proprio assembly: concat state_obs_keys with one zero dim per
+    None slot (reference dataset.py:157-167; round 1 only accepted a single
+    pre-merged key)."""
+    t = 6
+    rng = np.random.default_rng(3)
+    jpeg = tf.io.encode_jpeg(tf.cast(rng.integers(0, 255, (16, 16, 3)), tf.uint8)).numpy()
+    eef = rng.normal(size=(t, 6)).astype(np.float32)
+    grip = rng.uniform(0, 1, size=(t, 1)).astype(np.float32)
+    traj = {
+        "observation": {"image_0": np.array([jpeg] * t), "EEF_state": eef, "gripper_state": grip},
+        "action": rng.uniform(-0.5, 0.5, size=(t, 7)).astype(np.float32),
+        "language_instruction": np.array([b"x"] * t),
+    }
+
+    def gen():
+        yield traj
+
+    spec = tf.nest.map_structure(lambda x: tf.TensorSpec(x.shape, tf.as_dtype(x.dtype)), traj)
+    ds, stats = make_dataset_from_rlds(
+        train=True,
+        name="multi_key_ds",
+        builder=lambda split: tf.data.Dataset.from_generator(gen, output_signature=spec),
+        image_obs_keys={"primary": "image_0"},
+        state_obs_keys=["EEF_state", None, "gripper_state"],
+        language_key="language_instruction",
+    )
+    out = next(iter(ds.as_numpy_iterator()))
+    proprio = out["observation"]["proprio"]
+    assert proprio.shape == (t, 8)  # 6 + 1 pad + 1
+    assert (proprio[:, 6] == 0.0).all()  # the None slot (pad dim is min==max -> zeroed anyway)
+    assert "proprio" in stats  # statistics computed over the assembled vector
+    assert len(stats["proprio"]["mean"]) == 8
     alloc = allocate_threads(16, np.array([0.5, 0.3, 0.2]))
     assert alloc.sum() == 16 and (alloc >= 1).all()
     alloc2 = allocate_threads(3, np.array([0.9, 0.05, 0.05]))

@@ -60,6 +60,38 @@ def test_lora_changes_output_after_b_update_and_merge_matches():
     np.testing.assert_allclose(np.asarray(merged_out), np.asarray(adapted), atol=1e-4)
 
 
+def test_lora_merge_int8_base_applies_scales():
+    """QLoRA-analogue merge: int8 base weights dequantize (codes * scale)
+    before the delta add and requantize after (ADVICE.md — round 1 added fp32
+    deltas to raw int8 codes, corrupting every exported checkpoint)."""
+    from bridgelang_tpu.ops.quant import dequantize_llm_int8, quantize_llm_int8
+
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    qparams = quantize_llm_int8(params)
+    lora_q = add_lora_params(jax.random.key(1), qparams, rank=4)
+    layers = dict(lora_q["layers"])
+    layers["wq_lora_b"] = layers["wq_lora_b"] + 0.05
+    lora_q = dict(lora_q, layers=layers)
+
+    merged_q = merge_lora(lora_q)
+    assert merged_q["layers"]["wq"].dtype == jnp.int8
+    assert "wq_lora_a" not in merged_q["layers"]
+
+    # Ground truth: merge in float on the dequantized base.
+    deq = dequantize_llm_int8(qparams, dtype=jnp.float32)
+    lora_f = dict(deq, layers=dict(deq["layers"],
+                                   wq_lora_a=layers["wq_lora_a"], wq_lora_b=layers["wq_lora_b"]))
+    expect = merge_lora(lora_f)["layers"]["wq"]
+
+    got = dequantize_llm_int8(merged_q, dtype=jnp.float32)["layers"]["wq"]
+    # requantization error only: bounded by one int8 step of the new absmax
+    step = np.abs(np.asarray(expect)).max(axis=1, keepdims=True) / 127.0
+    assert (np.abs(np.asarray(got) - np.asarray(expect)) <= step + 1e-6).all()
+    # un-adapted matrices keep their original codes + scales
+    np.testing.assert_array_equal(np.asarray(merged_q["layers"]["wk"]), np.asarray(qparams["layers"]["wk"]))
+    np.testing.assert_array_equal(np.asarray(merged_q["layers"]["wk_scale"]), np.asarray(qparams["layers"]["wk_scale"]))
+
+
 def test_lora_trainable_mask_selects_only_adapters():
     params = init_llm_params(jax.random.key(0), TINY_LLM)
     lora_params = add_lora_params(jax.random.key(1), params, rank=4)

@@ -135,3 +135,55 @@ def test_episodic_dataset_yields_whole_trajectories():
     # bridge-style relabel in the libero transform keeps all 6 steps (no drop)
     assert len(episodes[0]) == 6
     assert episodes[0][0]["input_ids"][-1] == EOS_TOKEN_ID
+
+
+# --- OXE registry parity ---------------------------------------------------
+
+
+def test_oxe_named_mixtures_cover_reference():
+    """All 18 reference mixtures (reference oxe/mixtures.py:11-210) must be
+    registered; every mixture dataset must have a config + transform."""
+    from bridgelang_tpu.vla.datasets.rlds.oxe.configs import OXE_DATASET_CONFIGS
+    from bridgelang_tpu.vla.datasets.rlds.oxe.mixtures import OXE_NAMED_MIXTURES
+    from bridgelang_tpu.vla.datasets.rlds.oxe.transforms import OXE_STANDARDIZATION_TRANSFORMS
+
+    reference_mixtures = {
+        "bridge", "rtx", "rtx_franka", "oxe_magic_soup", "oxe_magic_soup_plus",
+        "oxe_magic_soup_plus_minus", "bridge_rt_1",
+        "tdroid_carrot_in_bowl", "tdroid_pour_corn_in_pot", "tdroid_flip_pot_upright",
+        "tdroid_move_object_onto_plate", "tdroid_knock_object_over",
+        "tdroid_cover_object_with_towel", "droid_wipe",
+        "libero_spatial_no_noops", "libero_object_no_noops", "libero_goal_no_noops",
+        "libero_10_no_noops",
+    }
+    assert reference_mixtures <= set(OXE_NAMED_MIXTURES)
+    for mix, spec in OXE_NAMED_MIXTURES.items():
+        for name, weight in spec:
+            assert name in OXE_DATASET_CONFIGS, (mix, name)
+            assert name in OXE_STANDARDIZATION_TRANSFORMS, (mix, name)
+            assert weight > 0
+
+
+def test_rtx_franka_duplicates_first_wins():
+    """rtx_franka repeats shared RT-X entries on purpose; materialize keeps
+    the FIRST occurrence's weight (reference materialize.py:102-109)."""
+    from bridgelang_tpu.vla.datasets.rlds.oxe.materialize import (
+        get_oxe_dataset_kwargs_and_weights,
+        resolve_mixture,
+    )
+
+    spec = resolve_mixture("rtx_franka")
+    kwargs_list, weights = get_oxe_dataset_kwargs_and_weights("/data", spec)
+    names = [k["name"] for k in kwargs_list]
+    assert len(names) == len(set(names))
+    assert weights[names.index("taco_play")] == 2.0  # first occurrence's weight
+
+
+def test_make_oxe_kwargs_emits_state_obs_keys():
+    from bridgelang_tpu.vla.datasets.rlds.oxe.materialize import make_oxe_dataset_kwargs
+
+    kw = make_oxe_dataset_kwargs("bridge_orig", "/data", load_proprio=True)
+    assert kw["state_obs_keys"] == ["EEF_state", None, "gripper_state"]
+    assert "proprio_obs_key" not in kw
+    kw2 = make_oxe_dataset_kwargs("bridge_orig", "/data", load_proprio=False)
+    assert "state_obs_keys" not in kw2
