@@ -44,7 +44,8 @@ class ViTConfig:
     # else it covers [cls] + patches (CLIP/IN1K style).
     no_embed_class: bool = False
     layerscale_init: Optional[float] = None
-    # "gelu" (exact, DINOv2/SigLIP) or "quick_gelu" (CLIP: x*sigmoid(1.702x))
+    # "gelu" (exact, DINOv2/IN1K), "gelu_tanh" (SigLIP — big_vision's jax
+    # nn.gelu default and HF's gelu_pytorch_tanh), or "quick_gelu" (CLIP)
     act: str = "gelu"
     # CLIP applies a LayerNorm right after patch embedding (timm `pre_norm`).
     pre_norm: bool = False
@@ -76,14 +77,15 @@ VIT_CONFIGS: Dict[str, ViTConfig] = {
         image_size=224, patch_size=14, width=1024, depth=24, num_heads=16, mlp_dim=4096,
         use_cls_token=True, num_reg_tokens=4, no_embed_class=True, layerscale_init=1e-5,
     ),
-    # vit_so400m_patch14_siglip_224
+    # vit_so400m_patch14_siglip_224 — SigLIP was trained with tanh-approx
+    # GELU (big_vision nn.gelu default; HF gelu_pytorch_tanh)
     "siglip-vit-so400m": ViTConfig(
         image_size=224, patch_size=14, width=1152, depth=27, num_heads=16, mlp_dim=4304,
-        use_cls_token=False,
+        use_cls_token=False, act="gelu_tanh",
     ),
     "siglip-vit-so400m-384px": ViTConfig(
         image_size=384, patch_size=14, width=1152, depth=27, num_heads=16, mlp_dim=4304,
-        use_cls_token=False,
+        use_cls_token=False, act="gelu_tanh",
     ),
     # vit_large_patch14_clip_224.openai / _336
     "clip-vit-l": ViTConfig(
@@ -105,6 +107,8 @@ VIT_CONFIGS: Dict[str, ViTConfig] = {
 def _act(name: str):
     if name == "gelu":
         return partial(jax.nn.gelu, approximate=False)
+    if name == "gelu_tanh":
+        return partial(jax.nn.gelu, approximate=True)
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
     raise ValueError(f"Unknown activation {name!r}")
