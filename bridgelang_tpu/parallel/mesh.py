@@ -30,11 +30,25 @@ from jax.sharding import Mesh
 MESH_AXES = ("replica", "fsdp", "tensor")
 
 
-def initialize_distributed(coordinator_address: Optional[str] = None) -> None:
-    """Multi-host bootstrap (call once per process before device use).
-    Equivalent of torchrun env-var setup; no-op single-host."""
-    if jax.process_count() > 1 or os.environ.get("JAX_COORDINATOR_ADDRESS") or coordinator_address:
-        jax.distributed.initialize(coordinator_address=coordinator_address)
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap (call once per process BEFORE any device use —
+    probing jax.process_count() here would initialize the backend and break
+    the distributed init). Equivalent of torchrun env-var setup; topology
+    comes from args or JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID (TPU pods auto-detect with no env at all). No-op when no
+    coordinator is configured (single-host)."""
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None and num_processes is None:
+        return
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=addr, num_processes=num_processes, process_id=process_id)
 
 
 def parse_mesh_shape(spec: Optional[str], n_devices: int) -> Tuple[int, int, int]:

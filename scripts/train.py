@@ -42,6 +42,7 @@ class TrainConfig:
     seed: int = 7
     max_steps_override: Optional[int] = None
     profile_dir: Optional[str] = None  # write a jax.profiler trace of steps 10-12
+    log_interval: int = 10  # device->host metric sync only every N steps
 
 
 def main(cfg: TrainConfig) -> None:
@@ -175,7 +176,7 @@ def main(cfg: TrainConfig) -> None:
             ckpt.save(_LAST_STATE[0], step=step, epoch=0, loss=0.0)
         raise
     if _LAST_STATE[0] is not None:
-        ckpt.save(_LAST_STATE[0], step=step, epoch=0, loss=_LAST_LOSS[0])
+        ckpt.save(_LAST_STATE[0], step=step, epoch=0, loss=float(_LAST_LOSS[0]))
     metrics.finalize()
     overwatch.info("Training complete at step %d", step)
 
@@ -190,7 +191,37 @@ def _train_loop(cfg, vla, ocfg, dataset, step_fn, state, metrics, ckpt, mesh, sh
     import jax.numpy as jnp
     import numpy as np
 
+    from bridgelang_tpu.training.trainer import make_lr_schedule
+
+    lr_schedule = make_lr_schedule(ocfg)
     _LAST_STATE[0] = state
+    # Per-step metrics stay ON DEVICE; device->host sync happens only at flush
+    # (the reference syncs every step via .cpu().numpy(), base_strategy.py:323-329
+    # — a pattern this framework's docstrings criticize, so don't repeat it).
+    pending = []  # [(global_step, device_metric_pytree, dataset_names)]
+
+    def flush():
+        for s, dm, names in jax.device_get(pending):
+            metrics.commit(
+                global_step=s,
+                loss=float(dm["loss"]),
+                action_accuracy=float(dm["action_accuracy"]),
+                l1_loss=float(dm["l1_loss"]),
+                grad_norm=float(dm["grad_norm"]),
+                lr=float(lr_schedule(s)),  # the SCHEDULED value, not the peak
+            )
+            ex_acc = np.asarray(dm["per_example_accuracy"])
+            ex_l1 = np.asarray(dm["per_example_l1"])
+            for name in set(names):
+                idx = [i for i, n in enumerate(names) if n == name]
+                metrics.commit_for_dataset(
+                    name,
+                    action_accuracy=float(ex_acc[idx].mean()),
+                    l1_loss=float(ex_l1[idx].mean()),
+                )
+        pending.clear()
+
+    m = None
     for batch in dataset:
         if step >= total_steps:
             break
@@ -209,39 +240,26 @@ def _train_loop(cfg, vla, ocfg, dataset, step_fn, state, metrics, ckpt, mesh, sh
             _prof_cm.__enter__()
         state, m = step_fn(state, device_batch)
         _LAST_STATE[0] = state
-        _LAST_LOSS[0] = float(m["loss"])
+        _LAST_LOSS[0] = m["loss"]  # device array; converted lazily at save time
         step += 1
         if cfg.profile_dir and step == 12:
             jax.block_until_ready(m["loss"])
             _prof_cm.__exit__(None, None, None)
             overwatch.info("Wrote profiler trace to %s", cfg.profile_dir)
 
-        metrics.commit(
-            global_step=step,
-            loss=float(m["loss"]),
-            action_accuracy=float(m["action_accuracy"]),
-            l1_loss=float(m["l1_loss"]),
-            grad_norm=float(m["grad_norm"]),
-            lr=float(ocfg.learning_rate),
-        )
-        ex_acc = np.asarray(m["per_example_accuracy"])
-        ex_l1 = np.asarray(m["per_example_l1"])
-        for name in set(dataset_names):
-            idx = [i for i, n in enumerate(dataset_names) if n == name]
-            metrics.commit_for_dataset(
-                name,
-                action_accuracy=float(ex_acc[idx].mean()),
-                l1_loss=float(ex_l1[idx].mean()),
-            )
-        if step % 10 == 0:
+        pending.append((step, m, dataset_names))
+        if step % cfg.log_interval == 0:
+            flush()
             overwatch.info(metrics.push())
 
         if step % vla.save_interval == 0:
             # NOTE: every process participates — Orbax coordinates the
             # sharded write (rank-0-only gating would deadlock a pod).
+            flush()
             ckpt.save(state, step=step, epoch=0, loss=float(m["loss"]))
             overwatch.info("Saved checkpoint at step %d (%.1fs)", step, time.time() - t_last)
             t_last = time.time()
+    flush()
     return step
 
 

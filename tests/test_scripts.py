@@ -86,3 +86,60 @@ def test_convert_weights_config_parses():
     mod = _load("convert_weights")
     cfg = parse_cli(mod.ConvertConfig, ["--direction", "to_hf", "--run_dir", "runs/x"])
     assert cfg.run_dir == "runs/x"
+
+
+def test_train_loop_buffers_metrics_and_logs_scheduled_lr(tmp_path):
+    """The hot loop must not sync device->host every step, and the logged lr
+    must be the SCHEDULED value at each step, not the constant peak
+    (VERDICT round 1, Weak #5)."""
+    import json
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from bridgelang_tpu.training.metrics import VLAMetrics, build_trackers
+    from bridgelang_tpu.training.trainer import OptimConfig, make_lr_schedule
+
+    train = _load("train")
+
+    total_steps = 7
+    ocfg = OptimConfig(learning_rate=1e-3, lr_scheduler_type="linear-warmup+cosine-decay",
+                       warmup_ratio=0.5, total_steps=total_steps * 2)
+    cfg = types.SimpleNamespace(profile_dir=None, log_interval=3)
+    vla = types.SimpleNamespace(save_interval=10_000)
+
+    def step_fn(state, batch):
+        b = batch["input_ids"].shape[0]
+        m = {
+            "loss": jnp.float32(1.5), "action_accuracy": jnp.float32(0.5),
+            "l1_loss": jnp.float32(0.1), "grad_norm": jnp.float32(2.0),
+            "per_example_accuracy": jnp.zeros((b,)), "per_example_l1": jnp.zeros((b,)),
+        }
+        return state + 1, m
+
+    def dataset():
+        while True:
+            yield {"input_ids": np.zeros((2, 4), np.int32), "dataset_names": ["a", "b"]}
+
+    class NoCkpt:
+        def save(self, *a, **k):
+            raise AssertionError("save_interval not reached")
+
+    metrics = VLAMetrics(build_trackers(["jsonl"], "t", tmp_path, {}), "t", is_rank_zero=True)
+    end = train._train_loop(cfg, vla, ocfg, dataset(), step_fn, 0, metrics, NoCkpt(),
+                            mesh=None, sharding=None, step=0, total_steps=total_steps, t_last=0.0)
+    assert end == total_steps
+    metrics.finalize()
+
+    # Every step's metrics were committed (buffered flushes drop nothing,
+    # including the tail past the last log_interval boundary)...
+    assert len(metrics.windows["loss"]) == total_steps
+    # ...and the lr window holds the SCHEDULED per-step values, not the peak.
+    sched = make_lr_schedule(ocfg)
+    expected = [float(sched(s)) for s in range(1, total_steps + 1)]
+    assert list(metrics.windows["lr"]) == expected
+    assert len(set(expected)) > 1  # warmup makes the schedule actually vary
+    # trackers got pushed smoothed windows at the log_interval boundaries
+    lines = [json.loads(ln) for ln in (tmp_path / "t.jsonl").read_text().splitlines()]
+    assert {ln["step"] for ln in lines if "train/lr" in ln} == {3, 6}
