@@ -256,12 +256,17 @@ def make_vla_train_step(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     image_transform=None,
     remat: bool = True,
+    grad_dtype: jnp.dtype = jnp.float32,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jittable VLA train step. Batch keys: input_ids,
     attention_mask, labels, and either pre-normalized `pixel_values` or raw
     uint8 `frames` [B, H, W, 3] — with `image_transform` given, normalization
     runs ON DEVICE inside this jitted step (the reference normalizes per-frame
-    in host torch transforms, datasets.py:42-47)."""
+    in host torch transforms, datasets.py:42-47).
+
+    `grad_dtype` is the dtype gradients are kept in for clip+update: fp32
+    matches the reference's reduce_in_full_precision=True; bf16 its bf16
+    gradient-reduce mode (fsdp.py:140-148) and halves gradient memory."""
     _, bin_centers = make_bins(n_action_bins)
     vocab_size = model.cfg.llm.vocab_size
     action_begin = vocab_size - (n_action_bins + 1)
@@ -292,7 +297,7 @@ def make_vla_train_step(
     def train_step(state: TrainState, batch):
         if leaf_trainable is None:
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
-            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+            grads = jax.tree.map(lambda g: g.astype(grad_dtype), grads)
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             gnorm = optax.global_norm(grads)
@@ -309,7 +314,7 @@ def make_vla_train_step(
         (loss, metrics), grads = jax.value_and_grad(loss_on_trainable, has_aux=True)(trainable, batch)
         # Partially-trainable leaves (e.g. last-layer stage) still need masking.
         mask_tr = jax.tree.map(lambda m, t: m if t else None, trainable_mask, leaf_trainable)
-        grads = jax.tree.map(lambda g, m: (g * jnp.asarray(m, g.dtype)).astype(jnp.float32), grads, mask_tr)
+        grads = jax.tree.map(lambda g, m: (g * jnp.asarray(m, g.dtype)).astype(grad_dtype), grads, mask_tr)
         updates, new_opt = optimizer.update(grads, state.opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
         new_params = combine_params(new_trainable, frozen)

@@ -101,3 +101,38 @@ def test_greedy_decode_matches_hf(hf_model):
         out.append(tok)
 
     np.testing.assert_array_equal(np.asarray(out), hf_out)
+
+
+def test_w8a8_quantized_logits_track_fp(hf_model):
+    """The w8a8 serving mode (per-token activation quant onto the int8 MXU)
+    must track the fp32 logits closely enough that greedy decode agrees —
+    the validation gating its use for bench prefill (VERDICT round 1, #3)."""
+    import dataclasses
+
+    from bridgelang_tpu.ops.quant import quantize_llm_int8
+
+    params = _convert(hf_model)
+    qparams = quantize_llm_int8(params)
+    cfg8 = dataclasses.replace(TINY, w8a8=True)
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, 127, size=(2, 12))
+    x = embed_tokens(params, jnp.asarray(ids))
+    pos = jnp.broadcast_to(jnp.arange(12), (2, 12))
+    causal = jnp.broadcast_to(
+        (jnp.arange(12)[None, :] <= jnp.arange(12)[:, None])[None, None], (2, 1, 12, 12)
+    )
+    h_fp, _ = llm_forward(params, TINY, x, pos, causal)
+    logits_fp = np.asarray(lm_logits(params, h_fp, TINY), np.float32)
+
+    xq = embed_tokens(qparams, jnp.asarray(ids), dtype=jnp.float32)
+    h_q, _ = llm_forward(qparams, cfg8, xq, pos, causal)
+    logits_q = np.asarray(lm_logits(qparams, h_q, TINY), np.float32)
+
+    # high cosine similarity per position and identical greedy argmax
+    a = logits_fp.reshape(-1, logits_fp.shape[-1])
+    b = logits_q.reshape(-1, logits_q.shape[-1])
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.999, cos.min()
+    agree = (a.argmax(-1) == b.argmax(-1)).mean()
+    assert agree >= 0.95, agree
