@@ -42,15 +42,9 @@ def main():
 
     # Persistent compilation cache: the 7B serving graph is a multi-minute
     # one-time compile on this backend; cache it across bench invocations.
-    import os
+    from bridgelang_tpu.util.compile_cache import enable_persistent_cache
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/bridgelang_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    enable_persistent_cache()
 
     from bridgelang_tpu.models.vla import OpenVLA
     from bridgelang_tpu.models.vlm import VLMConfig
@@ -350,17 +344,9 @@ def _train_bench(norm_stats):
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "train":
-        import os
+        from bridgelang_tpu.util.compile_cache import enable_persistent_cache
 
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/bridgelang_jax_cache")
-        import jax
-
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        except Exception:
-            pass
+        enable_persistent_cache()
         line = _train_bench({
             "bridge_orig": {"action": {
                 "q01": [-0.03, -0.05, -0.06, -0.13, -0.12, -0.43, 0.0],

@@ -1,0 +1,52 @@
+"""Persistent XLA compilation cache + serving warm-up.
+
+The 7B serving graph is a multi-minute one-time compile on this backend
+(remote compile service); restarts must not pay it again. Two pieces:
+
+  * `enable_persistent_cache()` — point jax at an on-disk compilation cache
+    (env JAX_COMPILATION_CACHE_DIR, default /tmp/bridgelang_jax_cache). With
+    a warm cache the full serving graph loads in seconds.
+  * `warmup_predict()` — trace+compile (or cache-load) the jitted
+    predict_action program at server startup with a dummy frame, so the
+    first robot request gets steady-state latency instead of the compile.
+
+The reference has no analogue (HF eager mode has no compile step; its cost
+shows up as slow per-call latency instead).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/bridgelang_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # noqa: BLE001 — cache is an optimization, never fatal
+        print(f"[compile-cache] unavailable: {e}", file=sys.stderr)
+    return cache_dir
+
+
+def warmup_predict(model, params, action_dim: int = 7) -> float:
+    """Run one dummy predict_action through the jitted path; returns seconds
+    spent (compile on a cold cache, cache load on a warm one)."""
+    import numpy as np
+
+    t0 = time.time()
+    frame = np.zeros((224, 224, 3), np.uint8)
+    try:
+        model.predict_action(params, frame, "warmup", unnorm_key=None)
+    except Exception:
+        # tiny dev models may use other resolutions; fall back to the model's
+        # own transform size
+        size = model.image_transform.towers[0].size
+        frame = np.zeros((size, size, 3), np.uint8)
+        model.predict_action(params, frame, "warmup", unnorm_key=None)
+    return time.time() - t0

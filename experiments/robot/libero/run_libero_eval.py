@@ -10,7 +10,9 @@ host against a remote TPU server via --remote_host, or install libero).
 
 from __future__ import annotations
 
+import os
 import sys
+import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
@@ -47,6 +49,13 @@ class LiberoEvalConfig:
     seed: int = 7
     resolution: int = 256
     video_out_dir: Optional[str] = None
+    # Observability (reference run_libero_eval.py:243-282): local txt log +
+    # optional Weights & Biases (gated import — not in the TPU image).
+    local_log_dir: str = "./experiments/logs"
+    run_id_note: Optional[str] = None
+    use_wandb: bool = False
+    wandb_project: str = "bridgelang-tpu-eval"
+    wandb_entity: Optional[str] = None
 
 
 def get_libero_image(obs, resolution: int):
@@ -72,6 +81,28 @@ def main(cfg: LiberoEvalConfig) -> None:
 
     suite = benchmark.get_benchmark_dict()[cfg.task_suite_name]()
     max_steps = TASK_MAX_STEPS[cfg.task_suite_name]
+
+    # Local + wandb logging (reference :243-282)
+    run_id = f"EVAL-{cfg.task_suite_name}-{cfg.model_family}-{time.strftime('%Y_%m_%d-%H_%M_%S')}"
+    if cfg.run_id_note:
+        run_id += f"--{cfg.run_id_note}"
+    os.makedirs(cfg.local_log_dir, exist_ok=True)
+    local_log_filepath = os.path.join(cfg.local_log_dir, run_id + ".txt")
+    log_file = open(local_log_filepath, "w")
+    print(f"Logging to local log file: {local_log_filepath}")
+    wandb_run = None
+    if cfg.use_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=cfg.wandb_project, entity=cfg.wandb_entity, name=run_id)
+        except ImportError:
+            print("wandb not installed; continuing with local logging only")
+
+    def log(msg: str) -> None:
+        print(msg)
+        log_file.write(msg + "\n")
+        log_file.flush()
 
     total_successes, total_episodes = 0, 0
     for task_id in range(suite.n_tasks):
@@ -105,11 +136,25 @@ def main(cfg: LiberoEvalConfig) -> None:
             task_successes += int(done)
             total_successes += int(done)
             total_episodes += 1
+            log(f"Success: {bool(done)} | episodes so far: {total_episodes} | "
+                f"successes: {total_successes} ({100.0 * total_successes / total_episodes:.1f}%)")
             if cfg.video_out_dir and frames:
                 _save_video(frames, Path(cfg.video_out_dir) / f"task{task_id}_ep{episode}_{'ok' if done else 'fail'}.mp4")
         env.close()
-        print(f"[task {task_id}] {task.language!r}: {task_successes}/{cfg.num_trials_per_task}")
-    print(f"TOTAL success rate: {total_successes}/{total_episodes} = {total_successes/max(total_episodes,1):.3f}")
+        task_rate = task_successes / max(cfg.num_trials_per_task, 1)
+        log(f"[task {task_id}] {task.language!r}: {task_successes}/{cfg.num_trials_per_task} = {task_rate:.3f}")
+        if wandb_run is not None:
+            wandb_run.log({
+                f"success_rate/{task.language}": task_rate,
+                f"num_episodes/{task.language}": cfg.num_trials_per_task,
+            })
+    total_rate = total_successes / max(total_episodes, 1)
+    log(f"TOTAL success rate: {total_successes}/{total_episodes} = {total_rate:.3f}")
+    log_file.close()
+    if wandb_run is not None:
+        wandb_run.log({"success_rate/total": total_rate, "num_episodes/total": total_episodes})
+        wandb_run.save(local_log_filepath)
+        wandb_run.finish()
 
 
 def _save_video(frames, path: Path) -> None:
@@ -117,7 +162,10 @@ def _save_video(frames, path: Path) -> None:
     try:
         import imageio
 
-        imageio.mimwrite(str(path), frames, fps=30)
+        try:
+            imageio.mimwrite(str(path), frames, fps=30)
+        except Exception:  # no ffmpeg plugin: GIF via pillow always works
+            imageio.mimwrite(str(path.with_suffix(".gif")), frames, duration=33, loop=0)
     except ImportError:
         pass
 

@@ -28,6 +28,7 @@ class DeployConfig:
     tokenizer_path: Optional[str] = None
     quantize_int8: bool = True
     random_init_for_smoke: bool = False  # serve a random tiny model (dev)
+    warmup: bool = True  # compile/cache-load the predict program before listening
 
 
 def main(cfg: DeployConfig) -> None:
@@ -36,6 +37,10 @@ def main(cfg: DeployConfig) -> None:
 
     from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
     from bridgelang_tpu.serving.server import VLAServer
+    from bridgelang_tpu.util.compile_cache import enable_persistent_cache, warmup_predict
+
+    cache_dir = enable_persistent_cache()
+    overwatch.info("Persistent compile cache: %s", cache_dir)
 
     if cfg.random_init_for_smoke:
         import dataclasses as dc
@@ -61,6 +66,10 @@ def main(cfg: DeployConfig) -> None:
 
         model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8)
         model.tokenizer = get_tokenizer(cfg.tokenizer_path)
+
+    if cfg.warmup:
+        dt = warmup_predict(model, params)
+        overwatch.info("Warmup predict compiled/loaded in %.1fs — first request is steady-state", dt)
 
     overwatch.info("Serving %s on %s:%d", cfg.checkpoint, cfg.host, cfg.port)
     VLAServer(model, params, default_unnorm_key=cfg.unnorm_key).run(cfg.host, cfg.port)

@@ -1,0 +1,127 @@
+"""Robot-eval harness tests: the pure (sim/robot-free) pieces of the LIBERO
+and BridgeV2 drivers — observation conversion, pose math, episode recording,
+config parsing. The simulators/robot stacks are not installable here; the
+loops are exercised via a scripted fake WidowX client."""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).parent.parent
+sys.path.insert(0, str(ROOT))
+
+from experiments.robot.bridge import bridgev2_utils, widowx_env  # noqa: E402
+
+
+def test_convert_obs_pads_proprio_to_rlds_layout():
+    s = 16
+    raw = {
+        "image": np.linspace(0, 1, 3 * s * s, dtype=np.float32).reshape(3 * s * s),
+        "state": np.arange(7, dtype=np.float64),  # xyz+rpy+gripper
+        "full_image": np.zeros((480, 640, 3), np.uint8),
+    }
+    obs = widowx_env.convert_obs(raw, s)
+    assert obs["image_primary"].shape == (s, s, 3) and obs["image_primary"].dtype == np.uint8
+    # proprio = state[:6] + zero pad + gripper (reference widowx_env.py:46-47)
+    np.testing.assert_array_equal(obs["proprio"], [0, 1, 2, 3, 4, 5, 0, 6])
+    assert obs["full_image"].shape == (480, 640, 3)
+
+
+def test_null_obs_shapes():
+    obs = widowx_env.null_obs(64)
+    assert obs["image_primary"].shape == (64, 64, 3)
+    assert obs["proprio"].shape == (8,)
+
+
+def test_state_to_eep_is_rigid_transform():
+    pose = widowx_env.state_to_eep([0.3, -0.09, 0.26], 0.4)
+    assert pose.shape == (4, 4)
+    np.testing.assert_allclose(pose[:3, -1], [0.3, -0.09, 0.26])
+    r = pose[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-9)
+    np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-9)
+    # zangle=0 reduces to the default tool rotation
+    pose0 = widowx_env.state_to_eep([0, 0, 0], 0.0)
+    np.testing.assert_allclose(pose0[:3, :3], widowx_env._DEFAULT_ROTATION, atol=1e-9)
+
+
+def test_quat_roundtrip():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=4)
+    q = q / np.linalg.norm(q)
+    m = widowx_env._quat_to_matrix(q)
+    q2 = widowx_env._matrix_to_quat(m)
+    # quaternions are sign-ambiguous
+    assert np.allclose(q, q2, atol=1e-9) or np.allclose(q, -q2, atol=1e-9)
+
+
+class _FakeClient:
+    """Scripted WidowXClient: returns one obs, then drops the connection."""
+
+    def __init__(self, im_size=16):
+        self.im_size = im_size
+        self.actions = []
+        self._dropped = False
+
+    def step_action(self, action, blocking=False):
+        self.actions.append(np.asarray(action))
+
+    def get_observation(self):
+        if self._dropped:
+            return None
+        return {
+            "image": np.zeros(3 * self.im_size * self.im_size, np.float32),
+            "state": np.zeros(7, np.float64),
+        }
+
+    def drop(self):
+        self._dropped = True
+
+    def reset(self):
+        pass
+
+    def move(self, transform, duration=0.8, blocking=True):
+        self.moved_to = transform
+
+
+def test_widowxgym_step_and_truncation():
+    client = _FakeClient()
+    env = widowx_env.WidowXGym(client, cfg=None, im_size=16, blocking=False)
+    obs, r, done, truncated, info = env.step(np.zeros(7))
+    assert not truncated and obs["image_primary"].shape == (16, 16, 3)
+    assert len(client.actions) == 1
+    client.drop()
+    obs, r, done, truncated, info = env.step(np.zeros(7))
+    assert truncated  # lost connection truncates instead of crashing
+    np.testing.assert_array_equal(obs["proprio"], np.zeros(8))
+
+
+def test_save_rollout_video_and_data(tmp_path):
+    frames = [np.zeros((32, 32, 3), np.uint8) for _ in range(4)]
+    p = bridgev2_utils.save_rollout_video(frames, 0, out_dir=str(tmp_path))
+    assert p is not None and Path(p).exists() and Path(p).stat().st_size > 0
+    assert bridgev2_utils.save_rollout_video([], 1, out_dir=str(tmp_path)) is None
+
+    dp = bridgev2_utils.save_rollout_data(frames, frames, [np.zeros(8)] * 4, [np.zeros(7)] * 4,
+                                          0, out_dir=str(tmp_path))
+    data = np.load(dp)
+    assert data["actions"].shape == (4, 7) and data["states"].shape == (4, 8)
+
+
+@pytest.mark.parametrize("script,cfg_name", [
+    ("experiments/robot/bridge/run_bridgev2_eval.py", "BridgeEvalConfig"),
+    ("experiments/robot/libero/run_libero_eval.py", "LiberoEvalConfig"),
+])
+def test_eval_configs_parse(script, cfg_name):
+    from bridgelang_tpu.conf import parse_cli
+
+    mod_name = f"blx_eval_{Path(script).stem}"
+    spec = importlib.util.spec_from_file_location(mod_name, ROOT / script)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = mod
+    spec.loader.exec_module(mod)
+    cfg = parse_cli(getattr(mod, cfg_name), ["--seed", "3"])
+    assert cfg.seed == 3
