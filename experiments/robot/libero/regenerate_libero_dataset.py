@@ -2,7 +2,19 @@
 re-render at 256px, and write RLDS-style TFRecords via the native writer.
 
 Counterpart of reference experiments/robot/libero/regenerate_libero_dataset.py
-(:1-249; `is_noop` at :46). Requires `libero` + `h5py` on a sim host.
+(:46-68 `is_noop`; :112-214 replay loop). Requires `libero` + `h5py` on a sim
+host. The replay contract matches the reference exactly:
+
+  * 10 settle steps with the dummy action after set_init_state;
+  * observation at time t is recorded BEFORE executing action t (obs/action
+    pairs are aligned, not off by one);
+  * no-op actions are skipped entirely (not executed) — a no-op is near-zero
+    movement whose gripper matches the last KEPT action's gripper;
+  * only successful replays are written; a metainfo JSON records per-episode
+    success and initial state.
+
+Output is this framework's native TFRecord episode store instead of HDF5
+(a redesign — bridgelang_tpu.vla.datasets consumes these directly).
 
   python experiments/robot/libero/regenerate_libero_dataset.py \
       --libero_task_suite libero_spatial --libero_raw_data_dir ./raw --out_dir ./regen
@@ -21,12 +33,14 @@ sys.path.insert(0, str(Path(__file__).parent.parent.parent.parent))
 
 from bridgelang_tpu.conf import parse_cli
 
-NOOP_ACTION = np.array([0, 0, 0, 0, 0, 0, -1], dtype=np.float32)
+NOOP_ACTION = [0.0] * 6 + [-1.0]
+NUM_SETTLE_STEPS = 10
 
 
 def is_noop(action: np.ndarray, prev_action: np.ndarray = None, threshold: float = 1e-4) -> bool:
-    """No movement + unchanged gripper (reference :46): drop such frames —
-    they teach the policy to freeze."""
+    """No movement AND unchanged gripper vs the last KEPT action
+    (reference :46-68): pure stillness frames teach the policy to freeze, but
+    a still robot operating its gripper is NOT a no-op."""
     no_movement = np.linalg.norm(action[:-1]) < threshold
     if prev_action is None:
         return bool(no_movement)
@@ -55,7 +69,8 @@ def main(cfg: RegenConfig) -> None:
     out_root = Path(cfg.out_dir) / f"{cfg.libero_task_suite}_no_noops"
     out_root.mkdir(parents=True, exist_ok=True)
 
-    n_kept, n_dropped = 0, 0
+    metainfo: dict = {}
+    n_kept, n_noops, n_replays, n_success = 0, 0, 0, 0
     for task_id in range(suite.n_tasks):
         task = suite.get_task(task_id)
         h5_path = Path(cfg.libero_raw_data_dir) / f"{task.name}_demo.hdf5"
@@ -72,34 +87,54 @@ def main(cfg: RegenConfig) -> None:
                 demo = f["data"][demo_key]
                 actions = np.asarray(demo["actions"])
                 states = np.asarray(demo["states"])
+
                 env.reset()
                 env.set_init_state(states[0])
-                steps, prev, success = [], None, False
+                obs = None
+                for _ in range(NUM_SETTLE_STEPS):  # let objects drop (reference :126-128)
+                    obs, reward, done, info = env.step(NOOP_ACTION)
+
+                steps, done = [], False
                 for t in range(len(actions)):
-                    obs, reward, done, info = env.step(actions[t].tolist())
+                    # prev = last KEPT action (reference :139): dropped frames
+                    # must not reset the gripper-change detector.
+                    prev = steps[-1]["action"] if steps else None
                     if is_noop(actions[t], prev):
-                        n_dropped += 1
-                        prev = actions[t]
-                        continue
-                    prev = actions[t]
+                        n_noops += 1
+                        continue  # no-ops are never executed (reference :140-143)
+                    # Record the CURRENT observation with action t, THEN step.
                     steps.append({
                         "image": obs["agentview_image"][::-1, ::-1],
                         "wrist_image": obs["robot0_eye_in_hand_image"][::-1, ::-1],
-                        "state": np.concatenate([obs["robot0_eef_pos"], obs["robot0_eef_quat"],
-                                                 obs["robot0_gripper_qpos"]]),
+                        "state": np.concatenate([
+                            obs["robot0_eef_pos"], obs["robot0_eef_quat"], obs["robot0_gripper_qpos"],
+                        ]),
+                        "joint_state": np.asarray(obs["robot0_joint_pos"]),
                         "action": actions[t],
                     })
-                    success = success or bool(done)
-                if not success:  # failed replays excluded (reference behavior)
-                    n_dropped += len(steps)
+                    obs, reward, done, info = env.step(actions[t].tolist())
+
+                n_replays += 1
+                task_key = task.language.replace(" ", "_")
+                metainfo.setdefault(task_key, {})[str(demo_key)] = {
+                    "success": bool(done),
+                    "initial_state": np.asarray(states[0]).tolist(),
+                }
+                if not done:  # failed replays excluded (reference :179)
                     continue
-                record = _serialize_episode(steps, task.language)
-                writer.write(record)
+                writer.write(_serialize_episode(steps, task.language))
                 n_kept += len(steps)
+                n_success += 1
         writer.close()
         env.close()
-    print(f"kept {n_kept} frames, dropped {n_dropped}")
-    (out_root / "meta.json").write_text(json.dumps({"suite": cfg.libero_task_suite, "frames": n_kept}))
+
+    (out_root / "meta.json").write_text(json.dumps({
+        "suite": cfg.libero_task_suite, "frames": n_kept,
+        "replays": n_replays, "successes": n_success, "noops_dropped": n_noops,
+    }))
+    (out_root / f"{cfg.libero_task_suite}_metainfo.json").write_text(json.dumps(metainfo, indent=2))
+    print(f"kept {n_kept} frames over {n_success}/{n_replays} successful replays "
+          f"({n_noops} no-op frames dropped)")
 
 
 def _serialize_episode(steps, language: str) -> bytes:
@@ -113,6 +148,7 @@ def _serialize_episode(steps, language: str) -> bytes:
         images=np.stack([s["image"] for s in steps]),
         wrist_images=np.stack([s["wrist_image"] for s in steps]),
         states=np.stack([s["state"] for s in steps]).astype(np.float32),
+        joint_states=np.stack([s["joint_state"] for s in steps]).astype(np.float32),
         actions=np.stack([s["action"] for s in steps]).astype(np.float32),
         language=np.array(language),
     )

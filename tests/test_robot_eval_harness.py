@@ -125,3 +125,46 @@ def test_eval_configs_parse(script, cfg_name):
     spec.loader.exec_module(mod)
     cfg = parse_cli(getattr(mod, cfg_name), ["--seed", "3"])
     assert cfg.seed == 3
+
+
+def test_libero_regen_is_noop_semantics():
+    """A still robot that operates its gripper is NOT a no-op, and the
+    comparison baseline is the last KEPT action (reference
+    regenerate_libero_dataset.py:46-68,139)."""
+    spec = importlib.util.spec_from_file_location(
+        "blx_regen", ROOT / "experiments/robot/libero/regenerate_libero_dataset.py")
+    regen = importlib.util.module_from_spec(spec)
+    sys.modules["blx_regen"] = regen
+    spec.loader.exec_module(regen)
+
+    still_open = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    still_close = np.array([0, 0, 0, 0, 0, 0, -1.0])
+    move = np.array([0.1, 0, 0, 0, 0, 0, 1.0])
+
+    assert regen.is_noop(still_open, None)                 # first frame, no movement
+    assert regen.is_noop(still_open, still_open)           # still + same gripper
+    assert not regen.is_noop(still_close, still_open)      # gripper change = real action
+    assert not regen.is_noop(move, still_open)              # movement = real action
+
+
+def test_libero_regen_episode_serialization_roundtrip():
+    spec = importlib.util.spec_from_file_location(
+        "blx_regen2", ROOT / "experiments/robot/libero/regenerate_libero_dataset.py")
+    regen = importlib.util.module_from_spec(spec)
+    sys.modules["blx_regen2"] = regen
+    spec.loader.exec_module(regen)
+
+    steps = [{
+        "image": np.zeros((8, 8, 3), np.uint8),
+        "wrist_image": np.zeros((8, 8, 3), np.uint8),
+        "state": np.arange(9, dtype=np.float64),
+        "joint_state": np.arange(7, dtype=np.float64),
+        "action": np.arange(7, dtype=np.float64),
+    }] * 3
+    blob = regen._serialize_episode(steps, "put the bowl on the stove")
+    import io
+
+    data = np.load(io.BytesIO(blob))
+    assert data["images"].shape == (3, 8, 8, 3)
+    assert data["joint_states"].shape == (3, 7)
+    assert str(data["language"]) == "put the bowl on the stove"
