@@ -29,6 +29,8 @@ class DeployConfig:
     quantize_int8: bool = True
     random_init_for_smoke: bool = False  # serve a random tiny model (dev)
     warmup: bool = True  # compile/cache-load the predict program before listening
+    max_batch: int = 1  # >1 enables micro-batching of concurrent requests
+    batch_window_ms: float = 6.0
 
 
 def main(cfg: DeployConfig) -> None:
@@ -71,8 +73,11 @@ def main(cfg: DeployConfig) -> None:
         dt = warmup_predict(model, params)
         overwatch.info("Warmup predict compiled/loaded in %.1fs — first request is steady-state", dt)
 
-    overwatch.info("Serving %s on %s:%d", cfg.checkpoint, cfg.host, cfg.port)
-    VLAServer(model, params, default_unnorm_key=cfg.unnorm_key).run(cfg.host, cfg.port)
+    overwatch.info("Serving %s on %s:%d (max_batch=%d)", cfg.checkpoint, cfg.host, cfg.port, cfg.max_batch)
+    VLAServer(
+        model, params, default_unnorm_key=cfg.unnorm_key,
+        max_batch=cfg.max_batch, batch_window_ms=cfg.batch_window_ms,
+    ).run(cfg.host, cfg.port)
 
 
 if __name__ == "__main__":

@@ -143,3 +143,61 @@ def test_train_loop_buffers_metrics_and_logs_scheduled_lr(tmp_path):
     # trackers got pushed smoothed windows at the log_interval boundaries
     lines = [json.loads(ln) for ln in (tmp_path / "t.jsonl").read_text().splitlines()]
     assert {ln["step"] for ln in lines if "train/lr" in ln} == {3, 6}
+
+
+def test_serving_micro_batching_matches_unbatched():
+    """max_batch>1: concurrent requests are grouped into one batched pass and
+    each client gets the SAME action the unbatched server would return."""
+    import concurrent.futures
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import bridgelang_tpu.models.vlm as vlm_mod
+    from bridgelang_tpu.models.vision.vit import ViT
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.models.vlm import VLMConfig
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.serving.server import VLAServer, client_act
+    from tests.helpers import TINY_LLM, TINY_NORM_STATS, TINY_VIT, StubTokenizer
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8) for _ in range(5)]
+    instructions = [f"push button {i}" for i in range(5)]
+
+    # ground truth from the direct (unbatched) path
+    expected = [model.predict_action(params, im, ins, unnorm_key="bridge_orig")
+                for im, ins in zip(imgs, instructions)]
+
+    server = VLAServer(model, params, default_unnorm_key="bridge_orig",
+                       max_batch=4, batch_window_ms=50.0)
+    httpd = server.serve_background(port=0)
+    port = httpd.server_address[1]
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=5) as ex:
+            futs = [ex.submit(client_act, "127.0.0.1", port, im, ins)
+                    for im, ins in zip(imgs, instructions)]
+            results = [f.result(timeout=300) for f in futs]
+        for got, want in zip(results, expected):
+            np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+        # error containment still per-request under batching
+        import http.client, json as _json
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/act", _json.dumps({"image": imgs[0].tolist()}),
+                     {"Content-Type": "application/json"})
+        assert conn.getresponse().status == 500
+    finally:
+        httpd.shutdown()
