@@ -49,10 +49,6 @@ def main():
     from bridgelang_tpu.models.vla import OpenVLA
     from bridgelang_tpu.models.vlm import VLMConfig
 
-    backend = jax.default_backend()
-    dev = jax.devices()[0]
-    print(f"[bench] backend={backend} device={dev.device_kind}", file=sys.stderr)
-
     norm_stats = {
         "bridge_orig": {
             "action": {
@@ -96,10 +92,11 @@ def main():
 
     # --- train-step benchmark FIRST, in an ISOLATED SUBPROCESS: it needs a
     # fresh chip (params+grads+Adam cannot share 16 GB with the 8.3 GB
-    # serving model) and an OOM must never wedge the serving headline. Only
-    # one process can hold the TPU, so this runs before serving allocates. ---
+    # serving model) and an OOM must never wedge the serving headline. Runs
+    # BEFORE the parent touches any device so the child has the chip alone. ---
     _run_train_bench_subprocess()
 
+    print(f"[bench] backend={jax.default_backend()} device={jax.devices()[0].device_kind}", file=sys.stderr)
     serving = _serving_bench(build, norm_stats)
 
     print(

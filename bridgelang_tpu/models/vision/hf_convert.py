@@ -50,6 +50,18 @@ def _stack_blocks(per_block: list) -> Dict[str, Any]:
     return out
 
 
+def _fit_pos_embed(pos: np.ndarray, target_len: int) -> np.ndarray:
+    """Bicubic-resample a [1, P, D] patch-grid pos embed when the checkpoint
+    resolution differs from the target config (e.g. facebook/dinov2-* ships
+    518px grids; the flagship runs 224px) — timm interpolates pretrained
+    grids at create time, so must we."""
+    if pos.shape[1] == target_len:
+        return pos
+    from bridgelang_tpu.models.load import _resample_pos_embed
+
+    return _resample_pos_embed(pos, target_len)
+
+
 def convert_hf_dinov2(state_dict: Mapping[str, Any], cfg: ViTConfig) -> Dict[str, Any]:
     """`Dinov2WithRegistersModel` (or `Dinov2Model`, reg tokens absent)
     state dict -> our ViT param pytree."""
@@ -63,7 +75,7 @@ def convert_hf_dinov2(state_dict: Mapping[str, Any], cfg: ViTConfig) -> Dict[str
         # CLS position folds into the token (HF adds pos BEFORE inserting
         # registers; registers get no pos, matching our prefix handling).
         "cls_token": _np(sd["embeddings.cls_token"]) + pos[:, :1],
-        "pos_embed": pos[:, 1:],
+        "pos_embed": _fit_pos_embed(pos[:, 1:], cfg.num_patches),
     }
     if cfg.num_reg_tokens:
         params["reg_tokens"] = _np(sd["embeddings.register_tokens"])
@@ -103,7 +115,9 @@ def convert_hf_siglip(state_dict: Mapping[str, Any], cfg: ViTConfig) -> Dict[str
             "kernel": np.transpose(_np(sd[e + "patch_embedding.weight"]), (2, 3, 1, 0)),
             "bias": _np(sd[e + "patch_embedding.bias"]),
         },
-        "pos_embed": _np(sd[e + "position_embedding.weight"])[None],  # [P, D] -> [1, P, D]
+        "pos_embed": _fit_pos_embed(
+            _np(sd[e + "position_embedding.weight"])[None], cfg.num_patches  # [P, D] -> [1, P, D]
+        ),
     }
 
     blocks = []

@@ -30,6 +30,12 @@ from jax.sharding import Mesh
 MESH_AXES = ("replica", "fsdp", "tensor")
 
 
+# Environment markers that identify a multi-host TPU pod worker (set by the
+# Cloud TPU runtime); their presence means jax.distributed.initialize() can
+# auto-detect the full topology with no explicit configuration.
+_TPU_POD_ENV_MARKERS = ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID", "MEGASCALE_COORDINATOR_ADDRESS")
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -38,16 +44,18 @@ def initialize_distributed(
     """Multi-host bootstrap (call once per process BEFORE any device use —
     probing jax.process_count() here would initialize the backend and break
     the distributed init). Equivalent of torchrun env-var setup; topology
-    comes from args or JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
-    JAX_PROCESS_ID (TPU pods auto-detect with no env at all). No-op when no
-    coordinator is configured (single-host)."""
+    comes from args, from JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID env, or — on a Cloud TPU pod worker — from full
+    auto-detection. No-op on a plain single host."""
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr is None and num_processes is None:
-        return
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
+    if addr is None and num_processes is None and process_id is None:
+        if any(m in os.environ for m in _TPU_POD_ENV_MARKERS):
+            jax.distributed.initialize()  # pod runtime auto-detects everything
+        return
     jax.distributed.initialize(coordinator_address=addr, num_processes=num_processes, process_id=process_id)
 
 

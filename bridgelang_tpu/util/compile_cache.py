@@ -34,19 +34,23 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     return cache_dir
 
 
-def warmup_predict(model, params, action_dim: int = 7) -> float:
-    """Run one dummy predict_action through the jitted path; returns seconds
-    spent (compile on a cold cache, cache load on a warm one)."""
+def warmup_predict(model, params, max_batch: int = 1, unnorm_key: str | None = None) -> float:
+    """Compile (or cache-load) the jitted predict program for every batch
+    bucket the server can hit — batch 1 plus each power of two up to
+    `max_batch` — so no live request ever stalls behind a 7B compile. Uses
+    the model's own transform resolution. Returns seconds spent."""
     import numpy as np
 
+    if unnorm_key is None:
+        unnorm_key = next(iter(model.norm_stats))
+    size = model.image_transform.towers[0].size
+    frame = np.zeros((size, size, 3), np.uint8)
+
+    buckets, b = [1], 2
+    while b <= max_batch:
+        buckets.append(b)
+        b *= 2
     t0 = time.time()
-    frame = np.zeros((224, 224, 3), np.uint8)
-    try:
-        model.predict_action(params, frame, "warmup", unnorm_key=None)
-    except Exception:
-        # tiny dev models may use other resolutions; fall back to the model's
-        # own transform size
-        size = model.image_transform.towers[0].size
-        frame = np.zeros((size, size, 3), np.uint8)
-        model.predict_action(params, frame, "warmup", unnorm_key=None)
+    for n in buckets:
+        model.predict_action_batch(params, [frame] * n, ["warmup"] * n, unnorm_key=unnorm_key)
     return time.time() - t0

@@ -50,27 +50,13 @@ def get_next_task_label(task_label: str) -> str:
 
 
 def save_rollout_video(rollout_images: List[np.ndarray], idx: int, out_dir: str = "./rollouts") -> Optional[str]:
-    """MP4 replay of an episode (reference bridgev2_utils.py:67-76); returns
+    """Replay video of an episode (reference bridgev2_utils.py:67-76); returns
     the path, or None when no frames / no imageio."""
-    if not rollout_images:
-        return None
-    try:
-        import imageio
-    except ImportError:
-        print("imageio not installed; skipping rollout video")
-        return None
-    os.makedirs(out_dir, exist_ok=True)
-    base = os.path.join(out_dir, f"rollout-{DATE_TIME}-{idx + 1}")
-    frames = [np.asarray(img) for img in rollout_images]
-    try:
-        with imageio.get_writer(base + ".mp4", fps=5) as writer:
-            for img in frames:
-                writer.append_data(img)
-        path = base + ".mp4"
-    except Exception:  # no ffmpeg plugin: GIF via pillow always works
-        imageio.mimwrite(base + ".gif", frames, duration=200, loop=0)
-        path = base + ".gif"
-    print(f"Saved rollout video at path {path}")
+    from experiments.robot.robot_utils import save_video
+
+    path = save_video(rollout_images, os.path.join(out_dir, f"rollout-{DATE_TIME}-{idx + 1}.mp4"), fps=5)
+    if path:
+        print(f"Saved rollout video at path {path}")
     return path
 
 

@@ -158,16 +158,9 @@ def main(cfg: LiberoEvalConfig) -> None:
 
 
 def _save_video(frames, path: Path) -> None:
-    path.parent.mkdir(parents=True, exist_ok=True)
-    try:
-        import imageio
+    from experiments.robot.robot_utils import save_video
 
-        try:
-            imageio.mimwrite(str(path), frames, fps=30)
-        except Exception:  # no ffmpeg plugin: GIF via pillow always works
-            imageio.mimwrite(str(path.with_suffix(".gif")), frames, duration=33, loop=0)
-    except ImportError:
-        pass
+    save_video(frames, path, fps=30)
 
 
 if __name__ == "__main__":

@@ -53,3 +53,28 @@ def invert_gripper_action(action: np.ndarray) -> np.ndarray:
     out = action.copy()
     out[..., -1] = -out[..., -1]
     return out
+
+
+def save_video(frames, path, fps: int = 30) -> Optional[str]:
+    """Write an episode replay video; shared by the LIBERO and BridgeV2
+    harnesses. Tries MP4 first, falls back to GIF when no ffmpeg plugin is
+    available (pillow always can). Returns the written path or None."""
+    if not frames:
+        return None
+    try:
+        import imageio
+    except ImportError:
+        print("imageio not installed; skipping rollout video")
+        return None
+    import os
+
+    path = str(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    frames = [np.asarray(f) for f in frames]
+    try:
+        imageio.mimwrite(path, frames, fps=fps)
+        return path
+    except Exception:
+        gif = os.path.splitext(path)[0] + ".gif"
+        imageio.mimwrite(gif, frames, duration=int(1000 / fps), loop=0)
+        return gif

@@ -70,8 +70,11 @@ def main(cfg: DeployConfig) -> None:
         model.tokenizer = get_tokenizer(cfg.tokenizer_path)
 
     if cfg.warmup:
-        dt = warmup_predict(model, params)
-        overwatch.info("Warmup predict compiled/loaded in %.1fs — first request is steady-state", dt)
+        dt = warmup_predict(model, params, max_batch=cfg.max_batch, unnorm_key=cfg.unnorm_key)
+        overwatch.info(
+            "Warmup compiled/loaded predict for all batch buckets <= %d in %.1fs — "
+            "every request gets steady-state latency", max(cfg.max_batch, 1), dt,
+        )
 
     overwatch.info("Serving %s on %s:%d (max_batch=%d)", cfg.checkpoint, cfg.host, cfg.port, cfg.max_batch)
     VLAServer(

@@ -121,3 +121,24 @@ def test_siglip_act_is_tanh_approx():
 
     assert VIT_CONFIGS["siglip-vit-so400m"].act == "gelu_tanh"
     assert VIT_CONFIGS["siglip-vit-so400m-384px"].act == "gelu_tanh"
+
+
+def test_converter_resamples_pos_embed_grid():
+    """Checkpoints ship their native resolution (facebook/dinov2-* is 518px);
+    converting to a different target resolution must bicubic-resample the
+    patch-grid positional embedding like timm does at create time."""
+    from transformers import Dinov2WithRegistersConfig, Dinov2WithRegistersModel
+
+    hf_cfg = Dinov2WithRegistersConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=4, mlp_ratio=4,
+        image_size=48, patch_size=8, num_register_tokens=4, layerscale_value=1e-5,
+    )
+    torch.manual_seed(3)
+    hf = Dinov2WithRegistersModel(hf_cfg).eval()  # 6x6 = 36 patch positions
+
+    cfg = ViTConfig(image_size=32, patch_size=8, width=32, depth=3, num_heads=4, mlp_dim=128,
+                    use_cls_token=True, num_reg_tokens=4, no_embed_class=True, layerscale_init=1e-5)
+    params = convert_hf_dinov2(hf.state_dict(), cfg)  # 4x4 = 16 target positions
+    assert params["pos_embed"].shape == (1, 16, 32)
+    out = _run_ours(cfg, params, _pixels(b=1, size=32, seed=5))
+    assert out.shape == (1, 16, 32) and np.isfinite(out).all()
