@@ -198,6 +198,37 @@ def _serving_bench(build, norm_stats) -> float:
     pipe_rate = n_pipe / (time.perf_counter() - t0)
     print(f"[bench] pipelined (2 in flight): {pipe_rate:.2f} actions/s", file=sys.stderr)
 
+    # Speculative decode (draft = previous tick's tokens): ONE verification
+    # pass replaces up to six decode passes when the draft is accepted.
+    # Random weights produce DEGENERATE logit margins, so the exactness gate
+    # (margin_threshold) rejects everything here; margin_threshold=0 shows
+    # the fully-accepted upper bound a real checkpoint approaches on smooth
+    # trajectories (real action margins are far above the gate).
+    try:
+        frame_d = jnp.asarray(frame[None])
+        spec0 = model._jitted_predict_frames_speculative(margin_threshold=0.0)
+        _, toks = spec0(params, ids_d, mask_d, frame_d, q01, q99, smask,
+                        jnp.zeros((1, 7), jnp.int32))
+        toks = jnp.asarray(np.asarray(toks))  # settle + host sync
+
+        def timed_spec(fn, draft, n=20):
+            np.asarray(fn(params, ids_d, mask_d, frame_d, q01, q99, smask, draft)[0])
+            lat = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                acts, _ = fn(params, ids_d, mask_d, frame_d, q01, q99, smask, draft)
+                np.asarray(acts)
+                lat.append(time.perf_counter() - t0)
+            return float(np.percentile(lat, 50))
+
+        best = timed_spec(spec0, toks)                              # all 7 accepted
+        worst = timed_spec(spec0, jnp.full((1, 7), 5, jnp.int32))   # nothing accepted
+        print(f"[bench] speculative decode (draft=prev action): fully-accepted p50={best*1e3:.1f}ms "
+              f"({1/best:.2f} a/s), rejected-draft p50={worst*1e3:.1f}ms ({1/worst:.2f} a/s)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] speculative mode failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     # Secondary: OFT-style parallel decode (one forward for all 7 tokens) —
     # the serving mode for models fine-tuned with the parallel objective.
     try:

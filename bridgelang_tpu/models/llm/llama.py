@@ -202,6 +202,22 @@ def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
     return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(b, s, h * n_rep, d)
 
 
+def cached_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked einsum attention over a (small-T query, full cache) pair —
+    the single-token decode path and the speculative verification chunk share
+    THIS function so their logits are computed identically (a different
+    attention implementation can flip near-tie argmaxes in bf16, breaking
+    speculative decoding's exactness guarantee). fp32 softmax."""
+    hd = q.shape[-1]
+    n_rep = q.shape[2] // k.shape[2]
+    kk = _repeat_kv(k, n_rep)
+    vv = _repeat_kv(v, n_rep)
+    scores = jnp.einsum("bqhd,bshd->bhqs", q, kk) / jnp.sqrt(hd).astype(q.dtype)
+    scores = jnp.where(mask, scores.astype(jnp.float32), -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqs,bshd->bqhd", probs, vv)
+
+
 def full_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -212,11 +228,14 @@ def full_attention(
 ) -> jnp.ndarray:
     """Full-sequence attention [B,T,H,hd] with bool mask [B,1,T,S]. The XLA
     path trusts the mask entirely; the Pallas path reduces the mask to
-    per-example lengths, so the sliding window must be passed explicitly."""
+    per-example lengths, so the sliding window must be passed explicitly.
+    impl="einsum" uses the decode-identical cached_attention."""
     if impl == "pallas":
         from bridgelang_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask=mask, window=window)
+    if impl == "einsum":
+        return cached_attention(q, k, v, mask)
     n_rep = q.shape[2] // k.shape[2]
     k, v = _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
@@ -299,13 +318,7 @@ def _block(
 
     if T == 1 and kv is not None:
         # Single-token decode: lightweight masked attention over the cache.
-        n_rep = H // Hkv
-        kk = _repeat_kv(attn_k.astype(q.dtype), n_rep)
-        vv = _repeat_kv(attn_v.astype(q.dtype), n_rep)
-        scores = jnp.einsum("bqhd,bshd->bhqs", q, kk) / jnp.sqrt(hd).astype(q.dtype)
-        scores = jnp.where(mask, scores.astype(jnp.float32), -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        attn_out = jnp.einsum("bhqs,bshd->bqhd", probs, vv)
+        attn_out = cached_attention(q, attn_k.astype(q.dtype), attn_v.astype(q.dtype), mask)
     else:
         attn_out = full_attention(
             q, attn_k.astype(q.dtype), attn_v.astype(q.dtype), mask, attention_impl,

@@ -102,6 +102,57 @@ class OpenVLA(PrismaticVLM):
             )
         return self._predict_fns[key]
 
+    def predict_action_device_speculative(
+        self,
+        params: Params,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        pixel_values: jnp.ndarray,
+        q01: jnp.ndarray,
+        q99: jnp.ndarray,
+        stat_mask: jnp.ndarray,
+        draft_tokens: jnp.ndarray,
+        margin_threshold: float = 0.25,
+    ):
+        """Like predict_action_device but decodes speculatively against
+        `draft_tokens` [B, action_dim] — in a control loop, simply the token
+        ids this function returned LAST tick (robot smoothness makes them a
+        high-acceptance draft). Greedy-equivalent for any draft: near-tie
+        positions are margin-gated through the canonical sequential path (see
+        PrismaticVLM.generate_speculative). Returns (actions [B, action_dim],
+        token_ids [B, action_dim]) — feed the token ids back as the next
+        call's draft."""
+        token_ids = self.generate_speculative(params, input_ids, attention_mask, pixel_values, draft_tokens,
+                                              margin_threshold=margin_threshold)
+        normalized = token_ids_to_actions(token_ids, jnp.asarray(self.bin_centers), self.cfg.llm.vocab_size)
+        return unnormalize_actions(normalized.astype(jnp.float32), q01, q99, stat_mask), token_ids
+
+    def predict_from_frames_device_speculative(
+        self,
+        params: Params,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        frames_u8: jnp.ndarray,
+        q01: jnp.ndarray,
+        q99: jnp.ndarray,
+        stat_mask: jnp.ndarray,
+        draft_tokens: jnp.ndarray,
+        margin_threshold: float = 0.25,
+    ):
+        pixel_values = preprocess_batch(frames_u8, self.image_transform, dtype=self.dtype)
+        return self.predict_action_device_speculative(
+            params, input_ids, attention_mask, pixel_values, q01, q99, stat_mask, draft_tokens,
+            margin_threshold=margin_threshold,
+        )
+
+    def _jitted_predict_frames_speculative(self, margin_threshold: float = 0.25):
+        key = ("frames", "speculative", margin_threshold)
+        if key not in self._predict_fns:
+            self._predict_fns[key] = jax.jit(
+                partial(self.predict_from_frames_device_speculative, margin_threshold=margin_threshold)
+            )
+        return self._predict_fns[key]
+
     def predict_from_frames_device(
         self,
         params: Params,

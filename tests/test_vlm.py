@@ -239,3 +239,53 @@ def test_temperature_sampling(tiny_vlm):
     s2 = model.generate_greedy(params, ids, mask, pix, max_new_tokens=6, cache_dtype=jnp.float32,
                                temperature=5.0, rng=jax.random.key(2))
     assert not np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_speculative_decode_bit_exact(tiny_vlm):
+    """generate_speculative must equal generate_greedy REGARDLESS of draft
+    quality: perfect draft (1 verify pass), garbage draft (full sequential
+    fix-up), and partial draft (mixed)."""
+    model, params = tiny_vlm
+    pix = _pixels()
+    ids, mask = _prompt(model, t=9, pad_to=12)
+    n = 7
+    greedy = np.asarray(model.generate_greedy(params, ids, mask, pix, max_new_tokens=n,
+                                              cache_dtype=jnp.float32))
+
+    # perfect draft: the greedy tokens themselves
+    out = model.generate_speculative(params, ids, mask, pix, jnp.asarray(greedy),
+                                     cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), greedy)
+
+    # garbage draft
+    garbage = jnp.full_like(jnp.asarray(greedy), 3)
+    out = model.generate_speculative(params, ids, mask, pix, garbage, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), greedy)
+
+    # partial draft: correct prefix, then wrong
+    partial = np.array(greedy)
+    partial[:, 4:] = 7
+    out = model.generate_speculative(params, ids, mask, pix, jnp.asarray(partial),
+                                     cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), greedy)
+
+    # mismatch in the middle only (suffix accidentally right) — still exact
+    mid = np.array(greedy)
+    mid[:, 2] = (mid[:, 2] + 1) % 500
+    out = model.generate_speculative(params, ids, mask, pix, jnp.asarray(mid),
+                                     cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), greedy)
+
+
+def test_speculative_decode_batched_and_jittable(tiny_vlm):
+    model, params = tiny_vlm
+    ids, mask = _prompt(model, b=3, t=9)
+    pix = _pixels(3)
+    greedy = np.asarray(model.generate_greedy(params, ids, mask, pix, max_new_tokens=5,
+                                              cache_dtype=jnp.float32))
+    drafts = np.array(greedy)
+    drafts[1] = 3  # one example gets a garbage draft; others stay perfect
+    fn = jax.jit(lambda p, i, m, px, d: model.generate_speculative(p, i, m, px, d,
+                                                                   cache_dtype=jnp.float32))
+    out = np.asarray(fn(params, ids, mask, pix, jnp.asarray(drafts)))
+    np.testing.assert_array_equal(out, greedy)
