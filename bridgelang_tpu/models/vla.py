@@ -223,6 +223,35 @@ class OpenVLA(PrismaticVLM):
         actions = self.predict_action_batch(params, [image], [instruction], unnorm_key)
         return actions[0]
 
+    def predict_action_speculative(
+        self,
+        params: Params,
+        image: Union[np.ndarray, "Any"],
+        instruction: str,
+        draft_tokens: np.ndarray,
+        unnorm_key: Optional[str] = None,
+        margin_threshold: float = 0.25,
+    ):
+        """Host-side speculative predict for control loops: pass the token ids
+        returned by the PREVIOUS call as `draft_tokens` [action_dim] (any
+        int array works — e.g. zeros on the first tick). Returns
+        (action [action_dim], tokens [action_dim]); greedy-equivalent output
+        (margin-gated acceptance, see generate_speculative)."""
+        key = check_unnorm_key(self.norm_stats, unnorm_key)
+        stats = self.norm_stats[key]["action"]
+        action_dim = len(stats["q01"])
+        q01 = jnp.asarray(stats["q01"], dtype=jnp.float32)
+        q99 = jnp.asarray(stats["q99"], dtype=jnp.float32)
+        stat_mask = jnp.asarray(stats.get("mask", [True] * action_dim))
+
+        frame = np.asarray(image.convert("RGB") if hasattr(image, "convert") else image)[None]
+        ids, mask = self.pad_prompt([self.prepare_prompt_ids(instruction)])
+        draft = np.asarray(draft_tokens, np.int32).reshape(1, action_dim)
+        fn = self._jitted_predict_frames_speculative(margin_threshold)
+        actions, tokens = fn(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(frame),
+                             q01, q99, stat_mask, jnp.asarray(draft))
+        return np.asarray(actions)[0], np.asarray(tokens)[0]
+
     def predict_action_batch(
         self,
         params: Params,

@@ -68,8 +68,11 @@ class VLAServer:
     predict_action pass — one 7-GB weight stream serves the whole batch
     (measured: B=8 lifts aggregate throughput ~2.4x over sequential). The
     reference server (deploy.py:120-123) is strictly one-request-at-a-time on
-    a batch-1-only model. jax stays single-threaded: only the worker touches
-    the device."""
+    a batch-1-only model.
+
+    Requests carrying `draft_tokens` take the speculative path directly
+    (latency-bound control loops; see predict_action_speculative) — jax
+    dispatch is thread-safe, so this coexists with the batching worker."""
 
     def __init__(self, model, params, default_unnorm_key: Optional[str] = None,
                  max_batch: int = 1, batch_window_ms: float = 6.0, request_timeout_s: float = 600.0):
@@ -88,6 +91,18 @@ class VLAServer:
         image = decode_image(request["image"])
         instruction = request["instruction"]
         unnorm_key = request.get("unnorm_key", self.default_unnorm_key)
+        if "draft_tokens" in request and request["draft_tokens"] is not None:
+            # Speculative serving (stateless): the client sends back the
+            # `tokens` from its previous response as the draft; smooth robot
+            # trajectories get a mostly-accepted draft -> ~1.8x faster while
+            # staying greedy-equivalent. Bypasses micro-batching (a control
+            # loop is latency-, not throughput-, bound).
+            action, tokens = self.model.predict_action_speculative(
+                self.params, image, instruction,
+                draft_tokens=np.asarray(request["draft_tokens"], np.int32),
+                unnorm_key=unnorm_key,
+            )
+            return {"action": encode_array(action), "tokens": encode_array(tokens)}
         if self.max_batch <= 1:
             action = self.model.predict_action(self.params, image, instruction, unnorm_key=unnorm_key)
             return {"action": encode_array(action)}
@@ -194,9 +209,13 @@ class VLAServer:
 
 
 def client_act(host: str, port: int, image: np.ndarray, instruction: str, unnorm_key: Optional[str] = None,
-               use_b64: bool = True) -> np.ndarray:
+               use_b64: bool = True, draft_tokens: Optional[np.ndarray] = None, return_tokens: bool = False):
     """Minimal client (counterpart of the reference's requests snippet in
-    deploy.py's docstring; also used by the robot eval harnesses)."""
+    deploy.py's docstring; also used by the robot eval harnesses).
+
+    Speculative control loops: pass `draft_tokens` (the `tokens` from the
+    previous response) and set `return_tokens=True` to receive
+    (action, tokens) — feed the tokens back on the next tick."""
     import http.client
 
     if use_b64:
@@ -207,7 +226,10 @@ def client_act(host: str, port: int, image: np.ndarray, instruction: str, unnorm
         }
     else:
         img_payload = image.tolist()
-    body = json.dumps({"image": img_payload, "instruction": instruction, "unnorm_key": unnorm_key})
+    payload = {"image": img_payload, "instruction": instruction, "unnorm_key": unnorm_key}
+    if draft_tokens is not None:
+        payload["draft_tokens"] = np.asarray(draft_tokens).tolist()
+    body = json.dumps(payload)
     conn = http.client.HTTPConnection(host, port, timeout=120)
     conn.request("POST", "/act", body=body, headers={"Content-Type": "application/json"})
     resp = conn.getresponse()
@@ -215,4 +237,7 @@ def client_act(host: str, port: int, image: np.ndarray, instruction: str, unnorm
     conn.close()
     if resp.status != 200:
         raise RuntimeError(f"server error: {data}")
-    return np.asarray(data["action"])
+    action = np.asarray(data["action"])
+    if return_tokens:
+        return action, (np.asarray(data["tokens"]) if "tokens" in data else None)
+    return action

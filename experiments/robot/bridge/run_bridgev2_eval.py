@@ -33,6 +33,7 @@ class BridgeEvalConfig:
     remote_host: Optional[str] = None       # REST policy server (TPU box)
     remote_port: int = 8000
     center_crop: bool = False               # must stay False for Bridge (reference :84)
+    speculative: bool = False  # draft = previous action tokens (greedy-equivalent, ~40% faster)
 
     # WidowX environment (reference run_bridgev2_eval.py:53-71)
     host_ip: str = "localhost"

@@ -46,6 +46,7 @@ class LiberoEvalConfig:
     num_trials_per_task: int = 50
     unnorm_key: Optional[str] = None
     center_crop: bool = True  # models trained with image aug need this
+    speculative: bool = False  # draft = previous action tokens (greedy-equivalent, ~40% faster)
     seed: int = 7
     resolution: int = 256
     video_out_dir: Optional[str] = None

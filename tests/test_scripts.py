@@ -201,3 +201,49 @@ def test_serving_micro_batching_matches_unbatched():
         assert conn.getresponse().status == 500
     finally:
         httpd.shutdown()
+
+
+def test_serving_speculative_wire_path():
+    """A request carrying draft_tokens returns (action, tokens); the action
+    equals the plain greedy serving result, and feeding tokens back works."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import bridgelang_tpu.models.vlm as vlm_mod
+    from bridgelang_tpu.models.vision.vit import ViT
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.models.vlm import VLMConfig
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.serving.server import VLAServer, client_act
+    from tests.helpers import TINY_LLM, TINY_NORM_STATS, TINY_VIT, StubTokenizer
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    server = VLAServer(model, params, default_unnorm_key="bridge_orig")
+    httpd = server.serve_background(port=0)
+    port = httpd.server_address[1]
+    try:
+        img = np.random.default_rng(3).integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+        plain = client_act("127.0.0.1", port, img, "stack the cups")
+        a1, t1 = client_act("127.0.0.1", port, img, "stack the cups",
+                            draft_tokens=np.zeros(7, np.int64), return_tokens=True)
+        assert t1 is not None and t1.shape == (7,)
+        np.testing.assert_allclose(a1, plain, atol=1e-5)
+        # feed the returned tokens back (the control-loop pattern)
+        a2, t2 = client_act("127.0.0.1", port, img, "stack the cups",
+                            draft_tokens=t1, return_tokens=True)
+        np.testing.assert_allclose(a2, plain, atol=1e-5)
+        np.testing.assert_array_equal(t1, t2)
+    finally:
+        httpd.shutdown()
