@@ -9,8 +9,10 @@ safetensors, so checkpoints trained here load in the reference's
 
 Known delta: this framework never materializes the final ViT block of each
 tower (dead weight for the second-to-last feature tap) nor SigLIP's attention
-pooling head; exported checkpoints carry zeros for those tensors and must be
-loaded with strict=False on the HF side (they do not affect any output).
+pooling head. By default exported checkpoints carry zeros for those tensors
+(strict=False on the HF side; they do not affect any output); pass
+`source_hf=<original checkpoint dir>` to export_checkpoint to pass the real
+values through and produce a strict=True-loadable checkpoint.
 """
 
 from __future__ import annotations
@@ -61,7 +63,10 @@ def export_llm_state_dict(llm: Dict[str, Any], prefix: str = "language_model.") 
     return out
 
 
-def export_vit_state_dict(tower: Dict[str, Any], depth: int, prefix: str) -> Dict[str, np.ndarray]:
+def export_vit_state_dict(tower: Dict[str, Any], depth: int, prefix: str, dead_keys=None) -> Dict[str, np.ndarray]:
+    """`dead_keys`: optional set collecting the zero-filled placeholder names
+    (the never-run final block) so callers can substitute source-checkpoint
+    values for a strict-loadable export."""
     out: Dict[str, np.ndarray] = {}
     pe = tower["patch_embed"]
     # contiguity matters: safetensors serializes the raw buffer
@@ -97,17 +102,27 @@ def export_vit_state_dict(tower: Dict[str, Any], depth: int, prefix: str) -> Dic
         if has_ls:
             out[b + "ls1.scale_factor"] = _np(blocks["ls1"][i])
             out[b + "ls2.scale_factor"] = _np(blocks["ls2"][i])
-    # Final (never-run) block: zeros, strict=False on the HF side.
+    # Final (never-run) block: zeros (strict=False on the HF side), unless
+    # the caller passes the source checkpoint to export_checkpoint.
     i = depth - 1
-    b = f"{prefix}blocks.{i}."
     for k in list(out.keys()):
         if k.startswith(f"{prefix}blocks.{n_keep - 1}."):
-            out[k.replace(f"blocks.{n_keep - 1}.", f"blocks.{i}.")] = np.zeros_like(out[k])
+            dead = k.replace(f"blocks.{n_keep - 1}.", f"blocks.{i}.")
+            out[dead] = np.zeros_like(out[k])
+            if dead_keys is not None:
+                dead_keys.add(dead)
     return out
 
 
-def export_checkpoint(model, params: Dict[str, Any], out_dir) -> Path:
-    """Write config.json + model.safetensors + dataset_statistics.json."""
+def export_checkpoint(model, params: Dict[str, Any], out_dir, source_hf: "Path | str | None" = None) -> Path:
+    """Write config.json + model.safetensors + dataset_statistics.json.
+
+    `source_hf`: optional directory of the HF checkpoint this model was
+    LOADED from (e.g. finetune's --vla_path). When given, tensors this
+    framework never materializes — the final ViT blocks (dead weight for the
+    second-to-last feature tap) and anything else in the source but not here
+    (SigLIP attention-pool head, ...) — are passed through from the source
+    instead of zero-filled, producing a strict=True-loadable HF checkpoint."""
     from safetensors.numpy import save_file
 
     from bridgelang_tpu.models.vision.vit import FUSED_BACKBONES, VIT_CONFIGS
@@ -115,6 +130,7 @@ def export_checkpoint(model, params: Dict[str, Any], out_dir) -> Path:
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    dead_keys: set = set()
     tensors: Dict[str, np.ndarray] = {}
     tensors.update(export_llm_state_dict(params["llm"]))
     for i in (1, 2, 3):
@@ -135,7 +151,16 @@ def export_checkpoint(model, params: Dict[str, Any], out_dir) -> Path:
         towers = {"featurizer": params["vision"]}
     del FUSED_BACKBONES, VIT_CONFIGS
     for name, tower in towers.items():
-        tensors.update(export_vit_state_dict(tower, tower_depth(tower), f"vision_backbone.{name}."))
+        tensors.update(export_vit_state_dict(tower, tower_depth(tower), f"vision_backbone.{name}.", dead_keys))
+
+    if source_hf is not None:
+        from safetensors import safe_open
+
+        for f in sorted(Path(source_hf).glob("*.safetensors")):
+            with safe_open(str(f), framework="numpy") as sf:
+                for key in sf.keys():
+                    if key in dead_keys or key not in tensors:
+                        tensors[key] = sf.get_tensor(key)
 
     save_file(tensors, str(out_dir / "model.safetensors"))
 

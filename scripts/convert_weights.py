@@ -32,6 +32,9 @@ class ConvertConfig:
     checkpoint: Optional[str] = None  # specific checkpoint dir (default: latest)
     out_dir: str = "hf_export"
     base_vlm: str = "prism-dinosiglip-224px+7b"
+    # Original HF checkpoint dir: passes through the dead tensors (final ViT
+    # blocks, SigLIP pool head) so the export loads strict=True under HF.
+    source_hf: Optional[str] = None
 
 
 def main(cfg: ConvertConfig) -> None:
@@ -74,7 +77,7 @@ def main(cfg: ConvertConfig) -> None:
     params = model.init_params(jax.random.key(0), param_dtype=jnp.bfloat16)
     optimizer = make_optimizer(OptimConfig(), params)
     state = mgr.restore(ckpt_path, init_train_state(params, optimizer))
-    out = export_checkpoint(model, jax.device_get(state.params), cfg.out_dir)
+    out = export_checkpoint(model, jax.device_get(state.params), cfg.out_dir, source_hf=cfg.source_hf)
     print(f"to_hf: wrote {out}")
 
 

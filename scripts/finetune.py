@@ -139,13 +139,15 @@ def main(cfg: FinetuneConfig) -> None:
         if step % cfg.save_steps == 0:
             # all processes participate in the sharded Orbax write
             _save(ckpt, state, step, float(m["loss"]), cfg.use_lora, model,
-                  run_dir if (cfg.export_hf and overwatch.is_rank_zero()) else None)
+                  run_dir if (cfg.export_hf and overwatch.is_rank_zero()) else None,
+                  source_hf=cfg.vla_path if Path(cfg.vla_path).is_dir() else None)
     _save(ckpt, state, step, float(m["loss"]), cfg.use_lora, model,
-          run_dir if (cfg.export_hf and overwatch.is_rank_zero()) else None)
+          run_dir if (cfg.export_hf and overwatch.is_rank_zero()) else None,
+          source_hf=cfg.vla_path if Path(cfg.vla_path).is_dir() else None)
     metrics.finalize()
 
 
-def _save(ckpt, state, step, loss, use_lora, model=None, hf_export_dir=None):
+def _save(ckpt, state, step, loss, use_lora, model=None, hf_export_dir=None, source_hf=None):
     """LoRA runs save the MERGED model (reference finetune.py:320-364
     merge_and_unload-and-save); optionally also exports the HF-format
     checkpoint the reference's serving stack consumes."""
@@ -161,8 +163,11 @@ def _save(ckpt, state, step, loss, use_lora, model=None, hf_export_dir=None):
 
         from bridgelang_tpu.extern.hf_export import export_checkpoint
 
-        # latest-only HF export (reference keeps latest only, finetune.py:328)
-        export_checkpoint(model, jax.device_get(save_state.params), Path(hf_export_dir) / "hf_export")
+        # latest-only HF export (reference keeps latest only, finetune.py:328);
+        # the source checkpoint supplies the dead tensors our pytree never
+        # materializes, so the export loads strict=True under HF.
+        export_checkpoint(model, jax.device_get(save_state.params), Path(hf_export_dir) / "hf_export",
+                          source_hf=source_hf)
 
 
 if __name__ == "__main__":

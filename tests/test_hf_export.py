@@ -76,3 +76,43 @@ def test_export_checkpoint_loads_back(tmp_path):
     )
     # zero-filled final block present for HF-side strict=False load
     assert f"vision_backbone.featurizer.blocks.{TINY_VIT.depth-1}.attn.qkv.weight" in sd
+
+
+def test_export_with_source_passthrough(tmp_path):
+    """With source_hf given, zero-filled dead tensors (final ViT block) take
+    the SOURCE values and source-only tensors (e.g. SigLIP attention pool)
+    pass through — the export becomes strict=True-loadable under HF."""
+    from safetensors.numpy import load_file, save_file
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = PrismaticVLM(cfg, dtype=jnp.float32)
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+    model.norm_stats = {}
+
+    # export once (zero-filled final block), then craft a "source" checkpoint
+    # with a real-valued final block and one extra head tensor
+    first = export_checkpoint(model, params, tmp_path / "zero")
+    sd = load_file(str(first / "model.safetensors"))
+    final_block = [k for k in sd if f"blocks.{TINY_VIT.depth - 1}." in k]
+    assert final_block and all((sd[k] == 0).all() for k in final_block)
+
+    src = dict(sd)
+    for k in final_block:
+        src[k] = np.full_like(sd[k], 3.5)
+    src["vision_backbone.featurizer.attn_pool.latent"] = np.ones((1, 4), np.float32)
+    (tmp_path / "source").mkdir()
+    save_file(src, str(tmp_path / "source" / "model.safetensors"))
+
+    out = export_checkpoint(model, params, tmp_path / "full", source_hf=tmp_path / "source")
+    sd2 = load_file(str(out / "model.safetensors"))
+    for k in final_block:
+        assert (sd2[k] == 3.5).all(), k  # dead tensors took source values
+    assert "vision_backbone.featurizer.attn_pool.latent" in sd2  # passthrough
+    # real (trained) tensors are OURS, not the source's
+    np.testing.assert_allclose(sd2["projector.fc1.bias"], sd["projector.fc1.bias"])
