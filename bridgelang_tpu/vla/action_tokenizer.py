@@ -90,18 +90,23 @@ def normalize_actions_q99(
     q01: jnp.ndarray,
     q99: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    degenerate_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Inverse of `unnormalize_actions`: raw -> [-1, 1] (training-time transform;
-    reference rlds/utils/data_utils.py BOUNDS_Q99 path), with degenerate-range
-    protection (zeros where q01 == q99, matching tf.math.divide_no_nan)."""
+    """Inverse of `unnormalize_actions`: raw -> [-1, 1], mirroring the tf
+    training normalizer EXACTLY (rlds/utils/data_utils.py BOUNDS_Q99 path):
+    denominator (q99 - q01 + 1e-8), and dims zeroed only where the DATASET
+    min == max (pass `degenerate_mask` built from those stats) — a dim with
+    q01 == q99 but min != max normalizes to clipped +/-1 in training, so it
+    must here too."""
     q01 = jnp.asarray(q01, dtype=actions.dtype)
     q99 = jnp.asarray(q99, dtype=actions.dtype)
-    rng = q99 - q01
-    scaled = jnp.where(rng == 0, 0.0, 2.0 * (actions - q01) / jnp.where(rng == 0, 1.0, rng) - 1.0)
+    scaled = 2.0 * (actions - q01) / (q99 - q01 + 1e-8) - 1.0
     clipped = jnp.clip(scaled, -1.0, 1.0)
-    if mask is None:
-        return clipped
-    return jnp.where(jnp.asarray(mask), clipped, actions)
+    if mask is not None:
+        clipped = jnp.where(jnp.asarray(mask), clipped, actions)
+    if degenerate_mask is not None:
+        clipped = jnp.where(jnp.asarray(degenerate_mask), 0.0, clipped)
+    return clipped
 
 
 # --- host-side class (data pipeline / string round-trip) ---------------------

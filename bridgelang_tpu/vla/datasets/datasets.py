@@ -56,10 +56,13 @@ class RLDSBatchTransform:
         input_ids = np.concatenate([prompt_ids, action_ids, [EOS_TOKEN_ID]]).astype(np.int32)
 
         # Loss only on the action tokens (+ optional EOS); everything before is
-        # context (reference datasets.py:62-65).
+        # context (reference datasets.py:62-65: mask all but the final
+        # action_dim+1 tokens, then mask EOS when predict_stop_token=False —
+        # the supervised window must stay anchored on the ACTION tokens).
         labels = np.full_like(input_ids, IGNORE_INDEX)
-        n_predict = len(action_ids) + (1 if self.predict_stop_token else 0)
-        labels[-n_predict:] = input_ids[-n_predict:]
+        labels[-(len(action_ids) + 1):] = input_ids[-(len(action_ids) + 1):]
+        if not self.predict_stop_token:
+            labels[-1] = IGNORE_INDEX
 
         return {
             "frames": img,
@@ -99,16 +102,42 @@ class PaddedCollatorForActionPrediction:
 
     def __post_init__(self):
         assert self.padding_side == "right", "PrismaticVLM requires right padding"
+        self._n_dropped = 0
 
     def __call__(self, examples: List[Dict[str, Any]]) -> Dict[str, Any]:
+        # NEVER truncate: chopping the tail removes action tokens and their
+        # labels (the reference pads to llm_max_length=2048 and so never
+        # truncates either). Long-tail overlong instructions are DROPPED with
+        # a warning and the slot refilled from a kept example, so supervision
+        # is always complete and shapes stay static.
+        kept = [ex for ex in examples if len(ex["input_ids"]) <= self.max_length]
+        n_over = len(examples) - len(kept)
+        if n_over:
+            self._n_dropped += n_over
+            if self._n_dropped <= 10 or self._n_dropped % 1000 == 0:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "Dropped %d example(s) longer than max_length=%d (total dropped: %d) "
+                    "— raise the collator max_length if this is common",
+                    n_over, self.max_length, self._n_dropped,
+                )
+        if not kept:
+            longest = max(len(ex["input_ids"]) for ex in examples)
+            raise ValueError(
+                f"every example in the batch exceeds max_length={self.max_length} "
+                f"(longest: {longest}); raise the collator max_length"
+            )
+        examples = kept + [kept[i % len(kept)] for i in range(n_over)]
+
         b = len(examples)
         ids = np.full((b, self.max_length), self.pad_token_id, np.int32)
         labels = np.full((b, self.max_length), IGNORE_INDEX, np.int32)
         mask = np.zeros((b, self.max_length), np.int32)
         for i, ex in enumerate(examples):
-            seq = ex["input_ids"][: self.max_length]
+            seq = ex["input_ids"]
             ids[i, : len(seq)] = seq
-            labels[i, : len(seq)] = ex["labels"][: len(seq)]
+            labels[i, : len(seq)] = ex["labels"]
             mask[i, : len(seq)] = 1
         frames = np.stack([ex["frames"] for ex in examples])
         return {

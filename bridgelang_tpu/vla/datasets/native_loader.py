@@ -59,10 +59,24 @@ class NativeEpisodeBuilder:
         self.wrist_key = wrist_key
 
     def __call__(self, split: str):
+        import re
+
         import tensorflow as tf
 
+        # Honor the split: "train" = everything, "train[:N%]" = the first N%
+        # of episodes (the loader's no-val fallback) — silently streaming the
+        # full training set for a val split would make every val metric a
+        # train metric.
+        take_frac = None
+        if split != "train":
+            m = re.fullmatch(r"train\[:(\d+)%\]", split)
+            if not m:
+                raise ValueError(
+                    f"NativeEpisodeBuilder supports 'train' and 'train[:N%]' splits, got {split!r}"
+                )
+            take_frac = int(m.group(1)) / 100.0
+
         first = next(read_episodes(self.paths))
-        t0 = len(first["actions"])
 
         def to_traj(ep: Dict[str, Any]) -> Dict[str, Any]:
             t = len(ep["actions"])
@@ -83,7 +97,15 @@ class NativeEpisodeBuilder:
         )
 
         def gen():
-            for ep in read_episodes(self.paths):
+            if take_frac is None:
+                for ep in read_episodes(self.paths):
+                    yield to_traj(ep)
+                return
+            n_total = sum(1 for _ in read_episodes(self.paths))
+            n_take = max(1, int(n_total * take_frac))
+            for i, ep in enumerate(read_episodes(self.paths)):
+                if i >= n_take:
+                    break
                 yield to_traj(ep)
 
         return tf.data.Dataset.from_generator(gen, output_signature=sig)

@@ -142,15 +142,32 @@ def make_dataset_from_rlds(
 
     split = "train" if train else ("val" if _has_split(builder, "val") else "train[:5%]")
     unsharded_trajs = None  # statistics source (must span ALL hosts' data)
+    n_proc, proc_idx = 1, 0
+    if shard_by_process:
+        import jax
+
+        n_proc, proc_idx = jax.process_count(), jax.process_index()
     if callable(builder) and not hasattr(builder, "as_dataset"):
         dataset = builder(split)
+        if n_proc > 1:
+            unsharded_trajs = builder(split)
+            dataset = dataset.shard(n_proc, proc_idx)
     else:
         read_config = None
         try:
             import tensorflow_datasets as tfds
 
+            # Multi-host sharding is only a PARTITION if every host reads the
+            # files in the same order — a per-host random file shuffle would
+            # make shards overlap and drop episodes. Fix the shuffle seed
+            # per-dataset when sharding (zlib.crc32: stable across hosts,
+            # unlike salted hash()); single-host keeps free-running shuffles
+            # (the 250k-frame shuffle buffer does the real mixing).
+            import zlib
+
+            seed = (zlib.crc32(name.encode("utf-8")) % (2**31 - 1)) if n_proc > 1 else None
             read_config = tfds.ReadConfig(
-                shuffle_seed=None,
+                shuffle_seed=seed,
                 num_parallel_calls_for_interleave_files=num_parallel_reads,
                 interleave_cycle_length=num_parallel_reads,
             )
@@ -160,16 +177,13 @@ def make_dataset_from_rlds(
         if read_config is not None:
             kwargs["read_config"] = read_config
         episodes = builder.as_dataset(**kwargs)
-        if shard_by_process:
-            import jax
-
-            if jax.process_count() > 1:
-                # Training shards per host, but statistics must NOT: every
-                # host has to normalize with identical full-dataset stats and
-                # the dataset_statistics.json sidecar must describe the whole
-                # dataset (reference computes stats before any sharding).
-                unsharded_trajs = episodes_to_trajs(episodes)
-                episodes = episodes.shard(jax.process_count(), jax.process_index())
+        if n_proc > 1:
+            # Training shards per host, but statistics must NOT: every
+            # host has to normalize with identical full-dataset stats and
+            # the dataset_statistics.json sidecar must describe the whole
+            # dataset (reference computes stats before any sharding).
+            unsharded_trajs = episodes_to_trajs(episodes)
+            episodes = episodes.shard(n_proc, proc_idx)
         dataset = episodes_to_trajs(episodes)
 
     dataset = dataset.map(restructure, num_parallel_calls=num_parallel_calls)
@@ -357,7 +371,10 @@ def make_single_dataset(
     traj_transform_kwargs: Optional[Dict[str, Any]] = None,
     frame_transform_kwargs: Optional[Dict[str, Any]] = None,
 ) -> tf.data.Dataset:
-    """One dataset, trajectory-level output (reference dataset.py:427-454)."""
+    """One dataset, trajectory-level output (reference dataset.py:427-454).
+    chunk_filter_fn is frame-level and does not apply here (as in the
+    reference, where only the interleaved pipeline consumes it)."""
+    dataset_kwargs = {k: v for k, v in dataset_kwargs.items() if k != "chunk_filter_fn"}
     dataset, statistics = make_dataset_from_rlds(train=train, **dataset_kwargs)
     dataset = apply_trajectory_transforms(dataset, train=train, **(traj_transform_kwargs or {}))
     dataset.dataset_statistics = statistics
@@ -387,7 +404,8 @@ def make_interleaved_dataset(
     all_statistics = {}
     lengths = []
     for kwargs in dataset_kwargs_list:
-        _, stats = make_dataset_from_rlds(train=train, **kwargs)
+        _, stats = make_dataset_from_rlds(
+            train=train, **{k: v for k, v in kwargs.items() if k != "chunk_filter_fn"})
         all_statistics[kwargs["name"]] = stats
         lengths.append(int(stats["num_transitions"]))
 
@@ -405,17 +423,24 @@ def make_interleaved_dataset(
 
     datasets = []
     for kwargs, transform_threads, read_threads in zip(dataset_kwargs_list, threads_per_dataset, reads_per_dataset):
+        chunk_filter_fn = kwargs.get("chunk_filter_fn")
         ds, _ = make_dataset_from_rlds(
             train=train,
             num_parallel_reads=int(read_threads),
             num_parallel_calls=int(transform_threads),
             dataset_statistics=all_statistics[kwargs["name"]],
-            **{k: v for k, v in kwargs.items() if k not in ("num_parallel_reads", "num_parallel_calls")},
+            **{k: v for k, v in kwargs.items()
+               if k not in ("num_parallel_reads", "num_parallel_calls", "chunk_filter_fn")},
         )
         ds = apply_trajectory_transforms(
             ds.repeat(), train=train, num_parallel_calls=int(transform_threads), **(traj_transform_kwargs or {})
         )
-        datasets.append(flatten_to_frames(ds))
+        ds = flatten_to_frames(ds)
+        if chunk_filter_fn is not None:
+            # per-dataset frame filter (reference dataset.py:354-366 —
+            # droid's zero-action chunk filter runs post-normalization)
+            ds = ds.filter(chunk_filter_fn)
+        datasets.append(ds)
 
     dataset = tf.data.Dataset.sample_from_datasets(datasets, sample_weights)
     dataset = dataset.shuffle(shuffle_buffer_size)

@@ -44,6 +44,9 @@ class OXEDatasetConfig:
     state_obs_keys: Tuple[Optional[str], ...] = ()
     state_encoding: StateEncoding = StateEncoding.NONE
     action_encoding: ActionEncoding = ActionEncoding.EEF_POS
+    # name of a registered per-dataset frame filter (reference aux_kwargs
+    # chunk_filter_fn, configs.py:543-547: droid drops all-zero-action chunks)
+    chunk_filter: Optional[str] = None
 
     @property
     def image_obs_keys(self) -> Dict[str, Optional[str]]:
@@ -118,7 +121,7 @@ OXE_DATASET_CONFIGS: Dict[str, OXEDatasetConfig] = {
                      state_obs_keys=("proprio",), state_encoding=PE),
     "dobbe": C("wrist_image", None, None, state_obs_keys=("proprio",), state_encoding=PE),
     "droid": C("exterior_image_1_left", "exterior_image_2_left", "wrist_image_left",
-               state_obs_keys=("proprio",), state_encoding=PQ),
+               state_obs_keys=("proprio",), state_encoding=PQ, chunk_filter="zero_action"),
     "tdroid_carrot_in_bowl": C("static_image", None, None, "static_depth_image", None, None,
                                state_obs_keys=("EEF_state", None, "gripper_state"), state_encoding=PE),
     "tdroid_pour_corn_in_pot": C("static_image", None, None, "static_depth_image", None, None,

@@ -63,12 +63,13 @@ def velocity_act_to_wrist_frame(vel: tf.Tensor, wrist_in_robot_frame: tf.Tensor)
 
 
 def zero_action_filter(traj: Dict[str, Any]) -> tf.Tensor:
-    """Drop chunks whose (normalized) actions are all ~neutral — DROID has
-    long idle stretches (reference droid_utils.py:151-178; bound to the droid
-    dataset via aux chunk_filter kwargs)."""
+    """Drop chunks whose actions are all ~zero — DROID has long idle
+    stretches. Runs AFTER q99 normalization, so the comparison target is the
+    NORMALIZED zero action, not 0 (reference droid_utils.py:151-178)."""
     droid_q01 = tf.constant([-0.7776297926902771, -0.5803514122962952, -0.5795090794563293,
                              -0.6464047729969025, -0.7041108310222626, -0.8895104378461838])
     droid_q99 = tf.constant([0.7597932070493698, 0.5726242214441299, 0.7351000607013702,
                              0.6705610305070877, 0.6464948207139969, 0.8897542208433151])
-    norm_actions = (traj["action"][:, :6] - droid_q01) / (droid_q99 - droid_q01) * 2 - 1
-    return tf.reduce_any(tf.math.abs(norm_actions) > 1e-5)
+    acts = traj["action"][..., :6]
+    norm_zero = 2 * (tf.zeros_like(acts) - droid_q01) / (droid_q99 - droid_q01 + 1e-8) - 1
+    return tf.reduce_any(tf.math.abs(acts - norm_zero) > 1e-5)

@@ -64,6 +64,11 @@ def make_oxe_dataset_kwargs(
         "absolute_action_mask": absolute_action_mask,
         "action_normalization_mask": action_normalization_mask,
     }
+    if cfg.chunk_filter is not None:
+        from bridgelang_tpu.vla.datasets.rlds.oxe.droid_utils import zero_action_filter
+
+        registry = {"zero_action": zero_action_filter}
+        kwargs["chunk_filter_fn"] = registry[cfg.chunk_filter]
     if load_proprio:
         # Assemble proprio by concatenating the config's raw state keys with
         # one zero-pad dim per None slot (reference materialize.py:49-63 +

@@ -122,16 +122,7 @@ def bridge_oxe(traj: Traj) -> Traj:
 def bridge_orig(traj: Traj) -> Traj:
     """Bridge V2 from the project website: drop zero first step, binarize the
     continuous gripper, relabel actions from state deltas."""
-    # action here is flat (not structured), so the generic drop applies to it too
-    out = {}
-    for key, val in traj.items():
-        if key == "traj_metadata":
-            out[key] = val
-        elif key == "observation":
-            out[key] = {k: v[1:] for k, v in val.items()}
-        else:
-            out[key] = val[1:]
-    traj = out
+    traj = _drop_first_step(traj)
     traj["action"] = tf.concat(
         (traj["action"][:, :6], binarize_gripper_actions(traj["action"][:, -1])[:, None]), axis=1
     )
@@ -347,13 +338,23 @@ def dobbe(traj: Traj) -> Traj:
     return traj
 
 
+def _rand_swap_exterior_images(img1: tf.Tensor, img2: tf.Tensor):
+    """Randomly swap the two exterior cameras per trajectory so single-camera
+    training sees both viewpoints (reference droid_utils.py:59-63)."""
+    return tf.cond(tf.random.uniform(shape=[]) > 0.5, lambda: (img1, img2), lambda: (img2, img1))
+
+
 def droid_baseact(traj: Traj) -> Traj:
-    """DROID: cartesian velocity in base frame; gripper position inverted."""
+    """DROID: cartesian velocity in base frame; gripper position inverted;
+    exterior cameras randomly swapped (reference droid_utils.py:66-94)."""
     a = traj["action_dict"]
     traj["action"] = tf.concat(
         (a["cartesian_velocity"][:, :3], a["cartesian_velocity"][:, 3:6], 1 - a["gripper_position"]), axis=-1
     )
     obs = traj["observation"]
+    obs["exterior_image_1_left"], obs["exterior_image_2_left"] = _rand_swap_exterior_images(
+        obs["exterior_image_1_left"], obs["exterior_image_2_left"]
+    )
     obs["proprio"] = tf.concat((obs["cartesian_position"], obs["gripper_position"]), axis=-1)
     return traj
 
@@ -426,14 +427,9 @@ OXE_STANDARDIZATION_TRANSFORMS: Dict[str, Callable[[Traj], Traj]] = {
 # --- Long-tail transforms (registry completion) ---
 
 
-def ppgm(traj: Traj) -> Traj:
-    traj["action"] = tf.concat(
-        (traj["action"][:, :6], binarize_gripper_actions(traj["action"][:, -1])[:, None]), axis=1
-    )
-    obs = traj["observation"]
-    obs["EEF_state"] = obs["cartesian_position"][:, :6]
-    obs["gripper_state"] = obs["gripper_position"][:, -1:]
-    return traj
+# PPGM shares T-DROID's standardization contract exactly (action gripper
+# binarize + cartesian EEF/gripper state split).
+ppgm = tdroid
 
 
 def pusht(traj: Traj) -> Traj:

@@ -26,22 +26,38 @@ def chunk_act_obs(traj: Dict[str, Any], window_size: int = 1, future_action_wind
     timestep_pad_mask = history_indices >= 0
 
     action_indices = tf.range(traj_len)[:, None] + tf.range(-window_size + 1, 1 + future_action_window_size)[None, :]
-    action_past_goal = action_indices > traj_len - 1
+
+    # Goal-relabeled trajectories carry task.timestep; otherwise the "goal"
+    # is the trajectory end (reference traj_transforms.py:41-46).
+    if "timestep" in traj.get("task", {}):
+        goal_timestep = traj["task"]["timestep"]
+    else:
+        goal_timestep = tf.fill([traj_len], traj_len - 1)
 
     history_indices = tf.maximum(history_indices, 0)
-    action_indices = tf.minimum(tf.maximum(action_indices, 0), traj_len - 1)
+    # Actions clamp AT the goal (not traj end): chunked windows repeat the
+    # goal-step action past it (reference :46).
+    floored_action_indices = tf.minimum(tf.maximum(action_indices, 0), goal_timestep[:, None])
 
     traj["observation"] = tf.nest.map_structure(lambda x: tf.gather(x, history_indices), traj["observation"])
     traj["observation"]["timestep_pad_mask"] = timestep_pad_mask
-    traj["action"] = tf.gather(traj["action"], action_indices)
+    traj["action"] = tf.gather(traj["action"], floored_action_indices)
 
-    # If goal-relabeled, neutralize actions past the goal timestep.
-    if "timestep" in traj.get("task", {}):
-        goal_timestep = traj["task"]["timestep"]
-        action_past_goal = action_indices > goal_timestep[:, None] - 1
-    zeros = tf.zeros_like(traj["action"][:, 0:1, :])
-    neutral = tf.concat([zeros[..., : action_dim - 1], tf.ones_like(zeros[..., -1:])], axis=-1)
-    traj["action"] = tf.where(action_past_goal[..., None], tf.broadcast_to(neutral, tf.shape(traj["action"])), traj["action"])
+    # Actions strictly past the goal become NEUTRAL: relative dims zero,
+    # absolute dims keep their (goal-clamped) chunked value — the
+    # absolute_action_mask emitted by make_dataset_from_rlds decides which is
+    # which (reference :54-70; a hardcoded neutral would force grippers open
+    # and zero absolute joint targets).
+    absolute_action_mask = traj.get(
+        "absolute_action_mask", tf.zeros([traj_len, action_dim], dtype=tf.bool)
+    )
+    neutral_actions = tf.where(
+        absolute_action_mask[:, None, :],
+        traj["action"],
+        tf.zeros_like(traj["action"]),
+    )
+    action_past_goal = action_indices > goal_timestep[:, None]
+    traj["action"] = tf.where(action_past_goal[:, :, None], neutral_actions, traj["action"])
     return traj
 
 

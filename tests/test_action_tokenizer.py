@@ -98,13 +98,21 @@ def test_normalize_unnormalize_roundtrip():
     np.testing.assert_allclose(np.asarray(back), raw, atol=1e-5)
 
 
-def test_degenerate_range_normalizes_to_zero():
+def test_degenerate_range_matches_training_normalizer():
+    """Mirror the tf pipeline: a q01==q99 dim with min!=max is NOT zeroed (it
+    clips), only dataset-min==max dims are — and only when the caller passes
+    the degenerate mask built from those stats."""
     q01 = np.float32([0.5, -1.0])
     q99 = np.float32([0.5, 1.0])
-    raw = np.float32([[0.5, 0.0]])
+    raw = np.float32([[0.9, 0.0]])
+    # no degenerate mask: q01==q99 dim clips to +1 (value above the range)
     normed = np.asarray(normalize_actions_q99(jnp.asarray(raw), q01, q99))
-    assert normed[0, 0] == 0.0
+    assert normed[0, 0] == 1.0
     np.testing.assert_allclose(normed[0, 1], 0.0, atol=1e-6)
+    # with min==max degenerate mask: zeroed like the training pipeline
+    normed = np.asarray(normalize_actions_q99(jnp.asarray(raw), q01, q99,
+                                              degenerate_mask=np.array([True, False])))
+    assert normed[0, 0] == 0.0
 
 
 def test_call_returns_decoded_string(at):

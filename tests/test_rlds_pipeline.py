@@ -245,3 +245,63 @@ def test_state_obs_keys_concat_with_zero_pad():
     assert alloc.sum() == 16 and (alloc >= 1).all()
     alloc2 = allocate_threads(3, np.array([0.9, 0.05, 0.05]))
     assert alloc2.sum() == 3 and (alloc2 >= 1).all()
+
+
+def test_chunk_act_obs_goal_neutral_semantics():
+    """Past-goal actions: relative dims zero, ABSOLUTE dims keep the
+    goal-clamped value (reference traj_transforms.py:46-70 — a hardcoded
+    neutral would force grippers open); indices clamp AT the goal."""
+    from bridgelang_tpu.vla.datasets.rlds.traj_transforms import chunk_act_obs
+
+    t = 6
+    actions = np.stack([np.arange(t, dtype=np.float32) + 1,          # relative dim
+                        np.zeros(t, np.float32)], axis=1)            # absolute dim (gripper, closed=0)
+    traj = {
+        "observation": {"x": np.arange(t, dtype=np.float32)},
+        "task": {"timestep": np.full(t, 3, np.int64)},               # goal at step 3
+        "action": tf.constant(actions),
+        "absolute_action_mask": tf.constant(np.tile([[False, True]], (t, 1))),
+    }
+    out = chunk_act_obs(dict(traj), window_size=1, future_action_window_size=2)
+    acts = out["action"].numpy()  # [t, 3, 2]
+    # frame 2's future window covers steps 2,3,4: step 4 is past goal ->
+    # relative dim zeroed, absolute dim keeps the GOAL step's value (0.0,
+    # i.e. gripper stays closed, never forced open)
+    np.testing.assert_allclose(acts[2, :, 0], [3.0, 4.0, 0.0])
+    np.testing.assert_allclose(acts[2, :, 1], [0.0, 0.0, 0.0])
+    # the action AT the goal step itself is NOT neutralized (off-by-one guard)
+    np.testing.assert_allclose(acts[3, 0, 0], 4.0)
+    # future indices clamp at the goal, not the trajectory end
+    np.testing.assert_allclose(acts[3, 1:, 0], [0.0, 0.0])  # past goal -> neutral relative
+
+
+def test_zero_action_filter_matches_reference_semantics():
+    """The filter sees NORMALIZED actions; an all-zero raw chunk (normalized
+    != 0) must be dropped, a moving chunk kept (reference droid_utils:151-178)."""
+    from bridgelang_tpu.vla.datasets.rlds.oxe.droid_utils import zero_action_filter
+
+    q01 = np.array([-0.7776297926902771, -0.5803514122962952, -0.5795090794563293,
+                    -0.6464047729969025, -0.7041108310222626, -0.8895104378461838])
+    q99 = np.array([0.7597932070493698, 0.5726242214441299, 0.7351000607013702,
+                    0.6705610305070877, 0.6464948207139969, 0.8897542208433151])
+
+    def normalize(raw):
+        return 2 * (raw - q01) / (q99 - q01 + 1e-8) - 1
+
+    idle = normalize(np.zeros((4, 6)))  # raw zero -> normalized "zero action"
+    chunk_idle = {"action": tf.constant(np.concatenate([idle, np.ones((4, 1))], 1), tf.float32)}
+    assert not bool(zero_action_filter(chunk_idle))  # all idle -> dropped
+
+    moving = normalize(np.full((4, 6), 0.2))
+    chunk_moving = {"action": tf.constant(np.concatenate([moving, np.ones((4, 1))], 1), tf.float32)}
+    assert bool(zero_action_filter(chunk_moving))
+
+
+def test_droid_chunk_filter_wired_through_materialize():
+    from bridgelang_tpu.vla.datasets.rlds.oxe.droid_utils import zero_action_filter
+    from bridgelang_tpu.vla.datasets.rlds.oxe.materialize import make_oxe_dataset_kwargs
+
+    kw = make_oxe_dataset_kwargs("droid", "/data")
+    assert kw["chunk_filter_fn"] is zero_action_filter
+    kw2 = make_oxe_dataset_kwargs("bridge_orig", "/data")
+    assert "chunk_filter_fn" not in kw2

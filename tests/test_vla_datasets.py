@@ -187,3 +187,37 @@ def test_make_oxe_kwargs_emits_state_obs_keys():
     assert "proprio_obs_key" not in kw
     kw2 = make_oxe_dataset_kwargs("bridge_orig", "/data", load_proprio=False)
     assert "state_obs_keys" not in kw2
+
+
+def test_label_window_predict_stop_token_false():
+    """predict_stop_token=False must supervise ALL action tokens and mask EOS
+    (reference datasets.py:62-65) — not shift the window onto EOS."""
+    tok = StubTokenizer()
+    xf = RLDSBatchTransform(ActionTokenizer(tok), tok, predict_stop_token=False)
+    out = xf(_frame())
+    labels, ids = out["labels"], out["input_ids"]
+    assert labels[-1] == IGNORE_INDEX                       # EOS masked
+    np.testing.assert_array_equal(labels[-8:-1], ids[-8:-1])  # all 7 action tokens supervised
+    assert (labels[:-8] == IGNORE_INDEX).all()
+
+    xf2 = RLDSBatchTransform(ActionTokenizer(tok), tok, predict_stop_token=True)
+    out2 = xf2(_frame())
+    np.testing.assert_array_equal(out2["labels"][-8:], out2["input_ids"][-8:])  # + EOS
+
+
+def test_collator_drops_overlong_instead_of_truncating():
+    tok = StubTokenizer()
+    xf = RLDSBatchTransform(ActionTokenizer(tok), tok)
+    short = xf(_frame())
+    long_ids = np.arange(100, dtype=np.int32)
+    overlong = {"frames": short["frames"], "input_ids": long_ids,
+                "labels": long_ids.copy(), "dataset_name": "x"}
+    coll = PaddedCollatorForActionPrediction(max_length=64, pad_token_id=0)
+    batch = coll([short, overlong])
+    assert batch["input_ids"].shape == (2, 64)  # static shape preserved
+    # the overlong slot was refilled from the kept example, never truncated
+    np.testing.assert_array_equal(batch["input_ids"][0], batch["input_ids"][1])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        coll([overlong])
