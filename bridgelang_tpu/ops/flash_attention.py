@@ -28,12 +28,15 @@ rules accept for a block whose penultimate dim is the 128-row query block.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
@@ -200,6 +203,93 @@ def _bwd_dkv_kernel(
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
+# --- SPMD partitioning --------------------------------------------------------
+#
+# pallas_call lowers to an XLA custom call, which the GSPMD/Shardy partitioner
+# cannot shard on its own: on a multi-chip mesh an unregistered kernel forces
+# full replication of its operands (q sharded over (replica, fsdp) batch axes
+# and the tensor-parallel head axis would be all-gathered — defeating the
+# sharding the trainer sets up). The kernels' grid is embarrassingly parallel
+# over (batch, head), so each pallas entry point is wrapped in
+# `jax.experimental.custom_partitioning` declaring exactly that: batch/head
+# dims propagate the operand sharding, time/feature dims are replicated, and
+# the per-shard lowering is the SAME pallas call on shard-local shapes.
+#
+# GQA blocking constraint: a head-axis shard must contain whole KV groups, so
+# the head axis is accepted only when it divides n_kv_heads (Llama MHA: any;
+# Mistral 8-KV-head GQA: tensor ∈ {2,4,8}); otherwise heads replicate.
+
+
+def _axis_size(mesh, axes) -> int:
+    if axes is None:
+        return 1
+    axes = (axes,) if isinstance(axes, str) else tuple(axes)
+    return math.prod(int(mesh.shape[a]) for a in axes)
+
+
+def _pick_batch_head_axes(mesh, arg_shapes):
+    """Choose (batch_axes, head_axes) the kernels can honor, from the q
+    operand's suggested sharding. arg layout: (lengths [B], q [B,H,T,D],
+    k [B,Hkv,S,D], v [B,Hkv,S,D], ...) — every rank-4 operand is
+    (batch, heads, time, feature)."""
+    q_shape = arg_shapes[1]
+    spec = q_shape.sharding.spec if isinstance(q_shape.sharding, NamedSharding) else P()
+    sb = spec[0] if len(spec) > 0 else None
+    sh = spec[1] if len(spec) > 1 else None
+    b, h = q_shape.shape[0], q_shape.shape[1]
+    hkv = arg_shapes[2].shape[1]
+    if sb is not None and b % _axis_size(mesh, sb) != 0:
+        sb = None
+    n_h = _axis_size(mesh, sh)
+    if sh is not None and (h % n_h != 0 or hkv % n_h != 0):
+        sh = None  # GQA groups would split across shards; replicate heads
+    return sb, sh
+
+
+def _spmd_wrap(raw_fn, n_args: int, n_static: int, n_results: int, rule: str):
+    """Wrap a pallas entry point (lengths, *rank4_tensors, *statics) in
+    custom_partitioning with batch/head propagation. `n_args` counts ALL
+    positional args; the last `n_static` are static (hashable) kernel params.
+    `rule` is the einsum-style Shardy sharding rule over the dynamic operands
+    (factors: b=batch, h=query heads, g=kv heads; t/s/d/w must replicate)."""
+
+    wrapped = custom_partitioning(
+        raw_fn, static_argnums=tuple(range(n_args - n_static, n_args))
+    )
+
+    def _shardings(mesh, arg_shapes):
+        sb, sh = _pick_batch_head_axes(mesh, arg_shapes)
+        tensor_s = NamedSharding(mesh, P(sb, sh, None, None))
+        args = (NamedSharding(mesh, P(sb)),) + (tensor_s,) * (len(arg_shapes) - 1)
+        results = (tensor_s,) * n_results
+        return args, results if n_results > 1 else results[0]
+
+    def infer(*args):
+        mesh, arg_shapes, _ = args[n_static:]
+        _, results = _shardings(mesh, arg_shapes)
+        return results
+
+    def partition(*args):
+        statics = args[:n_static]
+        mesh, arg_shapes, _ = args[n_static:]
+        arg_sh, result_sh = _shardings(mesh, arg_shapes)
+
+        def lower_fn(*operands):
+            return raw_fn(*operands, *statics)
+
+        return mesh, lower_fn, result_sh, arg_sh
+
+    wrapped.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,  # GSPMD propagation
+        sharding_rule=rule,                  # Shardy propagation
+        # NB: Shardy requires these sorted by factor index (order of first
+        # appearance in `rule`): t, d appear in q before s (in k) and w (lse).
+        need_replication_factors=("t", "d", "s", "w"),
+    )
+    return wrapped
+
+
 # --- host-side wrappers -------------------------------------------------------
 
 
@@ -215,25 +305,17 @@ def _flash(q, k, v, causal, block_q, block_k, window, lengths=None):
     return out
 
 
-def _flash_fwd_impl(q, k, v, causal, block_q, block_k, window, lengths):
-    b, t, h, d = q.shape
-    s = k.shape[1]
-    assert s >= t, f"keys ({s}) must be at least as long as queries ({t}); queries sit at key positions 0..T-1"
-    hkv = k.shape[2]
-    group = h // hkv
-    if lengths is None:
-        lengths = jnp.full((b,), s, jnp.int32)
-    t_pad = _ceil_to(max(t, block_q), block_q)
-    s_pad = _ceil_to(max(s, block_k), block_k)
-
-    qt = jnp.transpose(_pad_time(q, t_pad), (0, 2, 1, 3))  # [B, H, T, D]
-    kt = jnp.transpose(_pad_time(k, s_pad), (0, 2, 1, 3))  # [B, Hkv, S, D]
-    vt = jnp.transpose(_pad_time(v, s_pad), (0, 2, 1, 3))
+def _fwd_pallas(lengths, qt, kt, vt, block_q, block_k, causal, window):
+    """Forward pallas entry point on [B, H, T, D]-transposed, block-padded
+    operands — shard-local shapes under SPMD (see _spmd_wrap)."""
+    b, h, t_pad, d = qt.shape
+    group = h // kt.shape[1]
+    s_pad = kt.shape[2]
     scale = d ** -0.5
 
     q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, qq, *_: (bb, hh, qq, 0))
     kv_spec = pl.BlockSpec((1, 1, s_pad, d), lambda bb, hh, qq, *_: (bb, hh // group, 0, 0))
-    out, lse = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, block_k=block_k, causal=causal, window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -245,14 +327,36 @@ def _flash_fwd_impl(q, k, v, causal, block_q, block_k, window, lengths):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t_pad, d), qt.dtype),
             jax.ShapeDtypeStruct((b, h, t_pad, STAT_W), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=_interpret(),
-    )(lengths.astype(jnp.int32), qt, kt, vt)
+    )(lengths, qt, kt, vt)
+
+
+_fwd_sharded = _spmd_wrap(
+    _fwd_pallas, n_args=8, n_static=4, n_results=2,
+    rule="b, b h t d, b g s d, b g s d -> b h t d, b h t w",
+)
+
+
+def _flash_fwd_impl(q, k, v, causal, block_q, block_k, window, lengths):
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    assert s >= t, f"keys ({s}) must be at least as long as queries ({t}); queries sit at key positions 0..T-1"
+    if lengths is None:
+        lengths = jnp.full((b,), s, jnp.int32)
+    t_pad = _ceil_to(max(t, block_q), block_q)
+    s_pad = _ceil_to(max(s, block_k), block_k)
+
+    qt = jnp.transpose(_pad_time(q, t_pad), (0, 2, 1, 3))  # [B, H, T, D]
+    kt = jnp.transpose(_pad_time(k, s_pad), (0, 2, 1, 3))  # [B, Hkv, S, D]
+    vt = jnp.transpose(_pad_time(v, s_pad), (0, 2, 1, 3))
+
+    out, lse = _fwd_sharded(lengths.astype(jnp.int32), qt, kt, vt, block_q, block_k, causal, window)
     out_t = jnp.transpose(out, (0, 2, 1, 3))[:, :t]
     return out_t, (q, k, v, lengths, out_t, lse, t_pad, s_pad)
 
@@ -262,27 +366,16 @@ def _flash_fwd(q, k, v, causal, block_q, block_k, window, lengths=None):
     return out, res
 
 
-def _flash_bwd(causal, block_q, block_k, window, res, g):
-    q, k, v, lengths, out, lse, t_pad, s_pad = res
-    b, t, h, d = q.shape
-    s = k.shape[1]
-    hkv = k.shape[2]
-    group = h // hkv
+def _dq_pallas(lengths, qt, kt, vt, do, lse, delta, block_q, block_k, causal, window):
+    b, h, t_pad, d = qt.shape
+    group = h // kt.shape[1]
+    s_pad = kt.shape[2]
     scale = d ** -0.5
-
-    qt = jnp.transpose(_pad_time(q, t_pad), (0, 2, 1, 3))
-    kt = jnp.transpose(_pad_time(k, s_pad), (0, 2, 1, 3))
-    vt = jnp.transpose(_pad_time(v, s_pad), (0, 2, 1, 3))
-    do = jnp.transpose(_pad_time(g, t_pad), (0, 2, 1, 3))
-    ot = jnp.transpose(_pad_time(out, t_pad), (0, 2, 1, 3))
-    delta_row = jnp.sum(do.astype(jnp.float32) * ot.astype(jnp.float32), axis=-1)  # [B, H, T]
-    delta = jnp.broadcast_to(delta_row[..., None], delta_row.shape + (STAT_W,))
 
     q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, qq, *_: (bb, hh, qq, 0))
     kv_full_spec = pl.BlockSpec((1, 1, s_pad, d), lambda bb, hh, qq, *_: (bb, hh // group, 0, 0))
     stat_q_spec = pl.BlockSpec((1, 1, block_q, STAT_W), lambda bb, hh, qq, *_: (bb, hh, qq, 0))
-
-    dq = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, causal=causal, window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -290,19 +383,26 @@ def _flash_bwd(causal, block_q, block_k, window, res, g):
             in_specs=[q_spec, kv_full_spec, kv_full_spec, q_spec, stat_q_spec, stat_q_spec],
             out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, qq, *_: (bb, hh, qq, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), qt.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=_interpret(),
-    )(lengths.astype(jnp.int32), qt, kt, vt, do, lse, delta)
+    )(lengths, qt, kt, vt, do, lse, delta)
 
+
+def _dkv_pallas(lengths, qt, kt, vt, do, lse, delta, block_q, block_k, causal, window):
     # dk/dv: grid over KV blocks; each query head accumulates into its own
     # slot, then GQA sums query-head slots into their KV head outside.
+    b, h, t_pad, d = qt.shape
+    group = h // kt.shape[1]
+    s_pad = kt.shape[2]
+    scale = d ** -0.5
+
     full_q_spec = pl.BlockSpec((1, 1, t_pad, d), lambda bb, hh, kk, *_: (bb, hh, 0, 0))
     kv_blk_spec = pl.BlockSpec((1, 1, block_k, d), lambda bb, hh, kk, *_: (bb, hh // group, kk, 0))
     full_stat_spec = pl.BlockSpec((1, 1, t_pad, STAT_W), lambda bb, hh, kk, *_: (bb, hh, 0, 0))
-    dk_h, dv_h = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, causal=causal, window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -321,7 +421,37 @@ def _flash_bwd(causal, block_q, block_k, window, res, g):
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=_interpret(),
-    )(lengths.astype(jnp.int32), qt, kt, vt, do, lse, delta)
+    )(lengths, qt, kt, vt, do, lse, delta)
+
+
+_dq_sharded = _spmd_wrap(
+    _dq_pallas, n_args=11, n_static=4, n_results=1,
+    rule="b, b h t d, b g s d, b g s d, b h t d, b h t w, b h t w -> b h t d",
+)
+_dkv_sharded = _spmd_wrap(
+    _dkv_pallas, n_args=11, n_static=4, n_results=2,
+    rule="b, b h t d, b g s d, b g s d, b h t d, b h t w, b h t w -> b h s d, b h s d",
+)
+
+
+def _flash_bwd(causal, block_q, block_k, window, res, g):
+    q, k, v, lengths, out, lse, t_pad, s_pad = res
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    hkv = k.shape[2]
+    group = h // hkv
+
+    qt = jnp.transpose(_pad_time(q, t_pad), (0, 2, 1, 3))
+    kt = jnp.transpose(_pad_time(k, s_pad), (0, 2, 1, 3))
+    vt = jnp.transpose(_pad_time(v, s_pad), (0, 2, 1, 3))
+    do = jnp.transpose(_pad_time(g, t_pad), (0, 2, 1, 3))
+    ot = jnp.transpose(_pad_time(out, t_pad), (0, 2, 1, 3))
+    delta_row = jnp.sum(do.astype(jnp.float32) * ot.astype(jnp.float32), axis=-1)  # [B, H, T]
+    delta = jnp.broadcast_to(delta_row[..., None], delta_row.shape + (STAT_W,))
+
+    lengths_i = lengths.astype(jnp.int32)
+    dq = _dq_sharded(lengths_i, qt, kt, vt, do, lse, delta, block_q, block_k, causal, window)
+    dk_h, dv_h = _dkv_sharded(lengths_i, qt, kt, vt, do, lse, delta, block_q, block_k, causal, window)
 
     dk_h = dk_h.reshape(b, hkv, group, s_pad, d).sum(axis=2)
     dv_h = dv_h.reshape(b, hkv, group, s_pad, d).sum(axis=2)
