@@ -58,6 +58,37 @@ class OpenVLA(PrismaticVLM):
         self.prompt_bucket = prompt_bucket
         _, self.bin_centers = make_bins(n_action_bins)
         self._predict_fns: Dict[int, Any] = {}
+        self.serving_mesh = None
+
+    # --- multi-chip serving ----------------------------------------------
+
+    def use_mesh(self, mesh) -> None:
+        """Serve over a device mesh: params must be placed with
+        parallel.sharding.shard_params_for_serving(mesh, params); this routes
+        host-side inputs (replicated, batch over the `replica` axis when it
+        divides) so the jitted predict programs run tensor-parallel — each
+        chip streams 1/N of the decoder per token (the decode wall is HBM
+        bandwidth; see README measured-performance notes). The reference is
+        single-GPU-only at inference (modeling_prismatic.py:460-463)."""
+        self.serving_mesh = mesh
+
+    def _put(self, x, batch_dim: bool = False):
+        """Host array -> device, honoring the serving mesh when set."""
+        x = jnp.asarray(x)
+        if self.serving_mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = self.serving_mesh
+        spec = PartitionSpec()
+        if (
+            batch_dim
+            and "replica" in mesh.axis_names
+            and mesh.shape["replica"] > 1
+            and x.shape[0] % mesh.shape["replica"] == 0
+        ):
+            spec = PartitionSpec("replica")
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     # --- stats helpers (reference: vlas/openvla.py:119-131) ---
 
@@ -248,8 +279,8 @@ class OpenVLA(PrismaticVLM):
         ids, mask = self.pad_prompt([self.prepare_prompt_ids(instruction)])
         draft = np.asarray(draft_tokens, np.int32).reshape(1, action_dim)
         fn = self._jitted_predict_frames_speculative(margin_threshold)
-        actions, tokens = fn(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(frame),
-                             q01, q99, stat_mask, jnp.asarray(draft))
+        actions, tokens = fn(params, self._put(ids), self._put(mask), self._put(frame),
+                             self._put(q01), self._put(q99), self._put(stat_mask), self._put(draft))
         return np.asarray(actions)[0], np.asarray(tokens)[0]
 
     def predict_action_batch(
@@ -269,7 +300,13 @@ class OpenVLA(PrismaticVLM):
         frames = np.stack([np.asarray(im.convert("RGB") if hasattr(im, "convert") else im) for im in images])
         ids, mask = self.pad_prompt([self.prepare_prompt_ids(t) for t in instructions])
         fn = self._jitted_predict_frames(action_dim)
-        out = fn(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(frames), q01, q99, stat_mask)
+        out = fn(
+            params,
+            self._put(ids, batch_dim=True),
+            self._put(mask, batch_dim=True),
+            self._put(frames, batch_dim=True),
+            self._put(q01), self._put(q99), self._put(stat_mask),
+        )
         return np.asarray(out)
 
 

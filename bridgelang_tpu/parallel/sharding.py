@@ -47,6 +47,45 @@ PARAM_RULES: List[Tuple[str, P]] = [
 # LoRA adapters: [.., in, r] / [.., r, out] — replicate (tiny).
 LORA_RULE = (r".*lora_(a|b)$", P())
 
+# --- serving (inference) rules: megatron-style tensor parallelism ------------
+#
+# Latency-bound decode streams the whole decoder from HBM once per token; on
+# an N-chip mesh with these rules each chip streams 1/N of the weights and the
+# per-layer partial results meet in one all-reduce after wo / w_down (XLA
+# inserts them). Column-parallel: wq/wk/wv (heads split across chips — the
+# pallas/einsum attention then runs on local heads), w_gate/w_up. Row-parallel:
+# wo, w_down. lm_head splits the vocab (argmax reduces across shards).
+# Embeddings, norms, the vision towers, and the projector are small and stay
+# replicated — no collective on their path. int8 sibling `*_scale` leaves
+# shard with their matrix's OUTPUT dim (per-out-channel scales); row-parallel
+# scales apply after the contraction and must replicate.
+# The `replica` axis carries batched serving: batch dims shard over it.
+SERVING_RULES: List[Tuple[str, P]] = [
+    (r"llm/layers/w[qkv]_scale$", P(None, None, "tensor")),      # [L, 1, out]
+    (r"llm/layers/w_(gate|up)_scale$", P(None, None, "tensor")),
+    (r"llm/layers/(wo|w_down)_scale$", P(None, None, None)),     # per-out (=D) after psum
+    (r"llm/layers/w[qkv]$", P(None, None, "tensor")),            # [L, D, H*hd]
+    (r"llm/layers/wo$", P(None, "tensor", None)),                # [L, H*hd, D]
+    (r"llm/layers/w_(gate|up)$", P(None, None, "tensor")),       # [L, D, I]
+    (r"llm/layers/w_down$", P(None, "tensor", None)),            # [L, I, D]
+    (r"llm/layers/b[qkv]$", P(None, "tensor")),
+    (r"llm/layers/b_up$", P(None, "tensor")),
+    (r"llm/lm_head_scale$", P(None, "tensor")),                  # [1, V]
+    (r"llm/lm_head$", P(None, "tensor")),                        # [D, V]
+    (r"llm/lm_head_bias$", P("tensor")),
+    (r".*", P()),  # embed(+scale), norms, biases, vision, projector: replicate
+]
+
+
+def serving_param_shardings(mesh: Mesh, params: Any) -> Any:
+    return param_shardings(mesh, params, rules=SERVING_RULES)
+
+
+def shard_params_for_serving(mesh: Mesh, params: Any) -> Any:
+    """Device-put a (possibly int8-quantized) serving param pytree with
+    tensor-parallel shardings. Pair with OpenVLA.use_mesh(mesh)."""
+    return jax.device_put(params, serving_param_shardings(mesh, params))
+
 
 def path_str(path) -> str:
     parts = []

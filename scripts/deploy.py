@@ -1,8 +1,15 @@
 """REST serving entry point (counterpart of reference vla-scripts/deploy.py).
 
   python scripts/deploy.py --checkpoint /ckpts/openvla-7b --port 8000 \
-      [--quantize_int8 true] [--random_init_for_smoke true]
-"""
+      [--quantize_int8 true] [--random_init_for_smoke true] \
+      [--mesh_spec replica=1,fsdp=1,tensor=4]
+
+`--mesh_spec` shards serving over multiple chips: `tensor=N` is megatron-style
+tensor parallelism (each chip streams 1/N of the decoder per decode step —
+the latency lever, since decode is HBM-bandwidth-bound), `replica=M` shards
+request batches for throughput (pair with --max_batch). The reference's
+inference stack is hard-limited to one GPU and batch size 1
+(modeling_prismatic.py:460-463)."""
 
 from __future__ import annotations
 
@@ -31,6 +38,7 @@ class DeployConfig:
     warmup: bool = True  # compile/cache-load the predict program before listening
     max_batch: int = 1  # >1 enables micro-batching of concurrent requests
     batch_window_ms: float = 6.0
+    mesh_spec: str = ""  # e.g. "tensor=4": multi-chip tensor-parallel serving
 
 
 def main(cfg: DeployConfig) -> None:
@@ -68,6 +76,15 @@ def main(cfg: DeployConfig) -> None:
 
         model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8)
         model.tokenizer = get_tokenizer(cfg.tokenizer_path)
+
+    if cfg.mesh_spec:
+        from bridgelang_tpu.parallel.mesh import make_mesh
+        from bridgelang_tpu.parallel.sharding import shard_params_for_serving
+
+        mesh = make_mesh(cfg.mesh_spec)
+        params = shard_params_for_serving(mesh, params)
+        model.use_mesh(mesh)
+        overwatch.info("Tensor-parallel serving over mesh %s", dict(mesh.shape))
 
     if cfg.warmup:
         dt = warmup_predict(model, params, max_batch=cfg.max_batch, unnorm_key=cfg.unnorm_key)

@@ -1,0 +1,107 @@
+"""Multi-chip tensor-parallel serving.
+
+parallel/sharding.py::SERVING_RULES shard the decoder megatron-style over the
+`tensor` mesh axis (column-parallel wq/wk/wv/w_gate/w_up, row-parallel
+wo/w_down, vocab-split lm_head) and batched requests over `replica`;
+OpenVLA.use_mesh routes host inputs. These tests run the FULL jitted
+predict_action path (preprocess -> dual-ViT -> prefill -> scan decode ->
+unnormalize) on the 8-virtual-device mesh and require the sharded program to
+reproduce the single-device actions. The reference's inference stack is
+single-GPU, batch-1 only (reference: modeling_prismatic.py:460-463).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bridgelang_tpu.models.vla import OpenVLA
+from bridgelang_tpu.models.vlm import VLMConfig
+from bridgelang_tpu.parallel.mesh import make_mesh
+from bridgelang_tpu.parallel.sharding import shard_params_for_serving
+from tests.helpers import TINY_LLM, TINY_NORM_STATS, TINY_VIT, TINY_VIT_B, StubTokenizer, random_image
+
+
+def _tiny_model():
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+
+    cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM, vision_override=(TINY_VIT, TINY_VIT_B))
+    model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+    model.image_transform = ImageTransformConfig(
+        "resize-naive", (ImageTowerSpec(size=32), ImageTowerSpec(size=32))
+    )
+    return model
+
+
+def _images(n):
+    return [random_image(32, 32, seed=i) for i in range(n)]
+
+
+def _instructions(n):
+    return [f"pick up object {i}" for i in range(n)]
+
+
+def test_tp_serving_matches_single_device():
+    model = _tiny_model()
+    params = model.init_params(jax.random.key(0))
+    ref = model.predict_action_batch(params, _images(4), _instructions(4))
+
+    mesh = make_mesh("replica=2,fsdp=1,tensor=4")
+    sharded = shard_params_for_serving(mesh, params)
+    model_tp = _tiny_model()
+    model_tp.use_mesh(mesh)
+    out = model_tp.predict_action_batch(sharded, _images(4), _instructions(4))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_tp_serving_int8_matches_single_device():
+    """The production serving mode: int8 weight-only decoder, TP-sharded
+    (int8 codes and their sibling *_scale leaves shard together)."""
+    from bridgelang_tpu.ops.quant import quantize_llm_int8
+
+    model = _tiny_model()
+    params = model.init_params(jax.random.key(0))
+    params = dict(params, llm=quantize_llm_int8(params["llm"]))
+    ref = model.predict_action_batch(params, _images(2), _instructions(2))
+
+    mesh = make_mesh("replica=1,fsdp=1,tensor=8")
+    sharded = shard_params_for_serving(mesh, params)
+    model_tp = _tiny_model()
+    model_tp.use_mesh(mesh)
+    out = model_tp.predict_action_batch(sharded, _images(2), _instructions(2))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_tp_speculative_matches_single_device():
+    model = _tiny_model()
+    params = model.init_params(jax.random.key(1))
+    img = random_image(32, 32, seed=3)
+    a_ref, t_ref = model.predict_action_speculative(params, img, "push the lever", np.zeros(7, np.int32))
+
+    mesh = make_mesh("replica=1,fsdp=1,tensor=4", devices=jax.devices()[:4])
+    sharded = shard_params_for_serving(mesh, params)
+    model_tp = _tiny_model()
+    model_tp.use_mesh(mesh)
+    a_tp, t_tp = model_tp.predict_action_speculative(sharded, img, "push the lever", np.zeros(7, np.int32))
+    np.testing.assert_array_equal(t_tp, t_ref)
+    np.testing.assert_allclose(a_tp, a_ref, atol=1e-5, rtol=1e-5)
+
+
+def test_serving_rules_cover_int8_scales():
+    """Every int8 matrix leaf and its scale shard on the SAME output dim —
+    a mismatched pair would desynchronize codes and scales across chips."""
+    from bridgelang_tpu.parallel.sharding import SERVING_RULES, spec_for_path
+
+    for name in ("wq", "wk", "wv", "w_gate", "w_up"):
+        m = spec_for_path(f"llm/layers/{name}", 3, SERVING_RULES)
+        s = spec_for_path(f"llm/layers/{name}_scale", 3, SERVING_RULES)
+        assert m[-1] == "tensor" and s[-1] == "tensor", (name, m, s)
+    for name in ("wo", "w_down"):
+        m = spec_for_path(f"llm/layers/{name}", 3, SERVING_RULES)
+        s = spec_for_path(f"llm/layers/{name}_scale", 3, SERVING_RULES)
+        assert m[1] == "tensor" and m[-1] is None and all(x is None for x in s), (name, m, s)
+    head = spec_for_path("llm/lm_head", 2, SERVING_RULES)
+    head_s = spec_for_path("llm/lm_head_scale", 2, SERVING_RULES)
+    assert head[-1] == "tensor" and head_s[-1] == "tensor"
+    assert all(x is None for x in spec_for_path("llm/embed", 2, SERVING_RULES))
