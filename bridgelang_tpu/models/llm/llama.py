@@ -59,6 +59,11 @@ class LLMConfig:
     # Opt-in: per-token symmetric quant has no outlier handling, so validate
     # accuracy on real weights before enabling (w8-only stays the default).
     w8a8: bool = False
+    # Unroll factor for the lax.scan over stacked decoder layers (1 = plain
+    # while loop). Unrolling lets the XLA scheduler prefetch layer i+1's
+    # weights during layer i's compute across iteration boundaries — relevant
+    # on the HBM-bound decode path. Compile time grows with the factor.
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -244,6 +249,23 @@ def full_attention(
 # --- decoder forward ----------------------------------------------------------
 
 
+def _remat_policy(name: Optional[str]):
+    """Named rematerialization policies for the decoder-layer checkpoint
+    (reference analogue: non-reentrant activation checkpointing on every
+    decoder layer, fsdp.py:170-183 — which always recomputes everything).
+
+    None/"full"  recompute the whole layer in the backward (min memory)
+    "dots"       save matmul outputs, recompute elementwise/norms only —
+                 skips re-running the MXU work at ~2x activation memory
+                 (policy: dots_with_no_batch_dims_saveable)
+    """
+    if name in (None, "full"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"Unknown remat policy {name!r} (use 'full' or 'dots')")
+
+
 def _block(
     cfg: LLMConfig,
     lp: Params,
@@ -350,6 +372,7 @@ def llm_forward(
     cache_positions: Optional[jnp.ndarray] = None,
     attention_impl: str = "xla",
     remat: bool = False,
+    remat_policy: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Run the decoder stack over input embeddings.
 
@@ -370,14 +393,15 @@ def llm_forward(
         return x, new_kv
 
     if remat:
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(body, policy=_remat_policy(remat_policy))
 
+    unroll = max(1, cfg.scan_unroll)
     if cache is not None:
         xs = (params["layers"], (cache["k"], cache["v"]))
-        x, (new_k, new_v) = jax.lax.scan(body, x, xs)
+        x, (new_k, new_v) = jax.lax.scan(body, x, xs, unroll=unroll)
         new_cache = {"k": new_k, "v": new_v}
     else:
-        x, _ = jax.lax.scan(lambda c, lp: body(c, (lp, None)), x, params["layers"])
+        x, _ = jax.lax.scan(lambda c, lp: body(c, (lp, None)), x, params["layers"], unroll=unroll)
         new_cache = None
 
     if cfg.arch == "phi":

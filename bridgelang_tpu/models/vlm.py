@@ -187,6 +187,7 @@ class PrismaticVLM:
         pixel_values: jnp.ndarray,
         labels: jnp.ndarray,
         remat: bool = True,
+        remat_policy: Optional[str] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Multimodal forward -> (logits [B, F, V], fused labels [B, F])."""
         patch_embeds = self.encode_vision(params, pixel_values)
@@ -197,7 +198,7 @@ class PrismaticVLM:
         mask = self._causal_mask(fused_mask)
         hidden, _ = llm_forward(
             params["llm"], self.cfg.llm, fused, positions, mask,
-            attention_impl=self.attention_impl, remat=remat,
+            attention_impl=self.attention_impl, remat=remat, remat_policy=remat_policy,
         )
         logits = lm_logits(params["llm"], hidden, self.cfg.llm)
         return logits, fused_labels
@@ -210,6 +211,7 @@ class PrismaticVLM:
         pixel_values: jnp.ndarray,
         labels: jnp.ndarray,
         remat: bool = True,
+        remat_policy: Optional[str] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Like forward_train but returns final hidden states instead of
         logits — callers compute the loss with a chunked LM head so the full
@@ -223,7 +225,7 @@ class PrismaticVLM:
         mask = self._causal_mask(fused_mask)
         hidden, _ = llm_forward(
             params["llm"], self.cfg.llm, fused, positions, mask,
-            attention_impl=self.attention_impl, remat=remat,
+            attention_impl=self.attention_impl, remat=remat, remat_policy=remat_policy,
         )
         return hidden, fused_labels
 

@@ -78,14 +78,38 @@ def parse_mesh_shape(spec: Optional[str], n_devices: int) -> Tuple[int, int, int
     return shape
 
 
+def hybrid_mesh_plan(shape: Tuple[int, int, int], n_slices: int):
+    """Multi-slice layout: the replica axis rides DCN (slice boundaries),
+    fsdp/tensor stay inside a slice on ICI — the reference's hybrid-FSDP
+    semantics (shard within node, replicate across nodes; fsdp.py:84-89).
+    Returns (ici_shape, dcn_shape) for mesh_utils.create_hybrid_device_mesh,
+    or None when the shape cannot split cleanly across slices."""
+    if n_slices <= 1:
+        return None
+    replica, fsdp, tensor = shape
+    if replica % n_slices != 0:
+        return None
+    return (replica // n_slices, fsdp, tensor), (n_slices, 1, 1)
+
+
 def make_mesh(mesh_shape: Optional[str] = None, devices=None) -> Mesh:
     devices = jax.devices() if devices is None else devices
     shape = parse_mesh_shape(mesh_shape, len(devices))
-    # jax.experimental.mesh_utils lays devices out along ICI when possible.
+    # jax.experimental.mesh_utils lays devices out along ICI when possible;
+    # on a multi-slice pod the replica axis is placed across DCN so that the
+    # param all-gathers/grad reduce-scatters (fsdp/tensor axes) never leave a
+    # slice and only the pure-DP gradient all-reduce crosses slices.
     try:
         from jax.experimental import mesh_utils
 
-        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+        n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+        plan = hybrid_mesh_plan(shape, n_slices)
+        if plan is not None:
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                plan[0], plan[1], devices=devices
+            )
+        else:
+            dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
     except Exception:
         dev_array = np.array(devices).reshape(shape)
     return Mesh(dev_array, MESH_AXES)

@@ -256,6 +256,7 @@ def make_vla_train_step(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     image_transform=None,
     remat: bool = True,
+    remat_policy: Optional[str] = None,
     grad_dtype: jnp.dtype = jnp.float32,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jittable VLA train step. Batch keys: input_ids,
@@ -289,6 +290,7 @@ def make_vla_train_step(
             pixel_values,
             batch["labels"],
             remat=remat,
+            remat_policy=remat_policy,
         )
         return chunked_ce_and_metrics(
             compute_params["llm"], model.cfg.llm, hidden, fused_labels, action_begin, bin_centers

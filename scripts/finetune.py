@@ -37,6 +37,7 @@ class FinetuneConfig:
     tokenizer_path: Optional[str] = None
 
     batch_size: int = 16
+    remat_policy: str = "dots"  # "dots" (faster) | "full" (min memory)
     max_steps: int = 200_000
     save_steps: int = 5000
     learning_rate: float = 5e-4
@@ -108,7 +109,8 @@ def main(cfg: FinetuneConfig) -> None:
     ocfg = OptimConfig(learning_rate=cfg.learning_rate, lr_scheduler_type="constant", total_steps=cfg.max_steps)
     optimizer = make_optimizer(ocfg, params, trainable_mask=trainable, grad_accum_steps=cfg.grad_accumulation_steps)
     step_fn = jax.jit(
-        make_vla_train_step(model, optimizer, trainable_mask=trainable, image_transform=model.image_transform)
+        make_vla_train_step(model, optimizer, trainable_mask=trainable,
+                            image_transform=model.image_transform, remat_policy=cfg.remat_policy)
     )
     state = init_train_state(params, optimizer, trainable_mask=trainable)
     ckpt = CheckpointManager(run_dir)

@@ -32,6 +32,7 @@ class PretrainConfig:
     tokenizer_path: Optional[str] = None
     pretrained_checkpoint: Optional[str] = None  # align-stage projector ckpt
     seed: int = 7
+    remat_policy: str = "dots"  # "dots" (faster) | "full" (min memory)
     max_steps_override: Optional[int] = None
     mesh_shape: Optional[str] = None
     trackers: str = "jsonl"
@@ -103,7 +104,8 @@ def main(cfg: PretrainConfig) -> None:
                        lr_scheduler_type=schedule, warmup_ratio=warmup, total_steps=total_steps)
     optimizer = make_optimizer(ocfg, params, trainable_mask=trainable, grad_accum_steps=grad_accum)
     step_fn = jax.jit(make_vla_train_step(model, optimizer, trainable_mask=trainable,
-                                          image_transform=model.image_transform))
+                                          image_transform=model.image_transform,
+                                          remat_policy=cfg.remat_policy))
     state = init_train_state(params, optimizer, trainable_mask=trainable)
     ckpt = CheckpointManager(run_dir)
     if overwatch.is_rank_zero():

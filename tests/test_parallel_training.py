@@ -31,6 +31,18 @@ def test_parse_mesh_shape():
         parse_mesh_shape("replica=3", 8)
 
 
+def test_hybrid_mesh_plan():
+    from bridgelang_tpu.parallel.mesh import hybrid_mesh_plan
+
+    # 2 slices, replica=2: replicas across DCN, fsdp/tensor inside a slice.
+    assert hybrid_mesh_plan((2, 4, 1), 2) == ((1, 4, 1), (2, 1, 1))
+    # 2 slices, replica=4: 2 replicas per slice.
+    assert hybrid_mesh_plan((4, 2, 2), 2) == ((2, 2, 2), (2, 1, 1))
+    # single slice or indivisible replica -> plain ICI mesh.
+    assert hybrid_mesh_plan((2, 4, 1), 1) is None
+    assert hybrid_mesh_plan((3, 4, 1), 2) is None
+
+
 def test_strategy_mesh_spec():
     assert strategy_mesh_spec("fsdp-full-shard", 64, devices_per_slice=8) == "replica=8,fsdp=8,tensor=1"
     assert strategy_mesh_spec("ddp", 8) == "replica=8,fsdp=1,tensor=1"

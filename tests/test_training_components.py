@@ -296,3 +296,31 @@ def test_chunked_ce_matches_dense():
     # gradients flow through the chunked path
     g = jax.grad(lambda h: chunked_ce_and_metrics(params, TINY_LLM, h, labels, begin, centers, chunk=16)[0])(hidden)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_remat_policy_matches_full_remat():
+    """remat_policy='dots' (save matmul outputs) must be numerically identical
+    to full recompute — it only changes WHAT the backward recomputes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bridgelang_tpu.models.llm.llama import LLMConfig, init_llm_params, llm_forward
+
+    cfg = LLMConfig(vocab_size=64, padded_vocab_size=128, dim=32, n_layers=2, n_heads=4,
+                    n_kv_heads=2, intermediate_size=64, max_seq_len=32, pad_token_id=64)
+    params = init_llm_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 32)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(16), (2, 16))
+    mask = (jnp.arange(16)[None, :] <= jnp.arange(16)[:, None])[None, None]
+
+    def loss(params, policy):
+        h, _ = llm_forward(params, cfg, x, pos, mask, remat=True, remat_policy=policy)
+        return jnp.sum(h ** 2)
+
+    l_full, g_full = jax.value_and_grad(lambda p: loss(p, None))(params)
+    l_dots, g_dots = jax.value_and_grad(lambda p: loss(p, "dots"))(params)
+    assert float(l_full) == float(l_dots)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full), jax.tree_util.tree_leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
