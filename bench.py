@@ -12,7 +12,11 @@ the int8 MXU — validated against fp32 logits in tests/test_hf_parity.py).
 
 Also prints a second JSON line with a VLA train-step benchmark (step time /
 tokens/s / MFU) for the reference's primary workload (train.py pretraining),
-on a depth-trimmed-but-full-dim model that fits one 16 GB chip.
+on a depth-trimmed-but-full-dim model that fits one 16 GB chip. NOTE: since
+round 2 the train step uses the faster "dots" remat policy and its MFU is
+TRUE MFU (6*N*D, recompute excluded) — earlier rounds reported 8*N*D with
+full recompute counted as useful work, so vs_baseline rebased ~0.67 -> ~0.55
+while wall-clock tokens/s IMPROVED ~6%.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md §
 Throughput); the de-facto reference loop (verify_openvla.py) is measured at

@@ -59,11 +59,6 @@ class LLMConfig:
     # Opt-in: per-token symmetric quant has no outlier handling, so validate
     # accuracy on real weights before enabling (w8-only stays the default).
     w8a8: bool = False
-    # Unroll factor for the lax.scan over stacked decoder layers (1 = plain
-    # while loop). Unrolling lets the XLA scheduler prefetch layer i+1's
-    # weights during layer i's compute across iteration boundaries — relevant
-    # on the HBM-bound decode path. Compile time grows with the factor.
-    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -395,13 +390,15 @@ def llm_forward(
     if remat:
         body = jax.checkpoint(body, policy=_remat_policy(remat_policy))
 
-    unroll = max(1, cfg.scan_unroll)
+    # NB: keep the layer scan as a plain while loop — XLA double-buffers the
+    # stacked-weight stream across iterations; unrolling was measured STRICTLY
+    # slower on v5e int8 decode (10.4 -> 21 ms/step at unroll=2, 31 at 4).
     if cache is not None:
         xs = (params["layers"], (cache["k"], cache["v"]))
-        x, (new_k, new_v) = jax.lax.scan(body, x, xs, unroll=unroll)
+        x, (new_k, new_v) = jax.lax.scan(body, x, xs)
         new_cache = {"k": new_k, "v": new_v}
     else:
-        x, _ = jax.lax.scan(lambda c, lp: body(c, (lp, None)), x, params["layers"], unroll=unroll)
+        x, _ = jax.lax.scan(lambda c, lp: body(c, (lp, None)), x, params["layers"])
         new_cache = None
 
     if cfg.arch == "phi":

@@ -74,11 +74,15 @@ class OpenVLA(PrismaticVLM):
 
     def _put(self, x, batch_dim: bool = False):
         """Host array -> device, honoring the serving mesh when set."""
-        x = jnp.asarray(x)
         if self.serving_mesh is None:
-            return x
+            return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec
 
+        # Go straight from host memory to the mesh sharding — jnp.asarray
+        # first would commit to the default device and pay an extra copy on
+        # the latency-critical /act path.
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
         mesh = self.serving_mesh
         spec = PartitionSpec()
         if (

@@ -94,7 +94,13 @@ def hybrid_mesh_plan(shape: Tuple[int, int, int], n_slices: int):
 
 def make_mesh(mesh_shape: Optional[str] = None, devices=None) -> Mesh:
     devices = jax.devices() if devices is None else devices
-    shape = parse_mesh_shape(mesh_shape, len(devices))
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if not mesh_shape and n_slices > 1 and len(devices) % n_slices == 0:
+        # Default on a multi-slice pod: one pure-DP replica per slice, fsdp
+        # inside each slice — fsdp collectives stay on ICI by construction.
+        shape: Tuple[int, int, int] = (n_slices, len(devices) // n_slices, 1)
+    else:
+        shape = parse_mesh_shape(mesh_shape, len(devices))
     # jax.experimental.mesh_utils lays devices out along ICI when possible;
     # on a multi-slice pod the replica axis is placed across DCN so that the
     # param all-gathers/grad reduce-scatters (fsdp/tensor axes) never leave a
@@ -102,15 +108,29 @@ def make_mesh(mesh_shape: Optional[str] = None, devices=None) -> Mesh:
     try:
         from jax.experimental import mesh_utils
 
-        n_slices = len({getattr(d, "slice_index", 0) for d in devices})
         plan = hybrid_mesh_plan(shape, n_slices)
         if plan is not None:
             dev_array = mesh_utils.create_hybrid_device_mesh(
                 plan[0], plan[1], devices=devices
             )
         else:
+            if n_slices > 1:
+                import warnings
+
+                warnings.warn(
+                    f"mesh shape {shape} does not split the replica axis across "
+                    f"{n_slices} slices; fsdp/tensor collectives will cross DCN — "
+                    "expect a large perf hit. Use replica=<n_slices>*k."
+                )
             dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"mesh_utils device layout failed ({type(e).__name__}: {e}); falling "
+            "back to a topology-oblivious reshape — collective performance may "
+            "suffer on real hardware."
+        )
         dev_array = np.array(devices).reshape(shape)
     return Mesh(dev_array, MESH_AXES)
 

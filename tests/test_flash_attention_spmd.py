@@ -25,10 +25,6 @@ def _mk_inputs(b=4, t=256, h=4, hkv=4, d=16, seed=0):
     k = jnp.asarray(rng.normal(size=(b, t, hkv, d)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(b, t, hkv, d)), jnp.float32)
     lengths = jnp.asarray(rng.integers(t // 2, t + 1, size=(b,)), jnp.int32)
-    mask = (
-        (jnp.arange(t)[None, :, None] >= jnp.arange(t)[None, None, :])  # causal (q>=k)
-        & (jnp.arange(t)[None, None, :] < lengths[:, None, None])
-    )[:, None].transpose(0, 1, 2, 3)
     # [B, 1, T, S] causal+length mask for the reference
     q_idx = jnp.arange(t)[:, None]
     k_idx = jnp.arange(t)[None, :]
