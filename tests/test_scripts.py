@@ -247,3 +247,14 @@ def test_serving_speculative_wire_path():
         np.testing.assert_array_equal(t1, t2)
     finally:
         httpd.shutdown()
+
+
+def test_bench_data_pipeline_smoke():
+    """scripts/bench_data.py runs end-to-end on a tiny synthetic config and
+    reports a positive frames/s (the host input-pipeline throughput bench)."""
+    pytest.importorskip("tensorflow")
+    mod = _load("bench_data")
+    cfg = mod.DataBenchConfig(batch_size=4, image_px=32, traj_len=6, n_datasets=1,
+                              trajs_per_dataset=4, augment=False, seconds=0.5,
+                              shuffle_buffer_size=50)
+    mod.main(cfg)  # prints the measurements; raises on pipeline breakage
