@@ -37,7 +37,7 @@ import numpy as np
 
 REFERENCE_ACTIONS_PER_SEC = 6.0
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip
-TRAIN_BENCH_TIMEOUT_S = 480
+TRAIN_BENCH_TIMEOUT_S = 900  # cold dots-remat compile alone is ~250s on this backend
 
 
 def main():

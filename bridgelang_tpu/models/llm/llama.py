@@ -368,6 +368,7 @@ def llm_forward(
     attention_impl: str = "xla",
     remat: bool = False,
     remat_policy: Optional[str] = None,
+    cache_write: str = "scatter",
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Run the decoder stack over input embeddings.
 
@@ -376,14 +377,31 @@ def llm_forward(
     mask:      [B, 1, T, S] bool attention mask (S = T, or cache length)
     cache:     optional KV cache pytree from `init_kv_cache`
     cache_positions: [B, T] cache write indices (required with cache)
+    cache_write: "scatter" writes K/V at per-example `cache_positions` and
+      attends over the whole cache (decode steps, speculative chunks).
+      "contiguous" is the PREFILL fast path: the chunk occupies cache slots
+      0..T-1 for every example (right-padded prompts), so K/V land via one
+      dynamic_update_slice instead of a gather/scatter (measured ~2-7 ms
+      cheaper on the 7B at T=304) and attention runs over the chunk itself —
+      equivalent because a fresh cache holds nothing beyond the chunk. The
+      mask must then be chunk-extent [B, 1, T, T].
 
     Returns (hidden [B, T, D], updated cache or None).
     """
     cos, sin = rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta)
     x = embeds
+    contiguous = cache is not None and cache_write == "contiguous"
 
     def body(x, layer_in):
         lp, layer_kv = layer_in
+        if contiguous:
+            x, (k, v) = _block(cfg, lp, x, cos, sin, mask, None, None, attention_impl)
+            ck, cv = layer_kv
+            new_kv = (
+                jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), 0, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), 0, axis=1),
+            )
+            return x, new_kv
         x, new_kv = _block(cfg, lp, x, cos, sin, mask, layer_kv, cache_positions, attention_impl)
         return x, new_kv
 

@@ -231,6 +231,18 @@ class PrismaticVLM:
 
     # --- generation ---------------------------------------------------------
 
+    def _prefill_impl(self, b: int, t: int) -> str:
+        """Attention impl for the PREFILL chunk. Plain masked einsum beats the
+        flash kernel below ~512 tokens — at the VLA's 304-token multimodal
+        sequence the kernel's grid overhead dominates (measured on the 7B-int8:
+        12.3 ms einsum+contiguous vs 22.5 ms pallas+scatter per prefill) — as
+        long as the [B, H, T, T] fp32 score tensor stays modest. Training and
+        long prompts keep the flash kernel."""
+        score_bytes = b * self.cfg.llm.n_heads * t * t * 4
+        if self.attention_impl == "pallas" and t <= 512 and score_bytes <= 512 * 1024 * 1024:
+            return "einsum"
+        return self.attention_impl
+
     def generate_greedy(
         self,
         params: Params,
@@ -260,11 +272,12 @@ class PrismaticVLM:
 
         cache = init_kv_cache(cfg, b, s_len, dtype=cache_dtype)
         positions = jnp.broadcast_to(jnp.arange(f_len), (b, f_len))
-        mask = self._causal_mask(fused_mask, s_len=s_len)
+        mask = self._causal_mask(fused_mask)  # chunk-extent: fresh cache holds nothing else
         hidden, cache = llm_forward(
             params["llm"], cfg, fused, positions, mask,
             cache=cache, cache_positions=positions,
-            attention_impl=self.attention_impl, remat=False,
+            attention_impl=self._prefill_impl(b, f_len), remat=False,
+            cache_write="contiguous",
         )
         sample = temperature > 0.0 and rng is not None
 
@@ -352,11 +365,12 @@ class PrismaticVLM:
 
         cache = init_kv_cache(cfg, b, s_len, dtype=cache_dtype)
         positions = jnp.broadcast_to(jnp.arange(f_len), (b, f_len))
-        mask = self._causal_mask(fused_mask, s_len=s_len)
+        mask = self._causal_mask(fused_mask)  # chunk-extent: fresh cache holds nothing else
         hidden, cache = llm_forward(
             params["llm"], cfg, fused, positions, mask,
             cache=cache, cache_positions=positions,
-            attention_impl=self.attention_impl, remat=False,
+            attention_impl=self._prefill_impl(b, f_len), remat=False,
+            cache_write="contiguous",
         )
         last_idx = jnp.clip(true_len - 1, 0, f_len - 1)
         last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)

@@ -164,3 +164,45 @@ def test_sliding_window_mask():
     assert mask[0, 0, 5].tolist() == [False, False, False, True, True, True]
     # row 2 sees 0,1,2 (window not yet clipping)
     assert mask[0, 0, 2].tolist() == [True, True, True, False, False, False]
+
+
+def test_contiguous_cache_write_matches_scatter():
+    """The prefill fast path (cache_write='contiguous' + chunk-extent mask)
+    must produce the same hidden states and the same cache as the scatter
+    path with arange positions — fresh caches hold nothing beyond the chunk."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bridgelang_tpu.models.llm.llama import LLMConfig, init_kv_cache, init_llm_params, llm_forward
+
+    cfg = LLMConfig(vocab_size=64, padded_vocab_size=128, dim=32, n_layers=2, n_heads=4,
+                    n_kv_heads=2, intermediate_size=64, max_seq_len=64, pad_token_id=64)
+    params = init_llm_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    b, t, extra = 2, 12, 5
+    s = t + extra
+    x = jnp.asarray(rng.normal(size=(b, t, 32)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(t), (b, t))
+    lengths = jnp.asarray([9, 12])
+    k_idx_s = jnp.arange(s)[None, None, None, :]
+    mask_s = (k_idx_s <= jnp.arange(t)[None, None, :, None]) & (k_idx_s < lengths[:, None, None, None])
+    k_idx_t = jnp.arange(t)[None, None, None, :]
+    mask_t = (k_idx_t <= jnp.arange(t)[None, None, :, None]) & (k_idx_t < lengths[:, None, None, None])
+
+    h_sc, c_sc = llm_forward(params, cfg, x, pos, mask_s,
+                             cache=init_kv_cache(cfg, b, s, dtype=jnp.float32),
+                             cache_positions=pos, attention_impl="einsum")
+    h_ct, c_ct = llm_forward(params, cfg, x, pos, mask_t,
+                             cache=init_kv_cache(cfg, b, s, dtype=jnp.float32),
+                             cache_positions=pos, attention_impl="einsum",
+                             cache_write="contiguous")
+    # Not bit-identical: the attention einsum runs over S=17 vs T=12 keys, XLA
+    # tiles the reductions differently, and deeper layers' K/V inherit the
+    # epsilon through the residual — equality is to fp32 rounding.
+    np.testing.assert_allclose(np.asarray(h_sc), np.asarray(h_ct), atol=1e-5, rtol=1e-5)
+    for k in ("k", "v"):
+        np.testing.assert_allclose(np.asarray(c_sc[k])[:, :, :t], np.asarray(c_ct[k])[:, :, :t],
+                                   atol=1e-5, rtol=1e-5)
+        # slots past the chunk stay zero on both paths
+        np.testing.assert_array_equal(np.asarray(c_ct[k])[:, :, t:], 0.0)

@@ -73,6 +73,23 @@ def test_tp_serving_int8_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_tp_serving_pallas_prefill_matches_single_device():
+    """The real TPU-pod serving configuration: pallas flash prefill (keys
+    longer than queries — the KV-cache case) under tensor-parallel sharding;
+    exercises the kernel's custom_partitioning rules inside generate_greedy."""
+    model = _tiny_model()
+    params = model.init_params(jax.random.key(2))
+    ref = model.predict_action_batch(params, _images(2), _instructions(2))
+
+    mesh = make_mesh("replica=1,fsdp=1,tensor=2", devices=jax.devices()[:2])
+    sharded = shard_params_for_serving(mesh, params)
+    model_tp = _tiny_model()
+    model_tp.attention_impl = "pallas"
+    model_tp.use_mesh(mesh)
+    out = model_tp.predict_action_batch(sharded, _images(2), _instructions(2))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_tp_speculative_matches_single_device():
     model = _tiny_model()
     params = model.init_params(jax.random.key(1))
