@@ -115,6 +115,11 @@ class PrismaticVLM:
         self.image_transform = transform_config_for_backbone(cfg.vision_backbone_id, cfg.image_resize_strategy)
         # Decoder attention: Pallas flash kernel on TPU, XLA elsewhere (tests).
         self.attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # KV cache storage dtype for generation. jnp.int8 halves the cache's
+        # HBM footprint/stream (per-(token, head) symmetric quant + bf16
+        # scales) — at B=16 the 7B's bf16 cache alone is 10.4 GB and cannot
+        # share a 16 GB chip with the weights; int8 unlocks it.
+        self.cache_dtype = jnp.bfloat16
 
     # --- params ---------------------------------------------------------
 
@@ -250,7 +255,7 @@ class PrismaticVLM:
         attention_mask: jnp.ndarray,
         pixel_values: jnp.ndarray,
         max_new_tokens: int,
-        cache_dtype: jnp.dtype = jnp.bfloat16,
+        cache_dtype: Optional[jnp.dtype] = None,
         temperature: float = 0.0,
         rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
@@ -263,6 +268,7 @@ class PrismaticVLM:
         """
         b, t_in = input_ids.shape
         cfg = self.cfg.llm
+        cache_dtype = self.cache_dtype if cache_dtype is None else cache_dtype
         patch_embeds = self.encode_vision(params, pixel_values)
         token_embeds = embed_tokens(params["llm"], input_ids, dtype=self.dtype)
         fused, fused_mask, _ = self.fuse_after_bos(token_embeds, patch_embeds, attention_mask)
@@ -323,7 +329,7 @@ class PrismaticVLM:
         attention_mask: jnp.ndarray,
         pixel_values: jnp.ndarray,
         draft_tokens: jnp.ndarray,
-        cache_dtype: jnp.dtype = jnp.bfloat16,
+        cache_dtype: Optional[jnp.dtype] = None,
         margin_threshold: float = 0.25,
     ) -> jnp.ndarray:
         """Speculative greedy decode with an external draft — equivalent to
@@ -356,6 +362,7 @@ class PrismaticVLM:
         b = input_ids.shape[0]
         n = draft_tokens.shape[1]
         cfg = self.cfg.llm
+        cache_dtype = self.cache_dtype if cache_dtype is None else cache_dtype
         patch_embeds = self.encode_vision(params, pixel_values)
         token_embeds = embed_tokens(params["llm"], input_ids, dtype=self.dtype)
         fused, fused_mask, _ = self.fuse_after_bos(token_embeds, patch_embeds, attention_mask)

@@ -39,6 +39,9 @@ class DeployConfig:
     max_batch: int = 1  # >1 enables micro-batching of concurrent requests
     batch_window_ms: float = 6.0
     mesh_spec: str = ""  # e.g. "tensor=4": multi-chip tensor-parallel serving
+    # int8 KV cache (per-token-per-head quant + bf16 scales): halves the
+    # cache's HBM footprint — required for max_batch >= 16 on one 16 GB chip.
+    kv_cache_int8: bool = False
 
 
 def main(cfg: DeployConfig) -> None:
@@ -76,6 +79,9 @@ def main(cfg: DeployConfig) -> None:
 
         model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8)
         model.tokenizer = get_tokenizer(cfg.tokenizer_path)
+
+    if cfg.kv_cache_int8:
+        model.cache_dtype = jnp.int8
 
     if cfg.mesh_spec:
         from bridgelang_tpu.parallel.mesh import make_mesh

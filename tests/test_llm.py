@@ -206,3 +206,81 @@ def test_contiguous_cache_write_matches_scatter():
                                    atol=1e-5, rtol=1e-5)
         # slots past the chunk stay zero on both paths
         np.testing.assert_array_equal(np.asarray(c_ct[k])[:, :, t:], 0.0)
+
+
+def test_int8_kv_cache_close_to_bf16():
+    """int8 KV cache (codes + per-(token, head) scales): prefill+decode
+    hidden states track the full-precision cache within quantization noise,
+    both cache-write modes, and the cache carries the scale leaves."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bridgelang_tpu.models.llm.llama import LLMConfig, init_kv_cache, init_llm_params, llm_forward
+
+    cfg = LLMConfig(vocab_size=64, padded_vocab_size=128, dim=32, n_layers=2, n_heads=4,
+                    n_kv_heads=2, intermediate_size=64, max_seq_len=64, pad_token_id=64)
+    params = init_llm_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    b, t = 2, 10
+    s = t + 3
+    x = jnp.asarray(rng.normal(size=(b, t, 32)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(t), (b, t))
+    mask_t = (jnp.arange(t)[None, None, :, None] >= jnp.arange(t)[None, None, None, :])
+    mask_t = jnp.broadcast_to(jnp.transpose(mask_t, (0, 1, 2, 3)), (b, 1, t, t))
+
+    h_ref, c_ref = llm_forward(params, cfg, x, pos, mask_t,
+                               cache=init_kv_cache(cfg, b, s, dtype=jnp.float32),
+                               cache_positions=pos, attention_impl="einsum",
+                               cache_write="contiguous")
+    h_q, c_q = llm_forward(params, cfg, x, pos, mask_t,
+                           cache=init_kv_cache(cfg, b, s, dtype=jnp.int8),
+                           cache_positions=pos, attention_impl="einsum",
+                           cache_write="contiguous")
+    assert c_q["k"].dtype == jnp.int8 and "k_scale" in c_q and "v_scale" in c_q
+    np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_ref), atol=0.05, rtol=0.05)
+
+    # decode step: one token through the quantized cache (scatter path)
+    tok_pos = jnp.full((b, 1), t, jnp.int32)
+    xt = jnp.asarray(rng.normal(size=(b, 1, 32)), jnp.float32)
+    k_idx = jnp.arange(s)[None, None, None, :]
+    m_step = k_idx <= tok_pos[:, :, None, None]
+    h1_ref, _ = llm_forward(params, cfg, xt, tok_pos, m_step, cache=c_ref,
+                            cache_positions=tok_pos, attention_impl="einsum")
+    h1_q, c1_q = llm_forward(params, cfg, xt, tok_pos, m_step, cache=c_q,
+                             cache_positions=tok_pos, attention_impl="einsum")
+    np.testing.assert_allclose(np.asarray(h1_q), np.asarray(h1_ref), atol=0.05, rtol=0.05)
+    # the decode token's K landed as int8 codes with a fresh scale
+    assert float(jnp.max(jnp.abs(c1_q["k_scale"][:, :, t]))) > 0.0
+
+
+def test_generation_with_int8_cache_runs():
+    """Whole-model generation with model.cache_dtype = int8 emits tokens that
+    match the bf16-cache decode on a tiny model (wide logit margins)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bridgelang_tpu.models.vlm import PrismaticVLM, VLMConfig
+    from tests.helpers import TINY_LLM, TINY_VIT
+
+    cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM, vision_override=TINY_VIT)
+    model = PrismaticVLM(cfg, dtype=jnp.float32)
+    params = model.init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    b, t = 2, 12
+    ids = np.full((b, t), TINY_LLM.pad_token_id, np.int32)
+    m = np.zeros((b, t), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1:9] = rng.integers(3, 500, size=(b, 8))
+    m[:, :9] = 1
+    px = jnp.asarray(rng.normal(size=(b, 3, 32, 32)), jnp.float32)
+
+    toks_bf = model.generate_greedy(params, jnp.asarray(ids), jnp.asarray(m), px, max_new_tokens=5)
+    model.cache_dtype = jnp.int8
+    toks_q = model.generate_greedy(params, jnp.asarray(ids), jnp.asarray(m), px, max_new_tokens=5)
+    assert toks_q.shape == (b, 5)
+    # tiny random models have wide margins; int8 KV noise must not flip them
+    np.testing.assert_array_equal(np.asarray(toks_q), np.asarray(toks_bf))
