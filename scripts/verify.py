@@ -44,7 +44,8 @@ def main(cfg: VerifyConfig) -> None:
         model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8)
         model.tokenizer = get_tokenizer(cfg.tokenizer_path)
     else:
-        print("[verify] no checkpoint; random-init flagship (timing-only run)")
+        print("[verify] no checkpoint; random-init DEPTH-TRIMMED flagship "
+              "(8/32 decoder layers — smoke timing only; bench.py measures the full model)")
         sys.path.insert(0, str(Path(__file__).parent.parent))
         import importlib.util
 
