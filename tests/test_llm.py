@@ -284,3 +284,36 @@ def test_generation_with_int8_cache_runs():
     assert toks_q.shape == (b, 5)
     # tiny random models have wide margins; int8 KV noise must not flip them
     np.testing.assert_array_equal(np.asarray(toks_q), np.asarray(toks_bf))
+
+
+def test_speculative_with_int8_cache_matches_greedy():
+    """generate_speculative with the int8 KV cache: the while_loop carries the
+    4-leaf quantized cache, and outputs still match generate_greedy under the
+    same cache dtype (the margin gate gives greedy-equivalence)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bridgelang_tpu.models.vlm import PrismaticVLM, VLMConfig
+    from tests.helpers import TINY_LLM, TINY_VIT
+
+    cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM, vision_override=TINY_VIT)
+    model = PrismaticVLM(cfg, dtype=jnp.float32)
+    model.cache_dtype = jnp.int8
+    params = model.init_params(jax.random.key(3))
+    rng = np.random.default_rng(1)
+    b, t = 2, 12
+    ids = np.full((b, t), TINY_LLM.pad_token_id, np.int32)
+    m = np.zeros((b, t), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1:9] = rng.integers(3, 500, size=(b, 8))
+    m[:, :9] = 1
+    px = jnp.asarray(rng.normal(size=(b, 3, 32, 32)), jnp.float32)
+
+    greedy = model.generate_greedy(params, jnp.asarray(ids), jnp.asarray(m), px, max_new_tokens=5)
+    for draft in (np.zeros((b, 5), np.int32), np.asarray(greedy)):
+        spec = model.generate_speculative(params, jnp.asarray(ids), jnp.asarray(m), px,
+                                          jnp.asarray(draft, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(spec), np.asarray(greedy))
