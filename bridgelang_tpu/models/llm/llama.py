@@ -166,7 +166,11 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype: jnp.dtype = j
 
 
 def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[..., hd] -> (int8 codes, bf16 scale[...]) — symmetric absmax over hd."""
+    """[..., hd] -> (int8 codes, bf16 scale[...]) — symmetric absmax over hd.
+    Same absmax/127 scheme as ops.quant._quantize_2d (weights) and the w8a8
+    activation quant in _block's proj(); kept separate because the reduction
+    axis/keepdims and dtype contracts differ per site — if the scheme itself
+    changes (zero-guard, outlier clipping), change all three."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127).astype(jnp.int8)

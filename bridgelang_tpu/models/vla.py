@@ -130,7 +130,10 @@ class OpenVLA(PrismaticVLM):
         return unnormalize_actions(normalized.astype(jnp.float32), q01, q99, stat_mask)
 
     def _jitted_predict(self, action_dim: int, parallel_decode: bool = False):
-        key = (action_dim, parallel_decode)
+        # cache_dtype is read at trace time, so it must be part of the memo
+        # key — otherwise flipping model.cache_dtype after a warmup call
+        # would silently keep serving the old cache layout.
+        key = (action_dim, parallel_decode, str(self.cache_dtype))
         if key not in self._predict_fns:
             self._predict_fns[key] = jax.jit(
                 partial(self.predict_action_device, action_dim=action_dim, parallel_decode=parallel_decode),
@@ -181,7 +184,7 @@ class OpenVLA(PrismaticVLM):
         )
 
     def _jitted_predict_frames_speculative(self, margin_threshold: float = 0.25):
-        key = ("frames", "speculative", margin_threshold)
+        key = ("frames", "speculative", margin_threshold, str(self.cache_dtype))
         if key not in self._predict_fns:
             self._predict_fns[key] = jax.jit(
                 partial(self.predict_from_frames_device_speculative, margin_threshold=margin_threshold)
@@ -210,7 +213,7 @@ class OpenVLA(PrismaticVLM):
         )
 
     def _jitted_predict_frames(self, action_dim: int, parallel_decode: bool = False):
-        key = ("frames", action_dim, parallel_decode)
+        key = ("frames", action_dim, parallel_decode, str(self.cache_dtype))
         if key not in self._predict_fns:
             self._predict_fns[key] = jax.jit(
                 partial(self.predict_from_frames_device, action_dim=action_dim, parallel_decode=parallel_decode),

@@ -352,6 +352,11 @@ class PrismaticVLM:
         canonical sequential path, so outputs match generate_greedy whenever
         the decode-vs-verify numeric difference is below the threshold (real
         checkpoints have wide margins; exact in fp32 by construction).
+        CAVEAT with an int8 KV cache: a K/V element near an int8 rounding
+        boundary can quantize differently in the T=7 verification chunk than
+        sequential decode would, shifting later logits by up to a full quant
+        step — beyond what the margin gate guards. Keep the bf16 cache
+        (default) when strict greedy-equivalence matters.
 
         The reference has no analogue (its external speedup pointers, OFT and
         FAST, both change the model; this changes nothing about the model).

@@ -108,16 +108,20 @@ def main(cfg: ProfileConfig) -> None:
 
     @jax.jit
     def stage_prefill(params, patches, ids_d, mask_d):
+        # Mirror the PRODUCTION prefill path (vlm.generate_greedy): chunk-
+        # extent mask, contiguous cache write, and the short-sequence einsum
+        # attention switch (_prefill_impl).
         tok = embed_tokens(params["llm"], ids_d, dtype=jnp.bfloat16)
         fused, fmask, _ = model.fuse_after_bos(tok, patches, mask_d)
         f_len = fused.shape[1]
         s_len = f_len + cfg.max_new_tokens
         cache = init_kv_cache(vcfg.llm, 1, s_len, dtype=jnp.bfloat16)
         pos = jnp.broadcast_to(jnp.arange(f_len), (1, f_len))
-        m = model._causal_mask(fmask, s_len=s_len)
+        m = model._causal_mask(fmask)
         return llm_forward(params["llm"], vcfg.llm, fused, pos, m,
                            cache=cache, cache_positions=pos,
-                           attention_impl="pallas", remat=False)
+                           attention_impl=model._prefill_impl(1, f_len), remat=False,
+                           cache_write="contiguous")
 
     (hidden, cache), t_pre = timeit("prefill (multimodal sequence)", stage_prefill, params, patches, ids_d, mask_d)
 

@@ -85,6 +85,11 @@ def test_tp_serving_pallas_prefill_matches_single_device():
     sharded = shard_params_for_serving(mesh, params)
     model_tp = _tiny_model()
     model_tp.attention_impl = "pallas"
+    # Defeat the short-sequence einsum override — this test exists precisely
+    # to run the pallas kernel's custom_partitioning rules inside generation
+    # (at the tiny model's f_len=48, _prefill_impl would pick einsum and the
+    # kernel would never execute).
+    model_tp._prefill_impl = lambda b, t: "pallas"
     model_tp.use_mesh(mesh)
     out = model_tp.predict_action_batch(sharded, _images(2), _instructions(2))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
