@@ -267,6 +267,10 @@ def full_attention(
 
 # --- decoder forward ----------------------------------------------------------
 
+# Minimum chunk length (tokens) for the w8a8 int8-activation matmul path;
+# below this the weight stream dominates and bf16-dequant wins (see proj()).
+W8A8_MIN_CHUNK = 8
+
 
 def _remat_policy(name: Optional[str]):
     """Named rematerialization policies for the decoder-layer checkpoint
@@ -312,9 +316,16 @@ def _block(
         # stacked leaves added by bridgelang_tpu.training.lora). int8 weights
         # (bridgelang_tpu.ops.quant) dequantize inside the matmul: HBM reads
         # stay 1 byte/weight, MXU computes in the activation dtype. With
-        # cfg.w8a8, activations quantize per-token and the matmul runs int8.
+        # cfg.w8a8, activations quantize per-token and the matmul runs int8 —
+        # but ONLY for chunks of >= W8A8_MIN_CHUNK tokens: the int8 path is a
+        # THROUGHPUT lever for compute-bound prefill. Short chunks (decode
+        # T=1, speculative verify T=7) are weight-stream-bound — measured
+        # identical step time either way (the matmul fusions already run at
+        # ~89% of HBM peak per the device trace) — so below the threshold the
+        # bf16-dequant path wins on numerics alone: no activation-quant noise,
+        # and decode/verify math matches the w8-only mode exactly.
         w = lp[name]
-        if w.dtype == jnp.int8 and cfg.w8a8:
+        if w.dtype == jnp.int8 and cfg.w8a8 and T >= W8A8_MIN_CHUNK:
             absmax = jnp.max(jnp.abs(inp.astype(jnp.float32)), axis=-1, keepdims=True)
             xs = jnp.where(absmax == 0, 1.0, absmax / 127.0)
             q = jnp.round(inp.astype(jnp.float32) / xs).astype(jnp.int8)
