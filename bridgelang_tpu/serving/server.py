@@ -82,10 +82,44 @@ class VLAServer:
         self.max_batch = int(max_batch)
         self.batch_window_s = batch_window_ms / 1e3
         self.request_timeout_s = request_timeout_s
+        # Ops counters, served at GET /stats (the reference has no serving
+        # observability at all). Latencies are a bounded ring of recent calls.
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_errors = 0
+        self._recent_ms: List[float] = []
+        self._started = time.time()
         if self.max_batch > 1:
             self._queue: "queue.Queue[_Pending]" = queue.Queue()
             self._worker = threading.Thread(target=self._batch_worker, daemon=True)
             self._worker.start()
+
+    def _record(self, dt_s: float, error: bool) -> None:
+        with self._stats_lock:
+            self._n_requests += 1
+            self._n_errors += int(error)
+            self._recent_ms.append(dt_s * 1e3)
+            if len(self._recent_ms) > 512:
+                del self._recent_ms[: len(self._recent_ms) - 512]
+
+    def stats(self) -> Dict[str, Any]:
+        import numpy as _np
+
+        with self._stats_lock:
+            recent = list(self._recent_ms)
+            n, e = self._n_requests, self._n_errors
+        payload: Dict[str, Any] = {
+            "requests": n, "errors": e, "uptime_s": round(time.time() - self._started, 1),
+            "max_batch": self.max_batch,
+        }
+        if recent:
+            payload["latency_ms"] = {
+                "p50": round(float(_np.percentile(recent, 50)), 1),
+                "p90": round(float(_np.percentile(recent, 90)), 1),
+                "last": round(recent[-1], 1),
+                "window": len(recent),
+            }
+        return payload
 
     def predict(self, request: Dict[str, Any]) -> Dict[str, Any]:
         image = decode_image(request["image"])
@@ -176,6 +210,8 @@ class VLAServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._send(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    self._send(200, server_self.stats())
                 else:
                     self._send(404, {"error": "not found"})
 
@@ -183,12 +219,16 @@ class VLAServer:
                 if self.path != "/act":
                     self._send(404, {"error": "not found"})
                     return
+                t0 = time.perf_counter()
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     request = json.loads(self.rfile.read(length))
-                    self._send(200, server_self.predict(request))
+                    out = server_self.predict(request)
+                    server_self._record(time.perf_counter() - t0, error=False)
+                    self._send(200, out)
                 except Exception:
                     # per-request error containment (reference deploy.py:110-118)
+                    server_self._record(time.perf_counter() - t0, error=True)
                     traceback.print_exc()
                     self._send(500, {"error": "error", "detail": traceback.format_exc(limit=3)})
 

@@ -72,9 +72,14 @@ class CheckpointManager:
         path = self.ckpt_root / checkpoint_name(step, epoch, loss)
         self._ckptr.save(path.absolute(), payload)
         self._ckptr.wait_until_finished()
-        latest = self.run_dir / "latest-checkpoint.txt"
-        latest.write_text(path.name)
-        self._enforce_retention()
+        # Orbax coordinates the sharded write across processes, but the
+        # sidecar marker + retention sweep are plain-filesystem operations:
+        # single-writer them on a pod (every process rmtree-ing concurrently
+        # on shared storage is a race).
+        if jax.process_index() == 0:
+            latest = self.run_dir / "latest-checkpoint.txt"
+            latest.write_text(path.name)
+            self._enforce_retention()
         return path
 
     def restore(self, path, target_state):

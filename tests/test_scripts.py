@@ -76,6 +76,15 @@ def test_serving_roundtrip_tiny_model():
         # nested-list payload path too (reference json_numpy style)
         action2 = client_act("127.0.0.1", port, img, "push the button", use_b64=False)
         np.testing.assert_allclose(action, action2, atol=1e-6)
+        # ops observability: GET /stats reflects the served requests
+        import http.client
+        import json as _json
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/stats")
+        stats = _json.loads(conn.getresponse().read())
+        assert stats["requests"] == 2 and stats["errors"] == 0
+        assert stats["latency_ms"]["window"] == 2 and stats["latency_ms"]["p50"] > 0
     finally:
         httpd.shutdown()
 
