@@ -376,13 +376,22 @@ def _train_bench(norm_stats):
     loss0 = float(m["loss"])
     print(f"[bench] train-step compile+first: {time.time()-t0:.1f}s loss={loss0:.3f}", file=sys.stderr)
 
-    steps = []
+    steps, losses = [], [loss0]
     for _ in range(8):
         t0 = time.perf_counter()
         state, m = step_fn(state, batch)
-        _ = float(m["loss"])  # sync
+        losses.append(float(m["loss"]))  # sync
         steps.append(time.perf_counter() - t0)
     p50 = float(np.percentile(steps, 50))
+    # Convergence smoke on real hardware: repeated steps on a fixed batch must
+    # overfit it — the loss trajectory proves the optimizer actually learns,
+    # not just that the step executes.
+    print(
+        f"[bench] train loss trajectory (fixed batch): {losses[0]:.3f} -> "
+        f"{losses[len(losses)//2]:.3f} -> {losses[-1]:.3f} over {len(losses)-1} steps",
+        file=sys.stderr,
+    )
+    assert losses[-1] < losses[0], "loss did not decrease on a fixed batch"
 
     # FLOPs per step: 6*N*D for trainable LLM+projector matmuls (fwd+bwd),
     # +2*Nv*D_patches for the frozen vision fwd. TRUE MFU: the "dots" remat
