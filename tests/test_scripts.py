@@ -267,3 +267,43 @@ def test_bench_data_pipeline_smoke():
                               trajs_per_dataset=4, augment=False, seconds=0.5,
                               shuffle_buffer_size=50)
     mod.main(cfg)  # prints the measurements; raises on pipeline breakage
+
+
+def test_inspect_checkpoint_both_formats(tmp_path):
+    """scripts/inspect_checkpoint.py summarizes HF-safetensors and Orbax
+    layouts without touching a device."""
+    pytest.importorskip("safetensors")
+    import json
+
+    import numpy as np_
+    from safetensors.numpy import save_file
+
+    mod = _load("inspect_checkpoint")
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    save_file({"language_model.w": np_.zeros((4, 8), np_.float32),
+               "projector.b": np_.zeros((3,), np_.float32)}, str(hf_dir / "model.safetensors"))
+    (hf_dir / "config.json").write_text(json.dumps({"model_type": "openvla"}))
+    mod.main(mod.InspectConfig(path=str(hf_dir)))
+
+    import jax
+    import jax.numpy as jnp
+
+    from bridgelang_tpu.training.checkpointing import CheckpointManager
+
+    run_dir = tmp_path / "run"
+    ckpt = CheckpointManager(run_dir)
+
+    class S:
+        pass
+
+    import flax.struct as struct
+
+    class St(struct.PyTreeNode):
+        step: jnp.ndarray
+        params: dict
+
+    state = St(step=jnp.zeros((), jnp.int32), params={"w": jnp.ones((2, 3))})
+    ckpt.save(state, step=5, epoch=0, loss=1.0)
+    mod.main(mod.InspectConfig(path=str(run_dir)))
