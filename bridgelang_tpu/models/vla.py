@@ -278,9 +278,12 @@ class OpenVLA(PrismaticVLM):
         key = check_unnorm_key(self.norm_stats, unnorm_key)
         stats = self.norm_stats[key]["action"]
         action_dim = len(stats["q01"])
-        q01 = jnp.asarray(stats["q01"], dtype=jnp.float32)
-        q99 = jnp.asarray(stats["q99"], dtype=jnp.float32)
-        stat_mask = jnp.asarray(stats.get("mask", [True] * action_dim))
+        # Keep stats as host numpy so _put does the ONE host->mesh placement
+        # (jnp.asarray here would commit them to the default device first and
+        # pay an extra copy on the latency-critical /act path).
+        q01 = np.asarray(stats["q01"], dtype=np.float32)
+        q99 = np.asarray(stats["q99"], dtype=np.float32)
+        stat_mask = np.asarray(stats.get("mask", [True] * action_dim))
 
         frame = np.asarray(image.convert("RGB") if hasattr(image, "convert") else image)[None]
         ids, mask = self.pad_prompt([self.prepare_prompt_ids(instruction)])
@@ -300,9 +303,9 @@ class OpenVLA(PrismaticVLM):
         key = check_unnorm_key(self.norm_stats, unnorm_key)
         stats = self.norm_stats[key]["action"]
         action_dim = len(stats["q01"])
-        q01 = jnp.asarray(stats["q01"], dtype=jnp.float32)
-        q99 = jnp.asarray(stats["q99"], dtype=jnp.float32)
-        stat_mask = jnp.asarray(stats.get("mask", [True] * action_dim))
+        q01 = np.asarray(stats["q01"], dtype=np.float32)
+        q99 = np.asarray(stats["q99"], dtype=np.float32)
+        stat_mask = np.asarray(stats.get("mask", [True] * action_dim))
 
         frames = np.stack([np.asarray(im.convert("RGB") if hasattr(im, "convert") else im) for im in images])
         ids, mask = self.pad_prompt([self.prepare_prompt_ids(t) for t in instructions])

@@ -45,7 +45,7 @@ def _fmt_bytes(n: float) -> str:
 def _summarize(rows, cfg) -> None:
     by_prefix = defaultdict(lambda: [0, 0])  # prefix -> [count, bytes]
     total = [0, 0]
-    shown = 0
+    shown = matched = 0
     for name, shape, dtype, nbytes in rows:
         prefix = name.split(".")[0].split("/")[0]
         by_prefix[prefix][0] += 1
@@ -54,10 +54,11 @@ def _summarize(rows, cfg) -> None:
         total[1] += nbytes
         if cfg.filter and cfg.filter not in name:
             continue
+        matched += 1
         if not cfg.limit or shown < cfg.limit:
             print(f"  {name:70s} {str(shape):24s} {dtype:10s} {_fmt_bytes(nbytes)}")
             shown += 1
-    hidden = (total[0] if not cfg.filter else shown) - shown
+    hidden = matched - shown
     if hidden > 0:
         print(f"  ... {hidden} more (raise --limit or use --filter)")
     print("\nper top-level module:")
