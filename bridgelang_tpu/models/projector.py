@@ -54,12 +54,19 @@ def init_projector_params(
 
 
 def apply_projector(params: Params, patches: jnp.ndarray) -> jnp.ndarray:
-    """[B, P, vision_dim] -> [B, P, llm_dim]."""
+    """[B, P, vision_dim] -> [B, P, llm_dim].
+
+    Every intermediate is pinned to batch sharding (no-op off-mesh): the
+    projector sits between batch-sharded vision activations and fsdp-sharded
+    kernels, where GSPMD's forward and backward sharding choices can disagree
+    and force an involuntary all-gather of the GELU intermediates (see
+    parallel.sharding.constrain_batch)."""
+    from bridgelang_tpu.parallel.sharding import constrain_batch
 
     def lin(p, x):
-        return x @ p["kernel"] + p["bias"]
+        return constrain_batch(x @ p["kernel"] + p["bias"])
 
-    gelu = lambda x: jax.nn.gelu(x, approximate=False)  # noqa: E731
+    gelu = lambda x: constrain_batch(jax.nn.gelu(x, approximate=False))  # noqa: E731
     # Structure identifies the kind (params stay a pure array pytree):
     if "fc3" not in params:
         if "fc2" not in params:

@@ -145,9 +145,16 @@ class PrismaticVLM:
     # --- forward pieces ---------------------------------------------------
 
     def encode_vision(self, params: Params, pixel_values: jnp.ndarray) -> jnp.ndarray:
-        """[B, n_towers*3, H, W] -> projected patch embeddings [B, P, llm_dim]."""
+        """[B, n_towers*3, H, W] -> projected patch embeddings [B, P, llm_dim].
+
+        The tower output and projected patches are pinned to batch sharding
+        (no-op without an ambient mesh): this seam is where GSPMD's
+        parameter-driven propagation is ambiguous — see
+        parallel.sharding.constrain_batch."""
+        from bridgelang_tpu.parallel.sharding import constrain_batch
+
         patches = self.vision_module.apply({"params": params["vision"]}, pixel_values.astype(self.dtype))
-        return apply_projector(params["projector"], patches)
+        return constrain_batch(apply_projector(params["projector"], constrain_batch(patches)))
 
     def fuse_after_bos(
         self,
@@ -158,8 +165,12 @@ class PrismaticVLM:
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
         """Insert patches after BOS: [bos | patches | text...] (reference:
         prismatic.py:399-420). Requires left position 0 to be BOS (right padding)."""
+        from bridgelang_tpu.parallel.sharding import constrain_batch
+
         b, p = patch_embeds.shape[0], patch_embeds.shape[1]
-        fused = jnp.concatenate([token_embeds[:, :1], patch_embeds.astype(token_embeds.dtype), token_embeds[:, 1:]], axis=1)
+        fused = constrain_batch(
+            jnp.concatenate([token_embeds[:, :1], patch_embeds.astype(token_embeds.dtype), token_embeds[:, 1:]], axis=1)
+        )
         patch_mask = jnp.ones((b, p), dtype=attention_mask.dtype)
         fused_mask = jnp.concatenate([attention_mask[:, :1], patch_mask, attention_mask[:, 1:]], axis=1)
         fused_labels = None

@@ -29,7 +29,13 @@ PARAM_RULES: List[Tuple[str, P]] = [
     (r"llm/layers/(bo|b_down)$", P(None, None)),
     (r"llm/layers/.*norm.*$", P(None, None)),                    # [L, D]
     # --- LLM embeddings / head ---
-    (r"llm/embed$", P("tensor", "fsdp")),                        # [V, D]
+    # Vocab-parallel embedding: rows over BOTH model axes, D replicated. A
+    # 2-D-sharded table (vocab x D) forces the gather's backward scatter-add
+    # to reshard the [B, T, D] cotangent from batch- to D-sharding — an
+    # all-to-all XLA's SPMD partitioner cannot express (it warns "Involuntary
+    # full rematerialization" and replicates instead). Row-only sharding keeps
+    # the backward a masked local scatter + reduce-scatter over the rows.
+    (r"llm/embed$", P(("fsdp", "tensor"), None)),                # [V, D]
     (r"llm/lm_head$", P("fsdp", "tensor")),                      # [D, V]
     (r"llm/lm_head_bias$", P("tensor")),
     (r"llm/final_norm.*$", P(None)),
@@ -85,6 +91,61 @@ def shard_params_for_serving(mesh: Mesh, params: Any) -> Any:
     """Device-put a (possibly int8-quantized) serving param pytree with
     tensor-parallel shardings. Pair with OpenVLA.use_mesh(mesh)."""
     return jax.device_put(params, serving_param_shardings(mesh, params))
+
+
+# --- activation constraints ---------------------------------------------------
+#
+# GSPMD propagates shardings from parameters into activations; at the
+# vision -> projector -> LLM seams that propagation is ambiguous (batch-sharded
+# patch activations meet tensor/fsdp-sharded projector kernels) and XLA can
+# resolve the forward and backward passes to DIFFERENT specs — observed as an
+# "Involuntary full rematerialization" (an all-gather of the projector GELU
+# intermediate every step) in the round-2 multichip dryrun. Pinning the seam
+# activations to batch sharding removes the ambiguity. The constraint reads the
+# ambient mesh set with `jax.sharding.set_mesh(mesh)` (see scripts/train.py,
+# __graft_entry__.dryrun_multichip) and is a NO-OP when none is active, so
+# single-device paths and tests trace identically to before.
+
+ACTIVATION_BATCH_AXES = ("replica", "fsdp")
+
+
+def constrain(x, *entries):
+    """`with_sharding_constraint(x, P(*entries))` against the ambient mesh.
+
+    No-op when no mesh context is active; axis names absent from the active
+    mesh are dropped from the spec (a serving mesh may only have `tensor`)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty:
+        return x
+    names = set(mesh.axis_names)
+
+    def keep(e):
+        if isinstance(e, (tuple, list)):
+            kept = tuple(a for a in e if a in names)
+            return kept if kept else None
+        return e if e in names else None
+
+    spec = [keep(e) for e in entries]
+    spec += [None] * max(0, x.ndim - len(spec))
+    return jax.lax.with_sharding_constraint(x, P(*spec[: x.ndim]))
+
+
+def constrain_batch(x):
+    """Pin an activation's LEADING (batch) dim to the data axes."""
+    return constrain(x, ACTIVATION_BATCH_AXES)
+
+
+def with_ambient_mesh(mesh: Mesh, fn):
+    """Run `fn` (typically a jitted train step) under `jax.sharding.set_mesh`
+    so the seam `constrain` calls bind when it traces."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.sharding.set_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def path_str(path) -> str:

@@ -108,10 +108,12 @@ def main(cfg: FinetuneConfig) -> None:
     params = jax.device_put(params, param_shardings(mesh, params))
     ocfg = OptimConfig(learning_rate=cfg.learning_rate, lr_scheduler_type="constant", total_steps=cfg.max_steps)
     optimizer = make_optimizer(ocfg, params, trainable_mask=trainable, grad_accum_steps=cfg.grad_accumulation_steps)
-    step_fn = jax.jit(
+    from bridgelang_tpu.parallel.sharding import with_ambient_mesh
+
+    step_fn = with_ambient_mesh(mesh, jax.jit(
         make_vla_train_step(model, optimizer, trainable_mask=trainable,
                             image_transform=model.image_transform, remat_policy=cfg.remat_policy)
-    )
+    ))
     state = init_train_state(params, optimizer, trainable_mask=trainable)
     ckpt = CheckpointManager(run_dir)
     metrics = VLAMetrics(

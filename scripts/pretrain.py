@@ -103,9 +103,12 @@ def main(cfg: PretrainConfig) -> None:
     ocfg = OptimConfig(learning_rate=lr, weight_decay=wd, max_grad_norm=grad_clip,
                        lr_scheduler_type=schedule, warmup_ratio=warmup, total_steps=total_steps)
     optimizer = make_optimizer(ocfg, params, trainable_mask=trainable, grad_accum_steps=grad_accum)
-    step_fn = jax.jit(make_vla_train_step(model, optimizer, trainable_mask=trainable,
-                                          image_transform=model.image_transform,
-                                          remat_policy=cfg.remat_policy))
+    from bridgelang_tpu.parallel.sharding import with_ambient_mesh
+
+    step_fn = with_ambient_mesh(mesh, jax.jit(
+        make_vla_train_step(model, optimizer, trainable_mask=trainable,
+                            image_transform=model.image_transform,
+                            remat_policy=cfg.remat_policy)))
     state = init_train_state(params, optimizer, trainable_mask=trainable)
     ckpt = CheckpointManager(run_dir)
     if overwatch.is_rank_zero():

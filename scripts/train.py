@@ -145,10 +145,14 @@ def main(cfg: TrainConfig) -> None:
         total_steps=total_steps,
     )
     optimizer = make_optimizer(ocfg, params, trainable_mask=trainable)
-    step_fn = jax.jit(
+    from bridgelang_tpu.parallel.sharding import with_ambient_mesh
+
+    # The ambient mesh lets the model's seam activation constraints bind
+    # (vision->projector->LLM; see parallel.sharding.constrain_batch).
+    step_fn = with_ambient_mesh(mesh, jax.jit(
         make_vla_train_step(model, optimizer, trainable_mask=trainable,
                             image_transform=model.image_transform, remat_policy=cfg.remat_policy)
-    )
+    ))
     state = init_train_state(params, optimizer, trainable_mask=trainable)
 
     ckpt = CheckpointManager(run_dir)

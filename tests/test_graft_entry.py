@@ -32,3 +32,12 @@ def test_dryrun_multichip_driver_invocation():
     )
     assert proc.returncode == 0, f"stderr tail:\n{proc.stderr[-2000:]}"
     assert "[dryrun] ok: devices=8" in proc.stdout
+    # Round-2 regression: GSPMD resolved the projector/embedding seams to
+    # conflicting fwd/bwd shardings and fell back to replicating activations
+    # ("Involuntary full rematerialization") — the seam constraints in
+    # parallel.sharding + the vocab-parallel embed rule must keep the SPMD
+    # compile clean.
+    assert "Involuntary full rematerialization" not in proc.stderr + proc.stdout
+    # The dryrun also proves the tensor-parallel serving path (SERVING_RULES +
+    # the pallas kernel's custom_partitioning prefill) against single-device.
+    assert "[dryrun] serving-tp ok" in proc.stdout

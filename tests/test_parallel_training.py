@@ -53,7 +53,9 @@ def test_param_rules_cover_llm_shapes():
     assert spec_for_path("llm/layers/wq", 3) == P(None, "fsdp", "tensor")
     assert spec_for_path("llm/layers/wo", 3) == P(None, "tensor", "fsdp")
     assert spec_for_path("llm/layers/attn_norm", 2) == P(None, None)
-    assert spec_for_path("llm/embed", 2) == P("tensor", "fsdp")
+    # Vocab-parallel: rows over both model axes, D replicated (a 2-D-sharded
+    # table forces an inexpressible cotangent all-to-all in the gather bwd).
+    assert spec_for_path("llm/embed", 2) == P(("fsdp", "tensor"), None)
     assert spec_for_path("llm/lm_head", 2) == P("fsdp", "tensor")
     assert spec_for_path("projector/fc1/kernel", 2) == P("fsdp", None)
     assert spec_for_path("vision/featurizer/blocks/qkv/kernel", 3) == P(None, "fsdp", None)
