@@ -84,7 +84,30 @@ class CheckpointManager:
 
     def restore(self, path, target_state):
         """Restore into the (possibly sharded) structure of `target_state` —
-        Orbax re-shards to the target's NamedShardings on load."""
+        Orbax re-shards to the target's NamedShardings on load (any mesh
+        shape, not just the one it was saved on)."""
+        # Uncommitted scalars in the target (e.g. a fresh TrainState.step from
+        # jnp.zeros) carry a single-device sharding; Orbax restores them
+        # there, and the next jitted train step then sees params on the mesh
+        # but step on device 0 — "incompatible devices". Pin such leaves to a
+        # replicated sharding over the params' mesh before restoring.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        meshes = {
+            leaf.sharding.mesh
+            for leaf in jax.tree.leaves(target_state)
+            if isinstance(getattr(leaf, "sharding", None), NamedSharding)
+        }
+        if len(meshes) == 1:
+            (mesh,) = meshes
+            rep = NamedSharding(mesh, PartitionSpec())
+
+            def pin(leaf):
+                if hasattr(leaf, "sharding") and not isinstance(leaf.sharding, NamedSharding):
+                    return jax.device_put(leaf, rep)
+                return leaf
+
+            target_state = jax.tree.map(pin, target_state)
         return self._ckptr.restore(Path(path).absolute(), target_state)
 
     def latest(self) -> Optional[Path]:
