@@ -168,3 +168,145 @@ def test_libero_regen_episode_serialization_roundtrip():
     assert data["images"].shape == (3, 8, 8, 3)
     assert data["joint_states"].shape == (3, 7)
     assert str(data["language"]) == "put the bowl on the stove"
+
+
+def test_libero_eval_main_end_to_end(tmp_path, monkeypatch):
+    """Drive run_libero_eval.main() START TO FINISH in remote-policy mode: a
+    fake `libero` package (benchmark dict + OffScreenRenderEnv) + the tiny
+    in-process REST server. Covers the episode loop, settle steps, center
+    crop, gripper normalize/invert, per-step error containment, and success
+    accounting (reference contract run_libero_eval.py:186-238)."""
+    import dataclasses
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    import bridgelang_tpu.models.vlm as vlm_mod
+    from bridgelang_tpu.models.vision.vit import ViT
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.models.vlm import VLMConfig
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.serving.server import VLAServer
+    from tests.helpers import TINY_LLM, TINY_NORM_STATS, TINY_VIT, StubTokenizer
+
+    # --- tiny in-process REST policy server ---
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg_m = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg_m, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+    httpd = VLAServer(model, params, default_unnorm_key="bridge_orig").serve_background(port=0)
+    port = httpd.server_address[1]
+
+    # --- fake `libero` package ---
+    recorded = {"actions": [], "episodes": 0}
+    NUM_SETTLE = 10
+
+    class FakeEnv:
+        def __init__(self, bddl_file_name, camera_heights, camera_widths):
+            self.h, self.w = camera_heights, camera_widths
+            self.steps = 0
+            self.fail_mode = False
+
+        def _obs(self):
+            img = np.full((self.h, self.w, 3), 7, np.uint8)
+            img[0, 0] = [1, 2, 3]  # corner marker: get_libero_image must flip
+            return {"agentview_image": img}
+
+        def reset(self):
+            self.steps = 0
+            return self._obs()
+
+        def set_init_state(self, state):
+            recorded["episodes"] += 1
+            self.fail_mode = bool(state[0])  # init state #2 scripts a failure
+            return self._obs()
+
+        def step(self, action):
+            self.steps += 1
+            a = np.asarray(action, np.float64)
+            if self.steps > NUM_SETTLE:  # a policy action, not a settle step
+                recorded["actions"].append(a)
+                if self.fail_mode:
+                    raise RuntimeError("scripted env crash")  # containment path
+            done = (not self.fail_mode) and self.steps >= NUM_SETTLE + 3
+            return self._obs(), 0.0, done, {}
+
+        def close(self):
+            pass
+
+    class FakeTask:
+        language = "put the bowl on the plate"
+
+    class FakeSuite:
+        n_tasks = 1
+
+        def get_task(self, i):
+            return FakeTask()
+
+        def get_task_bddl_file_path(self, i):
+            return str(tmp_path / "task.bddl")
+
+        def get_task_init_states(self, i):
+            return [np.array([0.0]), np.array([1.0])]
+
+    benchmark = types.ModuleType("libero.libero.benchmark")
+    benchmark.get_benchmark_dict = lambda: {"libero_spatial": FakeSuite}
+    envs = types.ModuleType("libero.libero.envs")
+    envs.OffScreenRenderEnv = FakeEnv
+    libero_inner = types.ModuleType("libero.libero")
+    libero_inner.benchmark = benchmark
+    libero_inner.envs = envs
+    libero_outer = types.ModuleType("libero")
+    libero_outer.libero = libero_inner
+    for name, mod in [("libero", libero_outer), ("libero.libero", libero_inner),
+                      ("libero.libero.benchmark", benchmark), ("libero.libero.envs", envs)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    spec = importlib.util.spec_from_file_location(
+        "blx_libero_e2e", ROOT / "experiments/robot/libero/run_libero_eval.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["blx_libero_e2e"] = mod
+    spec.loader.exec_module(mod)
+
+    cfg = mod.LiberoEvalConfig(
+        remote_host="127.0.0.1", remote_port=port, task_suite_name="libero_spatial",
+        num_trials_per_task=2, unnorm_key="bridge_orig", center_crop=True,
+        resolution=32, local_log_dir=str(tmp_path / "logs"), use_wandb=False,
+    )
+    try:
+        mod.main(cfg)
+    finally:
+        httpd.shutdown()
+
+    # Episode 1 succeeds, episode 2's env crash is contained -> 1/2.
+    logs = list((tmp_path / "logs").glob("EVAL-*.txt"))
+    assert len(logs) == 1
+    text = logs[0].read_text()
+    assert "TOTAL success rate: 1/2 = 0.500" in text
+    assert recorded["episodes"] == 2
+    # Policy actions reached the env with the LIBERO gripper convention:
+    # server's [0,1] gripper -> normalized+binarized [-1,1] -> INVERTED.
+    acts = np.stack(recorded["actions"])
+    assert acts.shape[1] == 7
+    assert set(np.unique(acts[:, -1])) <= {-1.0, 1.0}
+    # The env-side gripper must be the POLICY's raw [0,1] gripper, normalized
+    # to [-1,1], binarized, then inverted (LIBERO: -1 = open). Recompute the
+    # expectation from a direct server query on the same frame.
+    from bridgelang_tpu.serving.server import client_act
+
+    httpd2 = VLAServer(model, params, default_unnorm_key="bridge_orig").serve_background(port=0)
+    try:
+        img = np.full((32, 32, 3), 7, np.uint8)
+        img[0, 0] = [1, 2, 3]
+        raw = client_act("127.0.0.1", httpd2.server_address[1], img[::-1, ::-1], "put the bowl on the plate")
+    finally:
+        httpd2.shutdown()
+    expected = -np.sign(2.0 * raw[-1] - 1.0)
+    assert (acts[:, -1] == expected).all()
