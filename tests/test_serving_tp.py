@@ -127,3 +127,36 @@ def test_serving_rules_cover_int8_scales():
     head_s = spec_for_path("llm/lm_head_scale", 2, SERVING_RULES)
     assert head[-1] == "tensor" and head_s[-1] == "tensor"
     assert all(x is None for x in spec_for_path("llm/embed", 2, SERVING_RULES))
+
+
+def test_tp_serving_13b_geometry_matches_single_device():
+    """13B is the multi-chip serving customer: int8 params load on one 16 GB
+    chip but execution OOMs (README measured), so it serves with
+    --mesh_spec tensor=N. Verify TP=2 output parity at the REAL 13B geometry
+    — dim 5120, 40 MHA heads, intermediate 13824, padded vocab 32064
+    (models/llm/llama.py "llama2-13b-pure") — depth-trimmed to 2 of 40 layers
+    so the virtual-CPU mesh can hold it, in the production int8 serving mode."""
+    from bridgelang_tpu.models.llm.llama import LLM_CONFIGS
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.ops.quant import quantize_llm_int8
+
+    llm13 = dataclasses.replace(LLM_CONFIGS["llama2-13b-pure"], n_layers=2, max_seq_len=256)
+    assert (llm13.dim, llm13.n_heads, llm13.intermediate_size) == (5120, 40, 13824)
+
+    def build():
+        cfg = dataclasses.replace(VLMConfig(), llm=llm13, vision_override=TINY_VIT)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        return model
+
+    model = build()
+    params = model.init_params(jax.random.key(4))
+    params = dict(params, llm=quantize_llm_int8(params["llm"]))
+    ref = model.predict_action_batch(params, _images(2), _instructions(2))
+
+    mesh = make_mesh("replica=1,fsdp=1,tensor=2", devices=jax.devices()[:2])
+    sharded = shard_params_for_serving(mesh, params)
+    model_tp = build()
+    model_tp.use_mesh(mesh)
+    out = model_tp.predict_action_batch(sharded, _images(2), _instructions(2))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
