@@ -253,13 +253,48 @@ def full_attention(
     """Full-sequence attention [B,T,H,hd] with bool mask [B,1,T,S]. The XLA
     path trusts the mask entirely; the Pallas path reduces the mask to
     per-example lengths, so the sliding window must be passed explicitly.
-    impl="einsum" uses the decode-identical cached_attention."""
+    impl="einsum" uses the decode-identical cached_attention.
+
+    impl="ring" (or "ring:<axis>", default axis "fsdp") is context parallelism
+    for long sequences: the time dim shards over the named mesh axis and K/V
+    blocks rotate over the ICI ring (ops.ring_attention) — per-device attention
+    memory is O(T/n). Requires an ambient mesh (jax.sharding.set_mesh, as the
+    train scripts establish), causal RIGHT-PADDED sequences (the padding mask
+    is implied by causality: pad keys sit after every valid query), and no
+    sliding window. Self-attention only — with a KV cache (generation) or no
+    usable mesh it falls back to the XLA path."""
     if impl == "pallas":
         from bridgelang_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask=mask, window=window)
     if impl == "einsum":
         return cached_attention(q, k, v, mask)
+    if impl.startswith("ring"):
+        axis = impl.split(":", 1)[1] if ":" in impl else "fsdp"
+        mesh = jax.sharding.get_abstract_mesh()
+        usable = (
+            mesh is not None and not mesh.empty and axis in mesh.axis_names
+            and mesh.shape[axis] > 1 and q.shape[1] == k.shape[1]
+        )
+        if usable:
+            if window is not None:
+                raise ValueError("ring attention does not support sliding windows")
+            if q.shape[1] % mesh.shape[axis]:
+                raise ValueError(
+                    f"sequence length {q.shape[1]} must divide the {axis!r} "
+                    f"axis size {mesh.shape[axis]} for ring attention"
+                )
+            from functools import partial
+
+            from jax.sharding import PartitionSpec as P
+
+            from bridgelang_tpu.ops.ring_attention import ring_attention
+
+            spec = P("replica", axis, None, None)  # batch over replica, time over the ring
+            return jax.shard_map(
+                partial(ring_attention, axis_name=axis, causal=True),
+                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            )(q, k, v)
     n_rep = q.shape[2] // k.shape[2]
     k, v = _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)

@@ -60,6 +60,10 @@ class VLMConfig:
     # a ViTConfig, or a (ViTConfig, ViTConfig) pair for fused towers.
     # Used for depth-trimmed compile proxies and tiny test models.
     vision_override: Optional[Any] = None
+    # Decoder attention override: None picks the backend default (pallas on
+    # TPU, xla elsewhere). "ring"/"ring:<axis>" enables context-parallel
+    # training attention for long sequences (models/llm/llama.full_attention).
+    attention_impl: Optional[str] = None
 
     @classmethod
     def from_ids(
@@ -113,8 +117,9 @@ class PrismaticVLM:
                 cfg.vision_backbone_id, dtype=dtype
             )
         self.image_transform = transform_config_for_backbone(cfg.vision_backbone_id, cfg.image_resize_strategy)
-        # Decoder attention: Pallas flash kernel on TPU, XLA elsewhere (tests).
-        self.attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Decoder attention: Pallas flash kernel on TPU, XLA elsewhere (tests);
+        # cfg.attention_impl overrides (e.g. "ring" for context parallelism).
+        self.attention_impl = cfg.attention_impl or ("pallas" if jax.default_backend() == "tpu" else "xla")
         # KV cache storage dtype for generation. jnp.int8 halves the cache's
         # HBM footprint/stream (per-(token, head) symmetric quant + bf16
         # scales) — at B=16 the 7B's bf16 cache alone is 10.4 GB and cannot

@@ -49,6 +49,9 @@ class TrainConfig:
     # (recompute everything, the reference fsdp.py:170-183 behavior) is the
     # fallback when activations don't fit.
     remat_policy: str = "dots"
+    # Decoder attention override: e.g. "ring" (context-parallel attention over
+    # the fsdp axis, for long-horizon variants) or "xla"; None = backend default.
+    attention_impl: Optional[str] = None
 
 
 def main(cfg: TrainConfig) -> None:
@@ -95,6 +98,10 @@ def main(cfg: TrainConfig) -> None:
         arch_specifier=base.arch_specifier if base else "no-align+fused-gelu-mlp",
         image_resize_strategy=base.image_resize_strategy if base else "resize-naive",
     )
+    if cfg.attention_impl:
+        import dataclasses as _dc
+
+        vlm_cfg = _dc.replace(vlm_cfg, attention_impl=cfg.attention_impl)
     model = PrismaticVLM(vlm_cfg, dtype=jnp.bfloat16)
 
     # --- tokenizer ---
