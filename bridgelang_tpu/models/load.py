@@ -250,19 +250,76 @@ def convert_hf_state_dict(
 # --- top-level loaders --------------------------------------------------------
 
 
+# Published HF-format VLA repos the reference's load_vla pulls by id
+# (reference load.py:39 VLA_HF_HUB_REPO; the public checkpoints live under
+# the openvla org in the HF layout this loader consumes directly).
+VLA_HUB_ORG = "openvla"
+
+
+def resolve_checkpoint_dir(
+    model_id_or_path: str, hf_token: Optional[str] = None, cache_dir=None
+) -> Path:
+    """Local dir passthrough, else HF-Hub download (reference load.py:52-76,
+    180-205). A bare registered VLA id maps to the `openvla/<id>` repo; an
+    explicit `org/name` id is used as-is. Multi-host runs serialize the
+    download `local_zero_first`-style: process 0 populates the cache, the
+    rest hit it warm. Zero-egress environments get a clear error naming the
+    files to pre-stage."""
+    path = Path(model_id_or_path)
+    if path.exists():
+        return path
+    repo_id = model_id_or_path if "/" in model_id_or_path else f"{VLA_HUB_ORG}/{model_id_or_path}"
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:  # pragma: no cover - baked into this image
+        raise FileNotFoundError(
+            f"{model_id_or_path!r} is not a local directory and huggingface_hub "
+            "is unavailable to fetch it."
+        ) from e
+
+    import jax
+
+    def fetch():
+        return Path(snapshot_download(
+            repo_id, token=hf_token, cache_dir=cache_dir,
+            allow_patterns=["*.safetensors", "*.json"],
+        ))
+
+    try:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            if jax.process_index() == 0:
+                local = fetch()
+            multihost_utils.sync_global_devices("bridgelang_hub_download")
+            local = fetch()  # non-zero processes now hit the warm cache
+        else:
+            local = fetch()
+    except Exception as e:
+        raise FileNotFoundError(
+            f"{model_id_or_path!r} is not a local checkpoint directory and the "
+            f"HF Hub fetch of {repo_id!r} failed ({type(e).__name__}: {e}). In "
+            "zero-egress environments pre-download the HF checkpoint "
+            "(config.json + *.safetensors + dataset_statistics.json) and pass its path."
+        ) from e
+    return local
+
+
 def load_vla(
     model_id_or_path: str,
     hf_token: Optional[str] = None,
     load_weights: bool = True,
     dtype=None,
     quantize_int8: bool = False,
+    cache_dir=None,
 ):
-    """Build an OpenVLA model (+ params when a checkpoint directory exists).
+    """Build an OpenVLA model (+ params when a checkpoint is found).
 
     Accepts a local directory containing HF-format `config.json`,
     `*.safetensors`, and `dataset_statistics.json`
-    (the reference's published checkpoint layout), or a registered model id
-    (requires the files to be pre-downloaded in zero-egress environments).
+    (the reference's published checkpoint layout), a registered model id
+    (fetched from the `openvla/<id>` HF repo when the environment has
+    egress), or an explicit `org/name` Hub repo id.
     """
     import jax.numpy as jnp
 
@@ -271,13 +328,7 @@ def load_vla(
     from bridgelang_tpu.models.vision.vit import FUSED_BACKBONES, VIT_CONFIGS
 
     dt = dtype or jnp.bfloat16
-    path = Path(model_id_or_path)
-    if not path.exists():
-        raise FileNotFoundError(
-            f"{model_id_or_path!r} is not a local checkpoint directory. This "
-            f"environment has no network egress; pre-download the HF checkpoint "
-            f"(config.json + *.safetensors + dataset_statistics.json) and pass its path."
-        )
+    path = resolve_checkpoint_dir(model_id_or_path, hf_token=hf_token, cache_dir=cache_dir)
 
     with open(path / "config.json") as f:
         hf_cfg = json.load(f)

@@ -112,3 +112,25 @@ def test_export_load_predict_finetune_reexport(tmp_path, monkeypatch):
     model3.image_transform = model2.image_transform
     model3.tokenizer = StubTokenizer()
     np.testing.assert_allclose(model3.predict_action(params3, img, "stack the cups"), tuned, atol=1e-5)
+
+
+def test_resolve_checkpoint_dir_contract(tmp_path):
+    """Hub-layout resolution (reference load.py:52-76): local dirs pass
+    through untouched; a bare id maps to the openvla/<id> repo and, with no
+    egress, fails with a FileNotFoundError naming the repo and the files to
+    pre-stage (never a bare network traceback)."""
+    import pytest
+
+    from bridgelang_tpu.models.load import resolve_checkpoint_dir
+
+    assert resolve_checkpoint_dir(str(tmp_path)) == tmp_path
+
+    with pytest.raises(FileNotFoundError) as exc:
+        resolve_checkpoint_dir("openvla-7b-nonexistent-xyz")
+    msg = str(exc.value)
+    assert "openvla/openvla-7b-nonexistent-xyz" in msg
+    assert "safetensors" in msg
+
+    with pytest.raises(FileNotFoundError) as exc2:
+        resolve_checkpoint_dir("some-org/some-model-xyz")
+    assert "some-org/some-model-xyz" in str(exc2.value)
