@@ -1,4 +1,4 @@
-"""Inference smoke + perf verification (the reference's de-facto test).
+"""Inference smoke + perf verification + golden-trajectory bit-parity kit.
 
 Counterpart of reference vla-scripts/extern/verify_openvla.py:30-89 and
 scripts/extern/verify_prismatic.py: load a checkpoint (or a random-init
@@ -6,6 +6,30 @@ flagship), run N predict_action calls on random frames, print per-call
 latency and sanity-check output ranges.
 
   python scripts/verify.py [--checkpoint /ckpts/openvla-7b] [--calls 100]
+
+## Golden-trajectory kit (real-checkpoint bit parity with zero new code)
+
+A "golden" .npz bundles model inputs with expected outputs: either
+(`frames` [N,H,W,3] u8 + `instructions` [N] str) or pre-tokenized
+(`pixel_values` [N,C,H,W] f32 + `input_ids`/`attention_mask` [N,T] i32),
+plus `expected_tokens` [N,A] i32, `expected_actions` [N,A] f32, and
+`unnorm_key`. Replay asserts token BIT-equality and action closeness.
+(The tiny-config cross-implementation proof lives in
+tests/test_e2e_torch_parity.py: the independent torch stack writes a golden
+and this replay passes it.)
+
+First session with real openvla-7b weights — three commands:
+
+  1. stage the HF checkpoint dir (config.json + *.safetensors +
+     dataset_statistics.json) at /ckpts/openvla-7b
+  2. record expected outputs — EITHER from the reference stack on its own
+     hardware (tokens from `vla.predict_action` saved with the frames), OR
+     from this framework for regression pinning:
+       python scripts/verify.py --checkpoint /ckpts/openvla-7b \
+           --golden_record /ckpts/golden-openvla7b.npz --calls 16
+  3. replay for the parity verdict:
+       python scripts/verify.py --checkpoint /ckpts/openvla-7b \
+           --golden /ckpts/golden-openvla7b.npz
 """
 
 from __future__ import annotations
@@ -28,6 +52,104 @@ class VerifyConfig:
     calls: int = 100
     quantize_int8: bool = True
     parallel_decode: bool = False
+    golden: Optional[str] = None  # replay a golden .npz -> bit-parity verdict
+    golden_record: Optional[str] = None  # record a golden .npz from this model
+    golden_atol: float = 1e-5  # action tolerance on replay (tokens are exact)
+
+
+def _golden_predict(model, params, rec) -> tuple:
+    """(tokens [N,A] i32, actions [N,A] f32) for one golden bundle's inputs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    unnorm_key = str(rec["unnorm_key"]) if "unnorm_key" in rec else None
+    stats = model.get_action_stats(unnorm_key)
+    q01 = jnp.asarray(stats["q01"], jnp.float32)
+    q99 = jnp.asarray(stats["q99"], jnp.float32)
+    smask = jnp.asarray(stats.get("mask", [True] * len(stats["q01"])))
+    action_dim = len(stats["q01"])
+
+    if "pixel_values" in rec:
+        ids = np.asarray(rec["input_ids"], np.int32)
+        mask = np.asarray(rec["attention_mask"], np.int32)
+        pixels = jnp.asarray(np.asarray(rec["pixel_values"], np.float32))
+    else:
+        from bridgelang_tpu.ops.image_ops import preprocess_batch
+
+        instructions = [str(s) for s in rec["instructions"]]
+        ids, mask = model.pad_prompt([model.prepare_prompt_ids(t) for t in instructions])
+        pixels = preprocess_batch(jnp.asarray(rec["frames"]), model.image_transform, dtype=model.dtype)
+
+    import jax
+
+    tokens = np.asarray(jax.jit(model.generate_greedy, static_argnames=("max_new_tokens",))(
+        params, jnp.asarray(ids), jnp.asarray(mask), pixels, max_new_tokens=action_dim))
+    from bridgelang_tpu.vla.action_tokenizer import token_ids_to_actions, unnormalize_actions
+
+    normalized = token_ids_to_actions(jnp.asarray(tokens), jnp.asarray(model.bin_centers),
+                                      model.cfg.llm.vocab_size)
+    actions = np.asarray(unnormalize_actions(normalized.astype(jnp.float32), q01, q99, smask))
+    return tokens.astype(np.int32), actions
+
+
+def replay_golden(model, params, golden_path, atol: float = 1e-5):
+    """Replay a golden bundle; returns (n_pass, n_total, failure messages)."""
+    import numpy as np
+
+    rec = np.load(golden_path, allow_pickle=False)
+    tokens, actions = _golden_predict(model, params, rec)
+    exp_tokens = np.asarray(rec["expected_tokens"], np.int32)
+    exp_actions = np.asarray(rec["expected_actions"], np.float32)
+
+    failures = []
+    for i in range(tokens.shape[0]):
+        if not np.array_equal(tokens[i], exp_tokens[i]):
+            failures.append(f"record {i}: tokens {tokens[i].tolist()} != expected {exp_tokens[i].tolist()}")
+        elif not np.allclose(actions[i], exp_actions[i], atol=atol):
+            failures.append(
+                f"record {i}: max action delta "
+                f"{np.max(np.abs(actions[i] - exp_actions[i])):.2e} > atol={atol}")
+    return tokens.shape[0] - len(failures), tokens.shape[0], failures
+
+
+def record_golden(model, params, out_path, calls: int, unnorm_key: Optional[str], seed: int = 0):
+    """Record a golden bundle from THIS model on deterministic random frames
+    + canned instructions (regression pinning; for cross-implementation proof
+    record expected outputs with the reference stack instead)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    size = model.image_transform.towers[0].size if hasattr(model.image_transform, "towers") else 224
+    frames = rng.integers(0, 255, size=(calls, size, size, 3), dtype=np.uint8)
+    instructions = np.asarray([f"pick up the object {i}" for i in range(calls)])
+    key = unnorm_key or next(iter(model.norm_stats))
+    rec = {"frames": frames, "instructions": instructions, "unnorm_key": np.asarray(key)}
+    tokens, actions = _golden_predict(model, params, rec)
+    np.savez(out_path, **rec, expected_tokens=tokens, expected_actions=actions)
+    return out_path
+
+
+def _build_model(cfg: VerifyConfig):
+    import jax
+    import jax.numpy as jnp
+
+    if cfg.checkpoint:
+        from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
+        from bridgelang_tpu.models.load import load_vla
+
+        model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8)
+        model.tokenizer = get_tokenizer(cfg.tokenizer_path)
+        return model, params
+    print("[verify] no checkpoint; random-init DEPTH-TRIMMED flagship "
+          "(8/32 decoder layers — smoke timing only; bench.py measures the full model)")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("graft", Path(__file__).parent.parent / "__graft_entry__.py")
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+    model = graft._flagship_model(llm_layers=8, vit_depth=8)
+    params = model.init_params(jax.random.key(0), param_dtype=jnp.bfloat16)
+    return model, params
 
 
 def main(cfg: VerifyConfig) -> None:
@@ -37,23 +159,21 @@ def main(cfg: VerifyConfig) -> None:
 
     from bridgelang_tpu.ops.image_ops import preprocess_batch
 
-    if cfg.checkpoint:
-        from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
-        from bridgelang_tpu.models.load import load_vla
+    model, params = _build_model(cfg)
 
-        model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8)
-        model.tokenizer = get_tokenizer(cfg.tokenizer_path)
-    else:
-        print("[verify] no checkpoint; random-init DEPTH-TRIMMED flagship "
-              "(8/32 decoder layers — smoke timing only; bench.py measures the full model)")
-        sys.path.insert(0, str(Path(__file__).parent.parent))
-        import importlib.util
-
-        spec = importlib.util.spec_from_file_location("graft", Path(__file__).parent.parent / "__graft_entry__.py")
-        graft = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(graft)
-        model = graft._flagship_model(llm_layers=8, vit_depth=8)
-        params = model.init_params(jax.random.key(0), param_dtype=jnp.bfloat16)
+    if cfg.golden_record:
+        path = record_golden(model, params, cfg.golden_record, cfg.calls, unnorm_key=None)
+        print(f"[verify] recorded golden bundle ({cfg.calls} records) -> {path}")
+        return
+    if cfg.golden:
+        n_pass, n_total, failures = replay_golden(model, params, cfg.golden, atol=cfg.golden_atol)
+        for f in failures[:20]:
+            print(f"[verify] FAIL {f}")
+        print(f"[verify] golden replay: {n_pass}/{n_total} records bit-exact "
+              f"({'PASS' if n_pass == n_total else 'FAIL'})")
+        if n_pass != n_total:
+            raise SystemExit(1)
+        return
 
     stats = model.get_action_stats("bridge_orig" if "bridge_orig" in model.norm_stats else None)
     q01 = jnp.asarray(stats["q01"], dtype=jnp.float32)

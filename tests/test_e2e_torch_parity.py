@@ -165,3 +165,54 @@ def test_composed_parity_second_input(torch_stack, our_stack):
         max_new_tokens=ACTION_DIM, cache_dtype=jnp.float32,
     ))[0]
     np.testing.assert_array_equal(our_tokens, hf_tokens)
+
+
+def test_golden_kit_replays_torch_expected(torch_stack, our_stack, tmp_path):
+    """The golden-trajectory kit (scripts/verify.py --golden): the INDEPENDENT
+    torch stack records expected tokens/actions into a golden bundle, and our
+    replay must report every record bit-exact; a corrupted expected token must
+    be reported as a failure. This is the zero-new-code path to real-weights
+    bit parity (reference analogue vla-scripts/extern/verify_openvla.py:30-89)."""
+    import importlib.util
+    from pathlib import Path as _P
+
+    spec = importlib.util.spec_from_file_location(
+        "blx_verify", _P(__file__).parent.parent / "scripts" / "verify.py")
+    verify = importlib.util.module_from_spec(spec)
+    import sys as _sys
+
+    _sys.modules["blx_verify"] = verify
+    spec.loader.exec_module(verify)
+
+    model, params = our_stack
+    model.cache_dtype = jnp.float32  # exact-match decode vs the fp32 torch glue
+
+    rng = np.random.default_rng(7)
+    n = 3
+    pixels = rng.normal(size=(n, 6, 32, 32)).astype(np.float32)
+    ids = np.full((n, 12), TINY_LLM.pad_token_id, np.int32)
+    mask = np.zeros_like(ids)
+    toks, acts = [], []
+    for i in range(n):
+        row = np.concatenate([[1], rng.integers(3, 400, size=11)]).astype(np.int32)[None]
+        ids[i], mask[i] = row[0], 1
+        t, a = _torch_predict(torch_stack, pixels[i : i + 1], row)
+        toks.append(t)
+        acts.append(a)
+
+    golden = tmp_path / "golden.npz"
+    np.savez(golden, pixel_values=pixels, input_ids=ids, attention_mask=mask,
+             unnorm_key=np.asarray("bridge_orig"),
+             expected_tokens=np.stack(toks).astype(np.int32),
+             expected_actions=np.stack(acts).astype(np.float32))
+
+    n_pass, n_total, failures = verify.replay_golden(model, params, golden)
+    assert (n_pass, n_total) == (n, n), failures
+
+    # Corruption must be detected and named.
+    bad = dict(np.load(golden, allow_pickle=False))
+    bad["expected_tokens"] = bad["expected_tokens"].copy()
+    bad["expected_tokens"][1, 3] += 1
+    np.savez(tmp_path / "bad.npz", **bad)
+    n_pass_b, n_total_b, failures_b = verify.replay_golden(model, params, tmp_path / "bad.npz")
+    assert n_pass_b == n - 1 and any("record 1" in f for f in failures_b)

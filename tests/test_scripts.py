@@ -307,3 +307,37 @@ def test_inspect_checkpoint_both_formats(tmp_path):
     state = St(step=jnp.zeros((), jnp.int32), params={"w": jnp.ones((2, 3))})
     ckpt.save(state, step=5, epoch=0, loss=1.0)
     mod.main(mod.InspectConfig(path=str(run_dir)))
+
+
+def test_golden_record_replay_roundtrip(tmp_path):
+    """scripts/verify.py golden kit, frames form: record from a tiny model,
+    replay against the same weights -> every record bit-exact."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import bridgelang_tpu.models.vlm as vlm_mod
+    from bridgelang_tpu.models.vision.vit import ViT
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.models.vlm import VLMConfig
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from tests.helpers import TINY_LLM, TINY_NORM_STATS, TINY_VIT, StubTokenizer
+
+    verify = _load("verify")
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    golden = tmp_path / "g.npz"
+    verify.record_golden(model, params, golden, calls=3, unnorm_key="bridge_orig")
+    n_pass, n_total, failures = verify.replay_golden(model, params, golden)
+    assert (n_pass, n_total) == (3, 3), failures
