@@ -347,9 +347,14 @@ class PrismaticVLM:
         draft_tokens: jnp.ndarray,
         cache_dtype: Optional[jnp.dtype] = None,
         margin_threshold: float = 0.25,
+        return_accept_count: bool = False,
     ) -> jnp.ndarray:
         """Speculative greedy decode with an external draft — equivalent to
         `generate_greedy`, faster when the draft is right.
+        `return_accept_count=True` additionally returns the per-example count
+        of tokens that skipped the sequential path ([B] int32, in [1, n];
+        token 0 is always canonical) — the acceptance telemetry bench.py
+        reports for control-loop streams.
 
         Robot control is smooth: at 5-15 Hz, consecutive `predict_action`
         calls usually emit mostly-identical action tokens, so the PREVIOUS
@@ -404,7 +409,7 @@ class PrismaticVLM:
         last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
         token0 = jnp.argmax(lm_logits(params["llm"], last_hidden, cfg), axis=-1).astype(jnp.int32)  # [B,1]
         if n == 1:
-            return token0
+            return (token0, jnp.ones((b,), jnp.int32)) if return_accept_count else token0
 
         # --- verification pass: [token0, draft[1:]] as ONE chunk ---
         ver_in = jnp.concatenate([token0, draft_tokens[:, 1:].astype(jnp.int32)], axis=1)  # [B, n]
@@ -463,6 +468,8 @@ class PrismaticVLM:
             return j + 1, cache, out
 
         _, _, out = jax.lax.while_loop(cond, body, (j0, cache, out))
+        if return_accept_count:
+            return out, jnp.minimum(k, n).astype(jnp.int32)
         return out
 
     def generate_parallel(

@@ -72,16 +72,37 @@ class VLAServer:
 
     Requests carrying `draft_tokens` take the speculative path directly
     (latency-bound control loops; see predict_action_speculative) — jax
-    dispatch is thread-safe, so this coexists with the batching worker."""
+    dispatch is thread-safe, so this coexists with the batching worker.
+
+    DEFAULT MODE (batch-1, `speculative_default=True`): requests WITHOUT a
+    client draft still decode speculatively, drafting from the server-side
+    last tokens for the same (instruction, unnorm_key) — a robot control
+    loop repeats one instruction, so after the first tick every request has
+    a warm draft with zero client changes. Greedy-equivalent by the margin
+    gate (predict_action_speculative); worst case (cold/rejected draft) costs
+    one extra 7-token verify chunk, ~+4 ms on the 7B. Auto-disabled when the
+    KV cache is int8 (the one configuration where verify-vs-decode
+    quantization can exceed the gate; see generate_speculative docstring)."""
 
     def __init__(self, model, params, default_unnorm_key: Optional[str] = None,
-                 max_batch: int = 1, batch_window_ms: float = 6.0, request_timeout_s: float = 600.0):
+                 max_batch: int = 1, batch_window_ms: float = 6.0, request_timeout_s: float = 600.0,
+                 speculative_default: bool = True):
         self.model = model
         self.params = params
         self.default_unnorm_key = default_unnorm_key
         self.max_batch = int(max_batch)
         self.batch_window_s = batch_window_ms / 1e3
         self.request_timeout_s = request_timeout_s
+        import jax.numpy as jnp
+
+        self.speculative_default = (
+            bool(speculative_default) and getattr(model, "cache_dtype", None) != jnp.int8
+        )
+        # per-(instruction, unnorm_key) previous action tokens, LRU-bounded
+        from collections import OrderedDict
+
+        self._draft_cache: "OrderedDict[Any, np.ndarray]" = OrderedDict()
+        self._draft_lock = threading.Lock()
         # Ops counters, served at GET /stats (the reference has no serving
         # observability at all). Latencies are a bounded ring of recent calls.
         self._stats_lock = threading.Lock()
@@ -124,7 +145,9 @@ class VLAServer:
     def predict(self, request: Dict[str, Any]) -> Dict[str, Any]:
         image = decode_image(request["image"])
         instruction = request["instruction"]
-        unnorm_key = request.get("unnorm_key", self.default_unnorm_key)
+        # Clients may send an explicit null (client_act always includes the
+        # field), so `or` — not .get's default — resolves to the server key.
+        unnorm_key = request.get("unnorm_key") or self.default_unnorm_key
         if "draft_tokens" in request and request["draft_tokens"] is not None:
             # Speculative serving (stateless): the client sends back the
             # `tokens` from its previous response as the draft; smooth robot
@@ -138,6 +161,21 @@ class VLAServer:
             )
             return {"action": encode_array(action), "tokens": encode_array(tokens)}
         if self.max_batch <= 1:
+            if self.speculative_default:
+                key = (instruction, unnorm_key)
+                with self._draft_lock:
+                    draft = self._draft_cache.get(key)
+                if draft is None:
+                    draft = np.zeros(self.model.get_action_dim(unnorm_key), np.int32)
+                action, tokens = self.model.predict_action_speculative(
+                    self.params, image, instruction, draft_tokens=draft, unnorm_key=unnorm_key
+                )
+                with self._draft_lock:
+                    self._draft_cache[key] = np.asarray(tokens, np.int32)
+                    self._draft_cache.move_to_end(key)
+                    while len(self._draft_cache) > 64:
+                        self._draft_cache.popitem(last=False)
+                return {"action": encode_array(action), "tokens": encode_array(tokens)}
             action = self.model.predict_action(self.params, image, instruction, unnorm_key=unnorm_key)
             return {"action": encode_array(action)}
         pending = _Pending(image, instruction, unnorm_key)

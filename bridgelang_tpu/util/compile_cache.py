@@ -34,11 +34,14 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     return cache_dir
 
 
-def warmup_predict(model, params, max_batch: int = 1, unnorm_key: str | None = None) -> float:
+def warmup_predict(model, params, max_batch: int = 1, unnorm_key: str | None = None,
+                   speculative: bool = False) -> float:
     """Compile (or cache-load) the jitted predict program for every batch
     bucket the server can hit — batch 1 plus each power of two up to
     `max_batch` — so no live request ever stalls behind a 7B compile. Uses
-    the model's own transform resolution. Returns seconds spent."""
+    the model's own transform resolution. With `speculative`, also warms the
+    batch-1 speculative program (the server's default serving mode). Returns
+    seconds spent."""
     import numpy as np
 
     if unnorm_key is None:
@@ -53,4 +56,7 @@ def warmup_predict(model, params, max_batch: int = 1, unnorm_key: str | None = N
     t0 = time.time()
     for n in buckets:
         model.predict_action_batch(params, [frame] * n, ["warmup"] * n, unnorm_key=unnorm_key)
+    if speculative:
+        draft = np.zeros(model.get_action_dim(unnorm_key), np.int32)
+        model.predict_action_speculative(params, frame, "warmup", draft, unnorm_key=unnorm_key)
     return time.time() - t0

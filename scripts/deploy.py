@@ -42,6 +42,11 @@ class DeployConfig:
     # int8 KV cache (per-token-per-head quant + bf16 scales): halves the
     # cache's HBM footprint — required for max_batch >= 16 on one 16 GB chip.
     kv_cache_int8: bool = False
+    # Batch-1 default: decode speculatively, drafting from the server-side
+    # previous tokens per (instruction, unnorm_key) — greedy-equivalent
+    # (margin-gated), ~40% faster on smooth control loops, no client changes.
+    # Auto-disabled with kv_cache_int8 (see VLAServer docstring).
+    speculative_default: bool = True
 
 
 def main(cfg: DeployConfig) -> None:
@@ -92,17 +97,21 @@ def main(cfg: DeployConfig) -> None:
         model.use_mesh(mesh)
         overwatch.info("Tensor-parallel serving over mesh %s", dict(mesh.shape))
 
+    speculative = cfg.speculative_default and not cfg.kv_cache_int8 and cfg.max_batch <= 1
     if cfg.warmup:
-        dt = warmup_predict(model, params, max_batch=cfg.max_batch, unnorm_key=cfg.unnorm_key)
+        dt = warmup_predict(model, params, max_batch=cfg.max_batch, unnorm_key=cfg.unnorm_key,
+                            speculative=speculative)
         overwatch.info(
             "Warmup compiled/loaded predict for all batch buckets <= %d in %.1fs — "
             "every request gets steady-state latency", max(cfg.max_batch, 1), dt,
         )
 
-    overwatch.info("Serving %s on %s:%d (max_batch=%d)", cfg.checkpoint, cfg.host, cfg.port, cfg.max_batch)
+    overwatch.info("Serving %s on %s:%d (max_batch=%d%s)", cfg.checkpoint, cfg.host, cfg.port,
+                   cfg.max_batch, ", speculative default" if speculative else "")
     VLAServer(
         model, params, default_unnorm_key=cfg.unnorm_key,
         max_batch=cfg.max_batch, batch_window_ms=cfg.batch_window_ms,
+        speculative_default=cfg.speculative_default,
     ).run(cfg.host, cfg.port)
 
 

@@ -341,3 +341,67 @@ def test_golden_record_replay_roundtrip(tmp_path):
     verify.record_golden(model, params, golden, calls=3, unnorm_key="bridge_orig")
     n_pass, n_total, failures = verify.replay_golden(model, params, golden)
     assert (n_pass, n_total) == (3, 3), failures
+
+
+def test_server_speculative_default_mode(tmp_path):
+    """Batch-1 serving now drafts server-side from the previous tokens per
+    (instruction, unnorm_key): responses carry tokens, repeated ticks stay
+    greedy-equivalent (margin gate), and speculative_default=False restores
+    the plain greedy wire shape."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import bridgelang_tpu.models.vlm as vlm_mod
+    from bridgelang_tpu.models.vision.vit import ViT
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.models.vlm import VLMConfig
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.serving.server import VLAServer, client_act
+    from tests.helpers import TINY_LLM, TINY_NORM_STATS, TINY_VIT, StubTokenizer
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        model.cache_dtype = jnp.float32  # exact greedy-equivalence for the test
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    img = np.random.default_rng(1).integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    greedy_srv = VLAServer(model, params, default_unnorm_key="bridge_orig", speculative_default=False)
+    h0 = greedy_srv.serve_background(port=0)
+    spec_srv = VLAServer(model, params, default_unnorm_key="bridge_orig")
+    h1 = spec_srv.serve_background(port=0)
+    try:
+        greedy, g_tokens = client_act("127.0.0.1", h0.server_address[1], img, "push", return_tokens=True)
+        assert g_tokens is None  # plain greedy wire shape preserved
+        a1, t1 = client_act("127.0.0.1", h1.server_address[1], img, "push", return_tokens=True)
+        assert t1 is not None and t1.shape == (7,)  # cold draft tick
+        a2, t2 = client_act("127.0.0.1", h1.server_address[1], img, "push", return_tokens=True)
+        np.testing.assert_allclose(a1, greedy, atol=1e-6)  # equivalence, cold
+        np.testing.assert_allclose(a2, greedy, atol=1e-6)  # equivalence, warm
+        np.testing.assert_array_equal(t1, t2)
+        assert ("push", "bridge_orig") in spec_srv._draft_cache
+    finally:
+        h0.shutdown()
+        h1.shutdown()
+
+
+def test_server_speculative_default_auto_disables_for_int8_kv():
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from bridgelang_tpu.serving.server import VLAServer
+
+    class _M:
+        cache_dtype = jnp.int8
+
+    srv = VLAServer(_M(), None, default_unnorm_key="k")
+    assert srv.speculative_default is False
