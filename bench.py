@@ -38,6 +38,7 @@ import numpy as np
 REFERENCE_ACTIONS_PER_SEC = 6.0
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 TRAIN_BENCH_TIMEOUT_S = 900  # cold dots-remat compile alone is ~250s on this backend
+LORA_BENCH_TIMEOUT_S = 1800  # 32-layer train graph through the remote compile service
 
 
 def main():
@@ -94,11 +95,15 @@ def main():
 
     scale_note = "-int8"
 
-    # --- train-step benchmark FIRST, in an ISOLATED SUBPROCESS: it needs a
-    # fresh chip (params+grads+Adam cannot share 16 GB with the 8.3 GB
+    # --- train-step benchmarks FIRST, each in an ISOLATED SUBPROCESS: they
+    # need a fresh chip (params+grads+Adam cannot share 16 GB with the 8.3 GB
     # serving model) and an OOM must never wedge the serving headline. Runs
-    # BEFORE the parent touches any device so the child has the chip alone. ---
-    _run_train_bench_subprocess()
+    # BEFORE the parent touches any device so each child has the chip alone. ---
+    _run_train_bench_subprocess("train", TRAIN_BENCH_TIMEOUT_S)
+    # Full-depth evidence: the ONLY 32-layer train measurement a 16 GB chip
+    # can host is the reference's most-used workflow, LoRA fine-tuning
+    # (reference vla-scripts/finetune.py:9-11) — int8 frozen base + adapters.
+    _run_train_bench_subprocess("lora", LORA_BENCH_TIMEOUT_S)
 
     print(f"[bench] backend={jax.default_backend()} device={jax.devices()[0].device_kind}", file=sys.stderr)
     serving = _serving_bench(build, norm_stats)
@@ -202,34 +207,100 @@ def _serving_bench(build, norm_stats) -> float:
     pipe_rate = n_pipe / (time.perf_counter() - t0)
     print(f"[bench] pipelined (2 in flight): {pipe_rate:.2f} actions/s", file=sys.stderr)
 
-    # Speculative decode (draft = previous tick's tokens): ONE verification
-    # pass replaces up to six decode passes when the draft is accepted.
-    # Random weights produce DEGENERATE logit margins, so the exactness gate
-    # (margin_threshold) rejects everything here; margin_threshold=0 shows
-    # the fully-accepted upper bound a real checkpoint approaches on smooth
-    # trajectories (real action margins are far above the gate).
+    # Speculative decode, MEASURED (round-3 rework — the old print was a
+    # margin_threshold=0 upper bound). Two measured halves compose into the
+    # effective rate:
+    #   (a) on-chip latency(k) for k = 1..7 accepted tokens, driven by drafts
+    #       crafted to match the greedy output for exactly k tokens (achieved
+    #       k is verified on-device via return_accept_count);
+    #   (b) empirical accept-count distributions P(k) from synthetic smooth
+    #       control streams (minimum-jerk reach segments + OU sensor noise at
+    #       10 Hz) tokenized with the PRODUCTION 256-bin binning — the accept
+    #       count of the margin gate under a policy that tracks the stream.
+    # Effective a/s = 1 / E_P[latency(k)].  Random weights cannot supply P(k)
+    # (their margins are degenerate — the 0.25 gate rejects everything, which
+    # is ALSO measured and printed below); the conditional is stated in the
+    # JSON unit. verify.py --golden replaces P(k) with the real-checkpoint
+    # distribution the first time weights are staged.
     try:
         frame_d = jnp.asarray(frame[None])
-        spec0 = model._jitted_predict_frames_speculative(margin_threshold=0.0)
-        _, toks = spec0(params, ids_d, mask_d, frame_d, q01, q99, smask,
-                        jnp.zeros((1, 7), jnp.int32))
-        toks = jnp.asarray(np.asarray(toks))  # settle + host sync
+        spec_cnt = model._jitted_predict_frames_speculative(margin_threshold=0.0,
+                                                            return_accept_count=True)
+        _, toks, _ = spec_cnt(params, ids_d, mask_d, frame_d, q01, q99, smask,
+                              jnp.zeros((1, 7), jnp.int32))
+        greedy_t = np.asarray(toks)[0].astype(np.int32)
 
-        def timed_spec(fn, draft, n=20):
-            np.asarray(fn(params, ids_d, mask_d, frame_d, q01, q99, smask, draft)[0])
+        lat_k = {}
+        for k in range(1, 8):
+            draft = greedy_t.copy()
+            if k < 7:
+                draft[k:] = greedy_t[k:] + 1  # first mismatch at position k
+            draft_d = jnp.asarray(draft[None])
+            acts, _, acc = spec_cnt(params, ids_d, mask_d, frame_d, q01, q99, smask, draft_d)
+            np.asarray(acts)
+            got_k = int(np.asarray(acc)[0])
             lat = []
-            for _ in range(n):
+            for _ in range(12):
                 t0 = time.perf_counter()
-                acts, _ = fn(params, ids_d, mask_d, frame_d, q01, q99, smask, draft)
+                acts, _, _ = spec_cnt(params, ids_d, mask_d, frame_d, q01, q99, smask, draft_d)
                 np.asarray(acts)
                 lat.append(time.perf_counter() - t0)
-            return float(np.percentile(lat, 50))
+            lat_k[k] = float(np.percentile(lat, 50))
+            if got_k != k:
+                print(f"[bench] WARNING: crafted draft for k={k} accepted {got_k}", file=sys.stderr)
+        curve = " ".join(f"k={k}:{v*1e3:.0f}ms" for k, v in lat_k.items())
+        print(f"[bench] speculative latency curve (accepted tokens -> p50): {curve}", file=sys.stderr)
+        breakeven = next((k for k in range(1, 8) if 1.0 / lat_k[k] >= 2 * REFERENCE_ACTIONS_PER_SEC), None)
+        print(f"[bench] breakeven for 2x baseline (12 a/s): >= {breakeven} of 7 tokens accepted per tick"
+              if breakeven else "[bench] 12 a/s unreachable even at full acceptance", file=sys.stderr)
 
-        best = timed_spec(spec0, toks)                              # all 7 accepted
-        worst = timed_spec(spec0, jnp.full((1, 7), 5, jnp.int32))   # nothing accepted
-        print(f"[bench] speculative decode (draft=prev action): fully-accepted p50={best*1e3:.1f}ms "
-              f"({1/best:.2f} a/s), rejected-draft p50={worst*1e3:.1f}ms ({1/worst:.2f} a/s)",
-              file=sys.stderr)
+        # (b) accept-count distributions on synthetic smooth streams, three
+        # motion regimes x three drafting strategies (tokens of: previous
+        # action / token-space linear extrapolation / extrapolation with the
+        # per-dim step clamped to +-8 bins).
+        results = {}
+        for regime, (amp, t_lo, t_hi, noise_bins) in {
+            "settle": (0.06, 2.0, 4.0, 0.25),    # grasp / fine alignment
+            "nominal": (0.30, 1.5, 3.0, 0.5),    # typical tabletop reach
+            "aggressive": (0.80, 0.8, 1.5, 1.0), # fast transfer
+        }.items():
+            tok_stream = _smooth_stream_tokens(amp, t_lo, t_hi, noise_bins, n_ticks=1500, seed=17)
+            for strat in ("prev", "extrap", "hybrid"):
+                hist = _accept_histogram(tok_stream, strat)
+                mean_k = float(sum(k * p for k, p in hist.items()))
+                eff = 1.0 / sum(p * lat_k[k] for k, p in hist.items())
+                results[(regime, strat)] = (mean_k, eff)
+        for (regime, strat), (mean_k, eff) in results.items():
+            print(f"[bench] speculative/{regime}/{strat}: mean accepted {mean_k:.2f}/7 "
+                  f"-> {eff:.2f} a/s effective", file=sys.stderr)
+        best_strat = max(("prev", "extrap", "hybrid"),
+                         key=lambda s: results[("nominal", s)][1])
+        mean_k, eff = results[("nominal", best_strat)]
+        print(json.dumps({
+            "metric": "openvla7b-int8_speculative_effective_throughput",
+            "value": round(eff, 2),
+            "unit": (f"actions/sec (measured latency(k) x synthetic smooth-stream acceptance; "
+                     f"nominal regime, draft={best_strat}, mean {mean_k:.2f}/7 accepted; "
+                     f"conditional on the policy tracking the stream)"),
+            "vs_baseline": round(eff / REFERENCE_ACTIONS_PER_SEC, 3),
+        }))
+
+        # Honest telemetry at the production gate on THIS model's weights:
+        # random weights -> degenerate margins -> the 0.25 gate rejects the
+        # draft tail, so the accept count collapses to ~1. Printing it keeps
+        # the conditional above from reading as a measured-on-weights claim.
+        spec_prod = model._jitted_predict_frames_speculative(margin_threshold=0.25,
+                                                             return_accept_count=True)
+        prev = greedy_t.copy()
+        accs = []
+        for i in range(8):
+            f = (frame.astype(np.int16) + rng.integers(-4, 5, size=frame.shape)).clip(0, 255).astype(np.uint8)
+            _, t_i, a_i = spec_prod(params, ids_d, mask_d, jnp.asarray(f[None]), q01, q99, smask,
+                                    jnp.asarray(prev[None]))
+            prev = np.asarray(t_i)[0].astype(np.int32)
+            accs.append(int(np.asarray(a_i)[0]))
+        print(f"[bench] production gate (0.25) on random weights, perturbed-frame stream: "
+              f"mean accepted {np.mean(accs):.2f}/7 (degenerate margins, as expected)", file=sys.stderr)
     except Exception as e:
         print(f"[bench] speculative mode failed: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -294,23 +365,106 @@ def _serving_bench(build, norm_stats) -> float:
     return actions_per_sec
 
 
-def _run_train_bench_subprocess() -> None:
+def _smooth_stream_tokens(amp: float, t_lo: float, t_hi: float, noise_bins: float,
+                          n_ticks: int = 1500, hz: float = 10.0, seed: int = 17) -> np.ndarray:
+    """Synthetic smooth 7-DoF control stream, tokenized with the production
+    binning. Returns bin indices [n_ticks, 7] in [1, 256].
+
+    Dims 0-5 are normalized action deltas tracing minimum-jerk reach segments
+    (bell-shaped velocity profiles: only 1-3 dims move per segment, like a
+    tabletop reach), plus Ornstein-Uhlenbeck sensor/policy noise with
+    stationary std `noise_bins` bin widths. Dim 6 is a binary gripper that
+    toggles between segments ~20% of the time. Tokenization is the exact
+    digitize contract of vla/action_tokenizer.py (256 bins over [-1, 1])."""
+    from bridgelang_tpu.vla.action_tokenizer import make_bins
+
+    rng = np.random.default_rng(seed)
+    bins, _ = make_bins(256)
+    bin_w = 2.0 / 255.0
+    dt = 1.0 / hz
+
+    stream = np.zeros((n_ticks, 7), np.float64)
+    tick = 0
+    grip = 1.0
+    while tick < n_ticks:
+        dur = rng.uniform(t_lo, t_hi)
+        n = max(2, int(dur * hz))
+        # minimum-jerk velocity bell: v(tau) = 30 tau^2 (1-tau)^2, peak 1.875
+        tau = (np.arange(n) + 0.5) / n
+        bell = 30.0 * tau**2 * (1.0 - tau) ** 2 / 1.875
+        active = rng.choice(6, size=rng.integers(1, 4), replace=False)
+        seg = np.zeros((n, 6))
+        for d in active:
+            seg[:, d] = rng.uniform(-amp, amp) * bell
+        end = min(tick + n, n_ticks)
+        stream[tick:end, :6] = seg[: end - tick]
+        if rng.random() < 0.2:
+            grip = 1.0 - grip
+        stream[tick:end, 6] = grip * 2.0 - 1.0
+        tick = end
+
+    # OU noise on the continuous dims: x' = a x + sqrt(1-a^2) sigma eps,
+    # theta=2/s -> consecutive-tick correlation exp(-2 dt) at the control rate.
+    a = np.exp(-2.0 * dt)
+    sigma = noise_bins * bin_w
+    noise = np.zeros((n_ticks, 6))
+    for t in range(1, n_ticks):
+        noise[t] = a * noise[t - 1] + np.sqrt(1 - a * a) * sigma * rng.standard_normal(6)
+    stream[:, :6] = np.clip(stream[:, :6] + noise, -1.0, 1.0)
+    return np.digitize(np.clip(stream, -1.0, 1.0), bins).astype(np.int32)
+
+
+def _accept_histogram(tok_stream: np.ndarray, strategy: str) -> dict:
+    """P(accepted tokens = k), k in [1, 7], for a drafting strategy over a
+    binned stream, under the speculative gate's semantics: token 0 is always
+    re-decoded; tokens 1..6 are accepted along the longest common prefix of
+    the draft vs the current tick's tokens (generate_speculative).
+
+    Strategies (all pure token/bin arithmetic, as served — see
+    serving.server.draft_from_history):
+      prev    draft_t = tokens_{t-1}
+      extrap  draft_t = clip(2 tokens_{t-1} - tokens_{t-2})  (linear in bin
+              space == linear in value space for uniform bins)
+      hybrid  per-dim: extrapolate (step clamped to +-8 bins) only where the
+              last step was >= 2 bins — tracks moving dims without letting
+              extrapolation amplify sensor noise on the static dims (measured
+              best on nominal-motion streams)."""
+    n = len(tok_stream)
+    counts = np.zeros(8, np.int64)
+    for t in range(2, n):
+        cur, p1, p2 = tok_stream[t], tok_stream[t - 1], tok_stream[t - 2]
+        if strategy == "prev":
+            draft = p1
+        else:
+            step = p1.astype(np.int64) - p2
+            if strategy == "hybrid":
+                step = np.clip(step, -8, 8)
+                step = np.where(np.abs(step) >= 2, step, 0)
+            draft = np.clip(p1 + step, 1, 256)
+        match = draft[1:] == cur[1:]
+        k = 1 + int(np.argmin(match)) if not match.all() else 7
+        counts[k] += 1
+    total = counts.sum()
+    return {k: counts[k] / total for k in range(1, 8) if counts[k]}
+
+
+def _run_train_bench_subprocess(mode: str, timeout_s: float) -> None:
     import subprocess
 
     try:
         proc = subprocess.run(
-            [sys.executable, __file__, "train"],
-            capture_output=True, text=True, timeout=TRAIN_BENCH_TIMEOUT_S,
+            [sys.executable, __file__, mode],
+            capture_output=True, text=True, timeout=timeout_s,
         )
     except subprocess.TimeoutExpired:
-        print("[bench] train-step bench timed out; skipping", file=sys.stderr)
+        print(f"[bench] {mode}-step bench timed out; skipping", file=sys.stderr)
         return
     sys.stderr.write(proc.stderr[-2000:])
     line = next((ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')), None)
     if proc.returncode == 0 and line:
         print(line)
     else:
-        print(f"[bench] train-step bench failed (rc={proc.returncode})", file=sys.stderr)
+        print(f"[bench] {mode}-step bench failed (rc={proc.returncode})", file=sys.stderr)
 
 
 def _train_bench(norm_stats):
@@ -351,8 +505,11 @@ def _train_bench(norm_stats):
     # bf16 grads = the reference's bf16 gradient-reduce mode (fsdp.py:140-148);
     # remat_policy="dots" saves matmul outputs so the backward recomputes only
     # elementwise work (measured 5.9% faster than full recompute on v5e).
+    # donate_argnums=0: the old TrainState's buffers become the new one's —
+    # without donation XLA holds params+opt_state TWICE across the step.
     step_fn = jax.jit(make_vla_train_step(model, optimizer, trainable_mask=trainable,
-                                          grad_dtype=jnp.bfloat16, remat_policy="dots"))
+                                          grad_dtype=jnp.bfloat16, remat_policy="dots"),
+                      donate_argnums=0)
     state = init_train_state(params, optimizer, trainable_mask=trainable)
 
     rng = np.random.default_rng(0)
@@ -422,18 +579,139 @@ def _train_bench(norm_stats):
     }
 
 
+def _lora_bench(norm_stats):
+    """Full-depth (all 32 decoder layers) LoRA fine-tune step on one chip —
+    the reference's most-used workflow (vla-scripts/finetune.py:9-11, PEFT
+    r=32 "all-linear" + 8-bit base) at its real depth: int8 frozen base
+    (6.8 GB) + fp32 r=32 adapters + adapter-only Adam + full-remat
+    activations. Unlike _train_bench (a 2-of-32-layer proxy forced by bf16
+    footprint), every number here is measured at full depth."""
+    import jax
+    import jax.numpy as jnp
+
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.models.vlm import VLMConfig
+    from bridgelang_tpu.ops.quant import init_llm_params_int8
+    from bridgelang_tpu.models.projector import init_projector_params
+    from bridgelang_tpu.training.lora import add_lora_params, lora_trainable_mask
+    from bridgelang_tpu.training.trainer import (
+        OptimConfig,
+        init_train_state,
+        make_optimizer,
+        make_vla_train_step,
+    )
+
+    cfg = VLMConfig.from_ids(
+        model_id="prism-dinosiglip-224px+7b",
+        vision_backbone_id="dinosiglip-vit-so-224px",
+        llm_backbone_id="llama2-7b-pure",
+        arch_specifier="no-align+fused-gelu-mlp",
+        image_resize_strategy="resize-naive",
+    )
+    model = OpenVLA(cfg, norm_stats, dtype=jnp.bfloat16)
+    k_vis, k_proj, k_llm, k_lora = jax.random.split(jax.random.key(0), 4)
+    dummy = jnp.zeros((1, 6, 224, 224), dtype=jnp.bfloat16)
+    vision = jax.tree.map(lambda x: x.astype(jnp.bfloat16), model.vision_module.init(k_vis, dummy)["params"])
+    projector = init_projector_params(k_proj, cfg.arch_specifier, model.vision_dim, cfg.llm.dim, dtype=jnp.bfloat16)
+    llm = add_lora_params(k_lora, init_llm_params_int8(k_llm, cfg.llm), rank=32)
+    params = {"vision": vision, "projector": projector, "llm": llm}
+    n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
+    print(f"[bench] lora model: {n_bytes/1e9:.1f} GB on-chip (int8 base + fp32 r=32 adapters)",
+          file=sys.stderr)
+
+    trainable = lora_trainable_mask(params)
+    optimizer = make_optimizer(OptimConfig(learning_rate=5e-4, lr_scheduler_type="constant",
+                                           total_steps=1000), params, trainable_mask=trainable)
+    # donate_argnums=0 is what makes full-depth fit at all: without it the
+    # step transiently holds TWO copies of the 9.2 GB state (the frozen int8
+    # base is duplicated into the outputs) and OOMs at any batch size.
+    step_fn = jax.jit(make_vla_train_step(model, optimizer, trainable_mask=trainable,
+                                          grad_dtype=jnp.bfloat16, remat_policy="full"),
+                      donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    t = 48
+    # b16 is the reference finetune.py per-GPU default. Without donation this
+    # OOMed at ANY batch size (two copies of the 9.2 GB state); with the
+    # donated step the working set is state + activations and b16 fits.
+    BATCH = 16
+    ids = np.full((BATCH, t), cfg.llm.pad_token_id, np.int32)
+    mask = np.zeros((BATCH, t), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1:26] = rng.integers(3, 31000, size=(BATCH, 25))
+    ids[:, 26:34] = rng.integers(31744, 32000, size=(BATCH, 8))
+    mask[:, :34] = 1
+    labels = np.where(mask == 1, ids, -100)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels),
+        "pixel_values": jnp.asarray(rng.normal(size=(BATCH, 6, 224, 224)), dtype=jnp.bfloat16),
+    }
+    t0 = time.time()
+    state = init_train_state(params, optimizer, trainable_mask=trainable)
+    state, m = step_fn(state, batch)
+    loss0 = float(m["loss"])
+    print(f"[bench] lora-step compile+first: {time.time()-t0:.1f}s loss={loss0:.3f} (b{BATCH})",
+          file=sys.stderr)
+
+    steps, losses = [], [loss0]
+    for _ in range(6):
+        t0 = time.perf_counter()
+        state, m = step_fn(state, batch)
+        losses.append(float(m["loss"]))  # sync
+        steps.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(steps, 50))
+    print(f"[bench] lora loss trajectory (fixed batch): "
+          f"{' -> '.join(f'{l:.3f}' for l in losses)}", file=sys.stderr)
+    if float(np.mean(losses[-3:])) >= losses[0]:
+        print("[bench] WARNING: lora losses did not drop on a fixed batch", file=sys.stderr)
+
+    # TRUE MFU, full-remat recompute excluded: fwd runs base+adapters
+    # (2*N_llm), the activation-grad pass re-traverses them (2*N_llm), the
+    # weight-grad pass touches only the adapters (2*N_lora, already inside
+    # N_llm for the fwd/dx terms); vision+projector are frozen AND untrained,
+    # so only their forward runs (grads are dead-code-eliminated).
+    f_len = t + model.num_patches
+    tokens = BATCH * f_len
+    leaves = [(jax.tree_util.keystr(p), x) for p, x in jax.tree_util.tree_leaves_with_path(params["llm"])]
+    n_lora = sum(int(x.size) for p, x in leaves if "_lora_" in p)
+    n_llm = sum(int(x.size) for p, x in leaves if not p.endswith("_scale']") and "_lora_" not in p)
+    n_proj = sum(int(x.size) for x in jax.tree_util.tree_leaves(params["projector"]))
+    n_vis = sum(int(x.size) for x in jax.tree_util.tree_leaves(params["vision"]))
+    vis_tokens = BATCH * (model.num_patches + 5)
+    flops = (4.0 * (n_llm + n_lora) + 2.0 * n_lora) * tokens + 2.0 * (n_proj * tokens + n_vis * vis_tokens)
+    mfu = flops / p50 / V5E_BF16_PEAK_FLOPS
+    tok_s = tokens / p50
+    print(
+        f"[bench] lora step p50={p50*1e3:.0f}ms -> {tok_s:,.0f} tokens/s, "
+        f"true MFU={mfu*100:.1f}% (32-layer 7B int8 base + r32 adapters, batch {BATCH}, full-remat)",
+        file=sys.stderr,
+    )
+    return {
+        "metric": "vla_lora_finetune_tokens_per_sec",
+        "value": round(tok_s, 1),
+        "unit": f"tokens/sec (mfu={mfu:.3f}, full-depth-7b-int8-base, r32, b{BATCH}, full-remat)",
+        "vs_baseline": round(mfu, 3),
+    }
+
+
+BENCH_NORM_STATS = {
+    "bridge_orig": {"action": {
+        "q01": [-0.03, -0.05, -0.06, -0.13, -0.12, -0.43, 0.0],
+        "q99": [0.03, 0.04, 0.06, 0.13, 0.12, 0.43, 1.0],
+        "mask": [True, True, True, True, True, True, False],
+    }}
+}
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "train":
+    if len(sys.argv) > 1 and sys.argv[1] in ("train", "lora"):
         from bridgelang_tpu.util.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
-        line = _train_bench({
-            "bridge_orig": {"action": {
-                "q01": [-0.03, -0.05, -0.06, -0.13, -0.12, -0.43, 0.0],
-                "q99": [0.03, 0.04, 0.06, 0.13, 0.12, 0.43, 1.0],
-                "mask": [True, True, True, True, True, True, False],
-            }}
-        })
+        fn = _train_bench if sys.argv[1] == "train" else _lora_bench
+        line = fn(BENCH_NORM_STATS)
         if line:
             print(json.dumps(line))
     else:

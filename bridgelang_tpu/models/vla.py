@@ -151,6 +151,7 @@ class OpenVLA(PrismaticVLM):
         stat_mask: jnp.ndarray,
         draft_tokens: jnp.ndarray,
         margin_threshold: float = 0.25,
+        return_accept_count: bool = False,
     ):
         """Like predict_action_device but decodes speculatively against
         `draft_tokens` [B, action_dim] — in a control loop, simply the token
@@ -159,11 +160,15 @@ class OpenVLA(PrismaticVLM):
         positions are margin-gated through the canonical sequential path (see
         PrismaticVLM.generate_speculative). Returns (actions [B, action_dim],
         token_ids [B, action_dim]) — feed the token ids back as the next
-        call's draft."""
-        token_ids = self.generate_speculative(params, input_ids, attention_mask, pixel_values, draft_tokens,
-                                              margin_threshold=margin_threshold)
+        call's draft. `return_accept_count` appends the accepted-token count
+        [B] (acceptance telemetry; see generate_speculative)."""
+        out = self.generate_speculative(params, input_ids, attention_mask, pixel_values, draft_tokens,
+                                        margin_threshold=margin_threshold,
+                                        return_accept_count=return_accept_count)
+        token_ids, accepts = out if return_accept_count else (out, None)
         normalized = token_ids_to_actions(token_ids, jnp.asarray(self.bin_centers), self.cfg.llm.vocab_size)
-        return unnormalize_actions(normalized.astype(jnp.float32), q01, q99, stat_mask), token_ids
+        actions = unnormalize_actions(normalized.astype(jnp.float32), q01, q99, stat_mask)
+        return (actions, token_ids, accepts) if return_accept_count else (actions, token_ids)
 
     def predict_from_frames_device_speculative(
         self,
@@ -176,18 +181,21 @@ class OpenVLA(PrismaticVLM):
         stat_mask: jnp.ndarray,
         draft_tokens: jnp.ndarray,
         margin_threshold: float = 0.25,
+        return_accept_count: bool = False,
     ):
         pixel_values = preprocess_batch(frames_u8, self.image_transform, dtype=self.dtype)
         return self.predict_action_device_speculative(
             params, input_ids, attention_mask, pixel_values, q01, q99, stat_mask, draft_tokens,
-            margin_threshold=margin_threshold,
+            margin_threshold=margin_threshold, return_accept_count=return_accept_count,
         )
 
-    def _jitted_predict_frames_speculative(self, margin_threshold: float = 0.25):
-        key = ("frames", "speculative", margin_threshold, str(self.cache_dtype))
+    def _jitted_predict_frames_speculative(self, margin_threshold: float = 0.25,
+                                           return_accept_count: bool = False):
+        key = ("frames", "speculative", margin_threshold, return_accept_count, str(self.cache_dtype))
         if key not in self._predict_fns:
             self._predict_fns[key] = jax.jit(
-                partial(self.predict_from_frames_device_speculative, margin_threshold=margin_threshold)
+                partial(self.predict_from_frames_device_speculative, margin_threshold=margin_threshold,
+                        return_accept_count=return_accept_count)
             )
         return self._predict_fns[key]
 

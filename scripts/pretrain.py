@@ -105,10 +105,12 @@ def main(cfg: PretrainConfig) -> None:
     optimizer = make_optimizer(ocfg, params, trainable_mask=trainable, grad_accum_steps=grad_accum)
     from bridgelang_tpu.parallel.sharding import with_ambient_mesh
 
+    # donate_argnums=0: see scripts/train.py — halves transient state memory.
     step_fn = with_ambient_mesh(mesh, jax.jit(
         make_vla_train_step(model, optimizer, trainable_mask=trainable,
                             image_transform=model.image_transform,
-                            remat_policy=cfg.remat_policy)))
+                            remat_policy=cfg.remat_policy),
+        donate_argnums=0))
     state = init_train_state(params, optimizer, trainable_mask=trainable)
     ckpt = CheckpointManager(run_dir)
     if overwatch.is_rank_zero():

@@ -156,9 +156,14 @@ def main(cfg: TrainConfig) -> None:
 
     # The ambient mesh lets the model's seam activation constraints bind
     # (vision->projector->LLM; see parallel.sharding.constrain_batch).
+    # donate_argnums=0: reuse the old TrainState's buffers for the new one —
+    # otherwise the step transiently holds params+opt_state twice. Safe: every
+    # caller rebinds `state, m = step_fn(state, batch)` and checkpoint saves
+    # are synchronous (CheckpointManager.save -> wait_until_finished).
     step_fn = with_ambient_mesh(mesh, jax.jit(
         make_vla_train_step(model, optimizer, trainable_mask=trainable,
-                            image_transform=model.image_transform, remat_policy=cfg.remat_policy)
+                            image_transform=model.image_transform, remat_policy=cfg.remat_policy),
+        donate_argnums=0,
     ))
     state = init_train_state(params, optimizer, trainable_mask=trainable)
 

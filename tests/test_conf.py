@@ -80,9 +80,12 @@ def test_available_models_registry():
 
 
 def test_load_vla_missing_path_message():
+    """A bare model id with no local dir tries the openvla/<id> Hub repo; in
+    a zero-egress environment the failure must name the repo and tell the
+    user what to pre-stage (models/load.py::resolve_checkpoint_dir)."""
     import pytest as _pytest
 
     from bridgelang_tpu.models.load import load_vla
 
-    with _pytest.raises(FileNotFoundError, match="no network egress"):
+    with _pytest.raises(FileNotFoundError, match="openvla/openvla-7b.*zero-egress"):
         load_vla("openvla-7b")

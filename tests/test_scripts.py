@@ -393,6 +393,23 @@ def test_server_speculative_default_mode(tmp_path):
         h1.shutdown()
 
 
+def test_draft_from_history():
+    """Hybrid draft: static dims replay prev1, moving dims extrapolate the
+    clamped step, output stays inside the action-token id range."""
+    from bridgelang_tpu.serving.server import draft_from_history
+
+    V = 32000
+    prev1 = np.array([V - 100, V - 50, V - 10, V - 200, V - 2, V - 256, V - 30], np.int32)
+    np.testing.assert_array_equal(draft_from_history(None, prev1, V), prev1)  # cold tick
+
+    raw_step = np.array([0, 1, -3, 20, 0, -1, 5], np.int64)
+    prev2 = (prev1 - raw_step).astype(np.int32)
+    out = draft_from_history(prev2, prev1, V)
+    applied = np.array([0, 0, -3, 8, 0, 0, 5])  # clamp +-8, then zero sub-2-bin steps
+    np.testing.assert_array_equal(out, np.clip(prev1 + applied, V - 256, V - 1))
+    assert out.dtype == np.int32
+
+
 def test_server_speculative_default_auto_disables_for_int8_kv():
     import dataclasses
 

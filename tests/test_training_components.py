@@ -324,3 +324,71 @@ def test_remat_policy_matches_full_remat():
     assert float(l_full) == float(l_dots)
     for a, b in zip(jax.tree_util.tree_leaves(g_full), jax.tree_util.tree_leaves(g_dots)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+
+
+def test_qlora_train_step_int8_base_full_remat():
+    """The QLoRA analogue at the bench/finetune wiring: int8 frozen base +
+    LoRA adapters as the ONLY trainable leaves, full-remat activations, bf16
+    grads. Loss must drop on a repeated batch, the int8 base and its scales
+    must stay bit-identical, and only adapter leaves may change
+    (scripts/finetune.py --use_quantization; bench.py _lora_bench)."""
+    import dataclasses
+
+    import bridgelang_tpu.models.vlm as vlm_mod
+    from bridgelang_tpu.models.vision.vit import ViT
+    from bridgelang_tpu.models.vlm import PrismaticVLM, VLMConfig
+    from bridgelang_tpu.ops.quant import init_llm_params_int8
+    from bridgelang_tpu.training.trainer import make_vla_train_step
+    from tests.helpers import TINY_VIT
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = PrismaticVLM(cfg, dtype=jnp.float32)
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+    params = dict(params, llm=add_lora_params(
+        jax.random.key(1), init_llm_params_int8(jax.random.key(2), TINY_LLM), rank=4))
+    mask = lora_trainable_mask(params)
+    optimizer = make_optimizer(OptimConfig(learning_rate=5e-2, lr_scheduler_type="constant"),
+                               params, trainable_mask=mask)
+    # donate_argnums=0 is the production pattern (scripts/finetune.py): the
+    # old state's buffers are reused for the new state, halving peak memory.
+    step = jax.jit(make_vla_train_step(model, optimizer, trainable_mask=mask,
+                                       compute_dtype=jnp.float32, grad_dtype=jnp.bfloat16,
+                                       remat_policy="full"),
+                   donate_argnums=0)
+    state = init_train_state(params, optimizer, trainable_mask=mask)
+
+    rng = np.random.default_rng(0)
+    b, t = 2, 16
+    ids = np.full((b, t), TINY_LLM.pad_token_id, np.int32)
+    msk = np.zeros((b, t), np.int32)
+    lbl = np.full((b, t), -100, np.int32)
+    for i in range(b):
+        ids[i, 0] = 1
+        ids[i, 1:8] = rng.integers(3, 400, 7)
+        ids[i, 8:12] = rng.integers(TINY_LLM.vocab_size - 256, TINY_LLM.vocab_size, 4)
+        msk[i, :12] = 1
+        lbl[i, 8:12] = ids[i, 8:12]
+    batch = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(msk),
+             "labels": jnp.asarray(lbl),
+             "pixel_values": jnp.asarray(rng.normal(size=(b, 3, 32, 32)), jnp.float32)}
+
+    # Donation deletes the input buffers — snapshot to host numpy first.
+    flat0 = {p: np.asarray(v) for p, v in jax.tree_util.tree_leaves_with_path(state.params["llm"])}
+    state, m0 = step(state, batch)
+    for _ in range(8):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"]), "adapters should overfit a repeated batch"
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(state.params["llm"]))
+    changed = {jax.tree_util.keystr(p): not np.array_equal(np.asarray(flat0[p]), np.asarray(v))
+               for p, v in flat1.items()}
+    assert any(c for k, c in changed.items() if "_lora_b" in k), "adapter B must train"
+    for k, c in changed.items():
+        if "_lora_" not in k:
+            assert not c, f"frozen base leaf {k} changed"
