@@ -59,7 +59,11 @@ def draft_from_history(prev2: Optional[np.ndarray], prev1: np.ndarray, vocab_siz
         return prev1
     step = np.clip(prev1.astype(np.int64) - prev2, -clamp, clamp)
     step = np.where(np.abs(step) >= step_thresh, step, 0)
-    return np.clip(prev1 + step, vocab_size - 256, vocab_size - 1).astype(np.int32)
+    # Clip only the dims we extrapolated: a static dim's draft must be prev1
+    # VERBATIM even if it lies outside the action-token range (random-weight
+    # models emit such tokens; any int is a legal draft).
+    ex = np.clip(prev1 + step, vocab_size - 256, vocab_size - 1)
+    return np.where(step != 0, ex, prev1).astype(np.int32)
 
 
 class _Pending:

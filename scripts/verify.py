@@ -55,6 +55,14 @@ class VerifyConfig:
     golden: Optional[str] = None  # replay a golden .npz -> bit-parity verdict
     golden_record: Optional[str] = None  # record a golden .npz from this model
     golden_atol: float = 1e-5  # action tolerance on replay (tokens are exact)
+    # Measure REAL speculative acceptance on a frame stream: per-tick accept
+    # counts at the production margin gate, drafting server-side
+    # (draft_from_history) like deploy.py's default mode. With --golden, the
+    # bundle's frames play back in order (record them from consecutive robot
+    # frames for the real-trajectory number bench.py's synthetic streams
+    # approximate); otherwise a smooth synthetic camera drift.
+    speculative_stream: bool = False
+    margin_threshold: float = 0.25
 
 
 def _golden_predict(model, params, rec) -> tuple:
@@ -129,6 +137,46 @@ def record_golden(model, params, out_path, calls: int, unnorm_key: Optional[str]
     return out_path
 
 
+def speculative_stream(model, params, frames, instruction: str, unnorm_key: Optional[str],
+                       margin_threshold: float = 0.25):
+    """Run a control-loop tick sequence with server-style drafting and return
+    (accept_counts [N], latencies_s [N]) — the measured counterpart of
+    bench.py's synthetic-stream acceptance model. accept counts come from the
+    on-device gate itself (generate_speculative return_accept_count)."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bridgelang_tpu.serving.server import draft_from_history
+
+    stats = model.get_action_stats(unnorm_key)
+    q01 = jnp.asarray(stats["q01"], jnp.float32)
+    q99 = jnp.asarray(stats["q99"], jnp.float32)
+    smask = jnp.asarray(stats.get("mask", [True] * len(stats["q01"])))
+    action_dim = len(stats["q01"])
+    ids, mask = model.pad_prompt([model.prepare_prompt_ids(instruction)])
+    ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+    fn = model._jitted_predict_frames_speculative(margin_threshold=margin_threshold,
+                                                  return_accept_count=True)
+    vocab = model.cfg.llm.vocab_size
+    prev2 = prev1 = None
+    accepts, lat = [], []
+    for i, frame in enumerate(frames):
+        draft = (np.zeros(action_dim, np.int32) if prev1 is None
+                 else draft_from_history(prev2, prev1, vocab))
+        t0 = time.perf_counter()
+        acts, toks, acc = fn(params, ids_d, mask_d, jnp.asarray(np.asarray(frame)[None]),
+                             q01, q99, smask, jnp.asarray(draft[None]))
+        np.asarray(acts)  # host sync = control-loop timing
+        dt = time.perf_counter() - t0
+        prev2, prev1 = prev1, np.asarray(toks)[0].astype(np.int32)
+        if i > 0:  # tick 0 is compile/warm + cold draft
+            accepts.append(int(np.asarray(acc)[0]))
+            lat.append(dt)
+    return np.asarray(accepts), np.asarray(lat)
+
+
 def _build_model(cfg: VerifyConfig):
     import jax
     import jax.numpy as jnp
@@ -164,6 +212,29 @@ def main(cfg: VerifyConfig) -> None:
     if cfg.golden_record:
         path = record_golden(model, params, cfg.golden_record, cfg.calls, unnorm_key=None)
         print(f"[verify] recorded golden bundle ({cfg.calls} records) -> {path}")
+        return
+    if cfg.speculative_stream:
+        if cfg.golden:
+            rec = np.load(cfg.golden, allow_pickle=False)
+            frames = np.asarray(rec["frames"])
+            instruction = str(rec["instructions"][0])
+            unnorm_key = str(rec["unnorm_key"]) if "unnorm_key" in rec else None
+        else:
+            rng = np.random.default_rng(0)
+            base = rng.integers(0, 255, size=(224, 224, 3), dtype=np.int16)
+            frames = []
+            for _ in range(max(cfg.calls, 8)):
+                base = np.clip(base + rng.integers(-3, 4, size=base.shape), 0, 255)
+                frames.append(base.astype(np.uint8))
+            instruction, unnorm_key = "pick up the object", None
+        accepts, lat = speculative_stream(model, params, frames, instruction, unnorm_key,
+                                          margin_threshold=cfg.margin_threshold)
+        p50 = float(np.percentile(lat, 50))
+        adim = len(model.get_action_stats(unnorm_key)["q01"])
+        print(f"[verify] speculative stream ({len(accepts)} ticks, margin={cfg.margin_threshold}): "
+              f"mean accepted {accepts.mean():.2f}/{adim} "
+              f"hist(k=1..{adim})={np.bincount(accepts, minlength=adim + 1)[1:].tolist()} "
+              f"p50={p50*1e3:.1f}ms -> {1.0/p50:.2f} actions/s effective")
         return
     if cfg.golden:
         n_pass, n_total, failures = replay_golden(model, params, cfg.golden, atol=cfg.golden_atol)

@@ -422,3 +422,46 @@ def test_server_speculative_default_auto_disables_for_int8_kv():
 
     srv = VLAServer(_M(), None, default_unnorm_key="k")
     assert srv.speculative_default is False
+
+
+def test_verify_speculative_stream(tmp_path):
+    """scripts/verify.py speculative_stream: per-tick accept counts from the
+    on-device gate over a frame stream with server-style drafting. On a
+    REPEATED frame at margin 0 the draft is perfect after tick 1 -> accepts
+    saturate at action_dim; at the production gate counts stay in range."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import bridgelang_tpu.models.vlm as vlm_mod
+    from bridgelang_tpu.models.vision.vit import ViT
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.models.vlm import VLMConfig
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from tests.helpers import TINY_LLM, TINY_NORM_STATS, TINY_VIT, StubTokenizer
+
+    verify = _load("verify")
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        model.cache_dtype = jnp.float32
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    frame = np.random.default_rng(3).integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    frames = [frame] * 5
+    accepts, lat = verify.speculative_stream(model, params, frames, "push", "bridge_orig",
+                                             margin_threshold=0.0)
+    assert accepts.shape == (4,) and lat.shape == (4,)
+    # identical frames + prev-token draft (hybrid == prev when static) -> all 7
+    np.testing.assert_array_equal(accepts[1:], 7)
+    acc_prod, _ = verify.speculative_stream(model, params, frames, "push", "bridge_orig",
+                                            margin_threshold=0.25)
+    assert ((acc_prod >= 1) & (acc_prod <= 7)).all()
