@@ -59,6 +59,10 @@ class OpenVLA(PrismaticVLM):
         _, self.bin_centers = make_bins(n_action_bins)
         self._predict_fns: Dict[int, Any] = {}
         self.serving_mesh = None
+        # Serving-mode attribute (like cache_dtype): decode all action dims in
+        # ONE forward via generate_parallel — ONLY for models fine-tuned with
+        # the parallel objective (scripts/finetune.py --parallel_decode).
+        self.parallel_decode = False
 
     # --- multi-chip serving ----------------------------------------------
 
@@ -317,7 +321,7 @@ class OpenVLA(PrismaticVLM):
 
         frames = np.stack([np.asarray(im.convert("RGB") if hasattr(im, "convert") else im) for im in images])
         ids, mask = self.pad_prompt([self.prepare_prompt_ids(t) for t in instructions])
-        fn = self._jitted_predict_frames(action_dim)
+        fn = self._jitted_predict_frames(action_dim, parallel_decode=self.parallel_decode)
         out = fn(
             params,
             self._put(ids, batch_dim=True),

@@ -233,20 +233,45 @@ class PrismaticVLM:
         labels: jnp.ndarray,
         remat: bool = True,
         remat_policy: Optional[str] = None,
+        parallel_actions: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Like forward_train but returns final hidden states instead of
         logits — callers compute the loss with a chunked LM head so the full
         [B, F, vocab] logits tensor never materializes (a large memory win at
-        32k vocab; see training.trainer.chunked_ce_and_metrics)."""
+        32k vocab; see training.trainer.chunked_ce_and_metrics).
+
+        `parallel_actions=True` trains the OFT-style parallel-decode objective
+        that `generate_parallel` serves (the 25-50x external recipe the
+        reference cites but does not implement, reference README.md:16-17):
+        every supervised position's token embedding is replaced by the query
+        token's (no teacher forcing between action dims), supervised positions
+        are excluded as attention KEYS everywhere (unknown at serve time), and
+        supervised ROWS attend only the valid non-supervised prefix. Positions
+        and the shifted chunked-CE are unchanged, so row p-1 predicts token p
+        exactly like generate_parallel's query rows — after fine-tuning with
+        this flag, serve with `--parallel_decode`."""
         patch_embeds = self.encode_vision(params, pixel_values)
         token_embeds = embed_tokens(params["llm"], input_ids, dtype=self.dtype)
         fused, fused_mask, fused_labels = self.fuse_after_bos(token_embeds, patch_embeds, attention_mask, labels)
         t = fused.shape[1]
         positions = jnp.broadcast_to(jnp.arange(t), fused.shape[:2])
-        mask = self._causal_mask(fused_mask)
+        attention_impl = self.attention_impl
+        if parallel_actions:
+            act = fused_labels != IGNORE_INDEX  # [B, F] supervised targets
+            q_embed = embed_tokens(
+                params["llm"], jnp.full((1, 1), LLAMA_EMPTY_TOKEN, jnp.int32), dtype=self.dtype
+            )[0, 0]
+            fused = jnp.where(act[..., None], q_embed, fused)
+            key_ok = fused_mask.astype(bool) & ~act
+            causal = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]
+            row_mask = jnp.where(act[:, :, None], True, causal[None])
+            mask = (row_mask & key_ok[:, None, :])[:, None]  # [B, 1, F, F]
+            attention_impl = "xla"  # general mask; outside the causal+length family
+        else:
+            mask = self._causal_mask(fused_mask)
         hidden, _ = llm_forward(
             params["llm"], self.cfg.llm, fused, positions, mask,
-            attention_impl=self.attention_impl, remat=remat, remat_policy=remat_policy,
+            attention_impl=attention_impl, remat=remat, remat_policy=remat_policy,
         )
         return hidden, fused_labels
 

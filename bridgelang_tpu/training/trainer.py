@@ -258,6 +258,7 @@ def make_vla_train_step(
     remat: bool = True,
     remat_policy: Optional[str] = None,
     grad_dtype: jnp.dtype = jnp.float32,
+    parallel_decode_objective: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jittable VLA train step. Batch keys: input_ids,
     attention_mask, labels, and either pre-normalized `pixel_values` or raw
@@ -267,7 +268,13 @@ def make_vla_train_step(
 
     `grad_dtype` is the dtype gradients are kept in for clip+update: fp32
     matches the reference's reduce_in_full_precision=True; bf16 its bf16
-    gradient-reduce mode (fsdp.py:140-148) and halves gradient memory."""
+    gradient-reduce mode (fsdp.py:140-148) and halves gradient memory.
+
+    `parallel_decode_objective` trains the OFT-style parallel action head
+    (PrismaticVLM.forward_hidden parallel_actions): supervised positions
+    become prefix-only query rows, so the fine-tuned model serves with
+    `generate_parallel` / `--parallel_decode` (one forward for all action
+    dims)."""
     _, bin_centers = make_bins(n_action_bins)
     vocab_size = model.cfg.llm.vocab_size
     action_begin = vocab_size - (n_action_bins + 1)
@@ -291,6 +298,7 @@ def make_vla_train_step(
             batch["labels"],
             remat=remat,
             remat_policy=remat_policy,
+            parallel_actions=parallel_decode_objective,
         )
         return chunked_ce_and_metrics(
             compute_params["llm"], model.cfg.llm, hidden, fused_labels, action_begin, bin_centers

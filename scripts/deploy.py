@@ -47,6 +47,11 @@ class DeployConfig:
     # (margin-gated), ~40% faster on smooth control loops, no client changes.
     # Auto-disabled with kv_cache_int8 (see VLAServer docstring).
     speculative_default: bool = True
+    # One-forward parallel action decode (generate_parallel) — ONLY for models
+    # fine-tuned with `finetune.py --parallel_decode` (OFT-style objective).
+    # Overrides speculative_default (parallel is strictly faster than any
+    # acceptance rate: one forward, no draft needed).
+    parallel_decode: bool = False
 
 
 def main(cfg: DeployConfig) -> None:
@@ -87,6 +92,8 @@ def main(cfg: DeployConfig) -> None:
 
     if cfg.kv_cache_int8:
         model.cache_dtype = jnp.int8
+    if cfg.parallel_decode:
+        model.parallel_decode = True
 
     if cfg.mesh_spec:
         from bridgelang_tpu.parallel.mesh import make_mesh
@@ -97,7 +104,8 @@ def main(cfg: DeployConfig) -> None:
         model.use_mesh(mesh)
         overwatch.info("Tensor-parallel serving over mesh %s", dict(mesh.shape))
 
-    speculative = cfg.speculative_default and not cfg.kv_cache_int8 and cfg.max_batch <= 1
+    speculative = (cfg.speculative_default and not cfg.kv_cache_int8
+                   and not cfg.parallel_decode and cfg.max_batch <= 1)
     if cfg.warmup:
         dt = warmup_predict(model, params, max_batch=cfg.max_batch, unnorm_key=cfg.unnorm_key,
                             speculative=speculative)
@@ -111,7 +119,7 @@ def main(cfg: DeployConfig) -> None:
     VLAServer(
         model, params, default_unnorm_key=cfg.unnorm_key,
         max_batch=cfg.max_batch, batch_window_ms=cfg.batch_window_ms,
-        speculative_default=cfg.speculative_default,
+        speculative_default=cfg.speculative_default and not cfg.parallel_decode,
     ).run(cfg.host, cfg.port)
 
 

@@ -1,0 +1,126 @@
+"""OFT-style parallel-decode objective: train/serve geometry contract.
+
+The objective (PrismaticVLM.forward_hidden parallel_actions=True) replaces
+supervised positions with prefix-only query rows; generate_parallel serves
+the same geometry (query token, positions, prefix-only attention). Reference
+cites this as an external 25-50x recipe it does not implement
+(reference README.md:16-17)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bridgelang_tpu.models.vlm as vlm_mod
+from bridgelang_tpu.models.vision.vit import ViT
+from bridgelang_tpu.models.vlm import IGNORE_INDEX, PrismaticVLM, VLMConfig
+from bridgelang_tpu.training.trainer import (
+    OptimConfig,
+    init_train_state,
+    make_optimizer,
+    make_vla_train_step,
+)
+from tests.helpers import TINY_LLM, TINY_VIT
+
+
+def _tiny_model():
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = PrismaticVLM(cfg, dtype=jnp.float32)
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+    return model, params
+
+
+def _batch(n_act=4):
+    """Two rows sharing a prompt shape: [BOS, 5 words, 29871, actions, EOS]."""
+    rng = np.random.default_rng(7)
+    b, t = 2, 16
+    prompt_len = 7  # BOS + 5 + 29871
+    ids = np.full((b, t), TINY_LLM.pad_token_id, np.int32)
+    mask = np.zeros((b, t), np.int32)
+    labels = np.full((b, t), IGNORE_INDEX, np.int32)
+    actions = rng.integers(TINY_LLM.vocab_size - 200, TINY_LLM.vocab_size - 10, size=(b, n_act))
+    for i in range(b):
+        ids[i, 0] = 1
+        ids[i, 1:6] = rng.integers(3, 400, 5)
+        ids[i, 6] = 29871
+        ids[i, prompt_len:prompt_len + n_act] = actions[i]
+        ids[i, prompt_len + n_act] = 2  # EOS
+        mask[i, : prompt_len + n_act + 1] = 1
+        labels[i, prompt_len:prompt_len + n_act + 1] = ids[i, prompt_len:prompt_len + n_act + 1]
+    pixels = rng.normal(size=(b, 3, 32, 32)).astype(np.float32)
+    return ids, mask, labels, pixels, actions, prompt_len
+
+
+def test_parallel_objective_no_teacher_forcing_leak():
+    """With parallel_actions=True the supervised positions' TOKEN VALUES must
+    not influence the loss: their embeddings are replaced by the query token
+    and they are excluded as attention keys (unknown at serve time)."""
+    from bridgelang_tpu.training.trainer import chunked_ce_and_metrics
+    from bridgelang_tpu.vla.action_tokenizer import make_bins
+
+    model, params = _tiny_model()
+    ids, mask, labels, pixels, actions, p0 = _batch()
+    _, centers = make_bins(256)
+    begin = TINY_LLM.vocab_size - 257
+
+    def loss(ids_np):
+        hidden, fl = model.forward_hidden(
+            params, jnp.asarray(ids_np), jnp.asarray(mask), jnp.asarray(pixels),
+            jnp.asarray(labels), remat=False, parallel_actions=True)
+        return float(chunked_ce_and_metrics(params["llm"], TINY_LLM, hidden, fl, begin,
+                                            jnp.asarray(centers))[0])
+
+    # NOTE: labels stay fixed — only the INPUT copies of the action tokens
+    # change, so a loss difference would mean the graph read them.
+    ids2 = ids.copy()
+    ids2[:, p0:p0 + 4] = (ids2[:, p0:p0 + 4] + 37) % (TINY_LLM.vocab_size - 1)
+    assert loss(ids) == loss(ids2)
+
+    # sanity: the SEQUENTIAL objective (teacher forcing) DOES read them
+    def loss_seq(ids_np):
+        hidden, fl = model.forward_hidden(
+            params, jnp.asarray(ids_np), jnp.asarray(mask), jnp.asarray(pixels),
+            jnp.asarray(labels), remat=False)
+        return float(chunked_ce_and_metrics(params["llm"], TINY_LLM, hidden, fl, begin,
+                                            jnp.asarray(centers))[0])
+
+    assert loss_seq(ids) != loss_seq(ids2)
+
+
+def test_parallel_objective_overfit_then_parallel_decode_serves_it():
+    """Fine-tune with parallel_decode_objective on a fixed batch, then
+    generate_parallel on the PROMPT-ONLY inputs must emit the trained action
+    tokens — the end-to-end train/serve geometry contract behind
+    `finetune.py --parallel_decode` + `deploy.py --parallel_decode`."""
+    model, params = _tiny_model()
+    ids, mask, labels, pixels, actions, p0 = _batch()
+
+    optimizer = make_optimizer(OptimConfig(learning_rate=3e-3, lr_scheduler_type="constant",
+                                           max_grad_norm=1.0), params)
+    step = jax.jit(make_vla_train_step(model, optimizer, compute_dtype=jnp.float32,
+                                       parallel_decode_objective=True))
+    state = init_train_state(params, optimizer)
+    batch = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask),
+             "labels": jnp.asarray(labels), "pixel_values": jnp.asarray(pixels)}
+    losses = []
+    for _ in range(120):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < 0.05, f"objective failed to overfit: {losses[::20]}"
+
+    # Serve: prompt-only inputs (no action tokens exist client-side).
+    ids_p = ids.copy()
+    mask_p = mask.copy()
+    ids_p[:, p0:] = TINY_LLM.pad_token_id
+    mask_p[:, p0:] = 0
+    toks = np.asarray(model.generate_parallel(
+        state.params, jnp.asarray(ids_p), jnp.asarray(mask_p), jnp.asarray(pixels),
+        max_new_tokens=4))
+    np.testing.assert_array_equal(toks, actions)

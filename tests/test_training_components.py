@@ -392,3 +392,33 @@ def test_qlora_train_step_int8_base_full_remat():
     for k, c in changed.items():
         if "_lora_" not in k:
             assert not c, f"frozen base leaf {k} changed"
+
+
+def test_donated_step_checkpoint_save_interplay(tmp_path):
+    """The production loop donates the train state AND saves checkpoints
+    between steps (scripts/finetune.py): the synchronous save must have
+    materialized the bytes before the next donated step reuses the buffers,
+    so a restore after further (donating) steps returns the SAVED values."""
+    from functools import partial
+
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    opt = make_optimizer(OptimConfig(learning_rate=1e-2), params)
+    state = init_train_state(params, opt)
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state):
+        return TrainState(step=state.step + 1,
+                          params=jax.tree.map(lambda p: p * 0.9, state.params),
+                          opt_state=state.opt_state)
+
+    state = step(state)
+    expected_wq = np.asarray(state.params["layers"]["wq"])  # host copy pre-donation
+    mgr = CheckpointManager(tmp_path)
+    path = mgr.save(state, step=1, epoch=0, loss=1.0)
+    state = step(state)  # donates (invalidates) the buffers just saved
+    state = step(state)
+    restored = mgr.restore(path, state)
+    np.testing.assert_allclose(np.asarray(restored.params["layers"]["wq"]), expected_wq)
+    # and the live state kept training past the save
+    np.testing.assert_allclose(np.asarray(state.params["layers"]["wq"]),
+                               expected_wq * 0.81, rtol=1e-6)
