@@ -305,6 +305,36 @@ class OpenVLA(PrismaticVLM):
                              self._put(q01), self._put(q99), self._put(stat_mask), self._put(draft))
         return np.asarray(actions)[0], np.asarray(tokens)[0]
 
+    def predict_action_chunk(
+        self,
+        params: Params,
+        image: Union[np.ndarray, "Any"],
+        instruction: str,
+        horizon: int,
+        unnorm_key: Optional[str] = None,
+    ) -> np.ndarray:
+        """OFT-style chunked control: ONE parallel forward emits the current
+        action plus the next horizon-1 future actions -> [horizon, action_dim]
+        unnormalized. Requires a model fine-tuned with
+        `finetune.py --parallel_decode --action_chunk <horizon>` (the
+        reference cites this recipe but does not implement it,
+        reference README.md:16-17). A control loop executing the whole chunk
+        multiplies effective actions/s by the horizon."""
+        key = check_unnorm_key(self.norm_stats, unnorm_key)
+        stats = self.norm_stats[key]["action"]
+        action_dim = len(stats["q01"])
+        # per-dim stats tile across the horizon (same dims each future step)
+        q01 = np.tile(np.asarray(stats["q01"], np.float32), horizon)
+        q99 = np.tile(np.asarray(stats["q99"], np.float32), horizon)
+        stat_mask = np.tile(np.asarray(stats.get("mask", [True] * action_dim)), horizon)
+
+        frame = np.asarray(image.convert("RGB") if hasattr(image, "convert") else image)[None]
+        ids, mask = self.pad_prompt([self.prepare_prompt_ids(instruction)])
+        fn = self._jitted_predict_frames(action_dim * horizon, parallel_decode=True)
+        out = fn(params, self._put(ids), self._put(mask), self._put(frame),
+                 self._put(q01), self._put(q99), self._put(stat_mask))
+        return np.asarray(out)[0].reshape(horizon, action_dim)
+
     def predict_action_batch(
         self,
         params: Params,

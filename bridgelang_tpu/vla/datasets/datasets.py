@@ -36,12 +36,18 @@ class RLDSBatchTransform:
     llm_family: str = "llama2-pure"
     predict_stop_token: bool = True
     image_key: str = "image_primary"
+    # OFT-style action chunking: tokenize the current action PLUS the next
+    # chunk-1 future actions (requires the dataset's
+    # future_action_window_size >= chunk-1) as one flat action_dim*chunk
+    # span. Train with --parallel_decode and serve predict_action_chunk.
+    action_chunk: int = 1
 
     def __call__(self, rlds_batch: Dict[str, Any]) -> Dict[str, Any]:
         """One RLDS frame -> {frames, input_ids, labels, dataset_name}
         (reference datasets.py:30-67)."""
         dataset_name = _to_str(rlds_batch["dataset_name"])
-        action = np.asarray(rlds_batch["action"][0])  # window dim
+        action = np.asarray(rlds_batch["action"])  # [window+future, dim]
+        action = action[: self.action_chunk] if self.action_chunk > 1 else action[0]
         img = np.asarray(rlds_batch["observation"][self.image_key][0])
         lang = _to_str(rlds_batch["task"]["language_instruction"])
 
@@ -52,7 +58,7 @@ class RLDSBatchTransform:
         prompt_ids = _encode(self.base_tokenizer, prompt_text)
         if prompt_ids[-1] != LLAMA_EMPTY_TOKEN:
             prompt_ids = np.concatenate([prompt_ids, [LLAMA_EMPTY_TOKEN]])
-        action_ids = self.action_tokenizer.encode_to_ids(action)
+        action_ids = self.action_tokenizer.encode_to_ids(action).reshape(-1)
         input_ids = np.concatenate([prompt_ids, action_ids, [EOS_TOKEN_ID]]).astype(np.int32)
 
         # Loss only on the action tokens (+ optional EOS); everything before is
@@ -169,6 +175,7 @@ class RLDSDataset:
         builder_factory: Optional[Callable[[str], Any]] = None,
         traj_transform_threads: Optional[int] = None,
         traj_read_threads: Optional[int] = None,
+        future_action_window_size: int = 0,
     ):
         from bridgelang_tpu.vla.datasets.rlds.dataset import make_interleaved_dataset
         from bridgelang_tpu.vla.datasets.rlds.oxe.materialize import (
@@ -212,7 +219,7 @@ class RLDSDataset:
             shuffle_buffer_size=shuffle_buffer_size,
             traj_transform_kwargs={
                 "window_size": 1,
-                "future_action_window_size": 0,
+                "future_action_window_size": future_action_window_size,
                 "skip_unlabeled": True,
                 "goal_relabeling_strategy": None,
             },

@@ -31,11 +31,17 @@ def get_vla_dataset_and_collator(
     builder_factory=None,
     traj_transform_threads: Optional[int] = None,
     traj_read_threads: Optional[int] = None,
+    action_chunk: int = 1,
 ) -> Tuple[RLDSDataset, ActionTokenizer, PaddedCollatorForActionPrediction]:
     action_tokenizer = ActionTokenizer(base_tokenizer)
     batch_transform = RLDSBatchTransform(
-        action_tokenizer, base_tokenizer, llm_family=llm_family, predict_stop_token=predict_stop_token
+        action_tokenizer, base_tokenizer, llm_family=llm_family, predict_stop_token=predict_stop_token,
+        action_chunk=action_chunk,
     )
+    # Chunked actions lengthen the supervised tail; widen the static bucket so
+    # the collator never truncates (7-DoF assumption matches the OXE fleet).
+    if action_chunk > 1:
+        prompt_bucket = max(prompt_bucket, 64 + 7 * (action_chunk - 1))
     collator = PaddedCollatorForActionPrediction(max_length=prompt_bucket, pad_token_id=pad_token_id)
     dataset = RLDSDataset(
         data_root_dir,
@@ -50,5 +56,6 @@ def get_vla_dataset_and_collator(
         builder_factory=builder_factory,
         traj_transform_threads=traj_transform_threads,
         traj_read_threads=traj_read_threads,
+        future_action_window_size=action_chunk - 1,
     )
     return dataset, action_tokenizer, collator

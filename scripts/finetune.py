@@ -51,6 +51,11 @@ class FinetuneConfig:
     # model serves with `deploy.py --parallel_decode` — one forward for all 7
     # action tokens (measured 18.7 a/s vs 8.8 sequential on the 7B).
     parallel_decode: bool = False
+    # Action chunking: supervise the current + next (action_chunk-1) future
+    # actions as one span (dataset future_action_window_size). Serve the whole
+    # chunk in one forward via OpenVLA.predict_action_chunk — with
+    # parallel_decode, effective actions/s multiply by the horizon.
+    action_chunk: int = 1
 
     use_lora: bool = True
     lora_rank: int = 32
@@ -106,6 +111,7 @@ def main(cfg: FinetuneConfig) -> None:
         shuffle_buffer_size=cfg.shuffle_buffer_size,
         image_aug=cfg.image_aug,
         pad_token_id=model.cfg.llm.pad_token_id,
+        action_chunk=cfg.action_chunk,
     )
     if overwatch.is_rank_zero():
         save_sidecars(run_dir, config_to_dict(cfg), dataset.dataset_statistics)

@@ -221,3 +221,60 @@ def test_collator_drops_overlong_instead_of_truncating():
 
     with _pytest.raises(ValueError):
         coll([overlong])
+
+
+def test_batch_transform_action_chunk():
+    """action_chunk=3 tokenizes the current + 2 future actions as one flat
+    21-token span (OFT-style chunking; needs future_action_window_size=2 in
+    the RLDS pipeline, wired by get_vla_dataset_and_collator)."""
+    tok = StubTokenizer()
+    bt = RLDSBatchTransform(ActionTokenizer(tok), tok, action_chunk=3)
+    rng = np.random.default_rng(1)
+    frame = {
+        "dataset_name": b"bridge_orig",
+        "action": rng.uniform(-1, 1, size=(3, 7)).astype(np.float32),  # window+future
+        "observation": {"image_primary": rng.integers(0, 255, size=(1, 32, 32, 3), dtype=np.uint8)},
+        "task": {"language_instruction": b"Pick Up The Cup"},
+    }
+    ex = bt(frame)
+    ids, labels = ex["input_ids"], ex["labels"]
+    assert ids[-1] == EOS_TOKEN_ID
+    action_ids = ids[-22:-1]  # 3 * 7 flat
+    assert (action_ids > StubTokenizer.vocab_size - 257).all()
+    assert ids[-23] == LLAMA_EMPTY_TOKEN
+    # row-major flattening: first 7 ids are the CURRENT action's
+    expect_first = ActionTokenizer(tok).encode_to_ids(frame["action"][0])
+    np.testing.assert_array_equal(action_ids[:7], expect_first)
+    assert (labels[:-22] == IGNORE_INDEX).all()
+    np.testing.assert_array_equal(labels[-22:], ids[-22:])
+
+
+def test_predict_action_chunk_shape_and_stats_tiling():
+    """predict_action_chunk: one parallel forward -> [horizon, action_dim]
+    unnormalized with per-dim stats tiled across the horizon."""
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from tests.helpers import TINY_NORM_STATS
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32,
+                        prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    img = np.random.default_rng(2).integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    chunk = model.predict_action_chunk(params, img, "push", horizon=3, unnorm_key="bridge_orig")
+    assert chunk.shape == (3, 7)
+    assert np.isfinite(chunk).all()
+    stats = TINY_NORM_STATS["bridge_orig"]["action"]
+    lo, hi = np.asarray(stats["q01"]), np.asarray(stats["q99"])
+    mask = np.asarray(stats["mask"])
+    for h in range(3):
+        row = chunk[h]
+        assert (row[mask] >= lo[mask] - 1e-6).all() and (row[mask] <= hi[mask] + 1e-6).all()
