@@ -355,6 +355,40 @@ def _serving_bench(build, norm_stats) -> float:
             lat_p.append(time.time() - t0)
         p50_p = float(np.percentile(lat_p, 50))
         print(f"[bench] parallel-decode p50={p50_p*1e3:.1f}ms -> {1.0/p50_p:.2f} actions/s", file=sys.stderr)
+
+        # Action chunking on top of parallel decode: ONE forward emits the
+        # current + H-1 future actions (finetune.py --action_chunk H +
+        # predict_action_chunk); a control loop that executes the chunk gets
+        # H actions per call. Timed on the same 7B weights (weight values
+        # don't affect timing; a chunk-finetuned model is required for the
+        # OUTPUTS to be meaningful).
+        H = 8
+        fn_chunk = model._jitted_predict_frames(7 * H, parallel_decode=True)
+        q01h, q99h = jnp.tile(q01, H), jnp.tile(q99, H)
+        smaskh = jnp.tile(smask, H)
+
+        def one_call_chunk(frame_np):
+            return np.asarray(fn_chunk(params, ids_d, mask_d, jnp.asarray(frame_np[None]),
+                                       q01h, q99h, smaskh))
+
+        one_call_chunk(frame)
+        lat_c = []
+        for i in range(15):
+            f = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
+            t0 = time.time()
+            out_c = one_call_chunk(f)
+            lat_c.append(time.time() - t0)
+        assert out_c.shape == (1, 7 * H)
+        p50_c = float(np.percentile(lat_c, 50))
+        chunk_rate = H / p50_c
+        print(f"[bench] chunked parallel decode (H={H}): p50={p50_c*1e3:.1f}ms/call -> "
+              f"{chunk_rate:.1f} actions/s effective", file=sys.stderr)
+        print(json.dumps({
+            "metric": "openvla7b-int8_chunked_parallel_effective_throughput",
+            "value": round(chunk_rate, 1),
+            "unit": f"actions/sec effective (H={H} actions per forward; needs --action_chunk fine-tune)",
+            "vs_baseline": round(chunk_rate / REFERENCE_ACTIONS_PER_SEC, 3),
+        }))
     except Exception as e:
         print(f"[bench] parallel-decode mode failed: {type(e).__name__}: {e}", file=sys.stderr)
 

@@ -170,6 +170,16 @@ class VLAServer:
         # Clients may send an explicit null (client_act always includes the
         # field), so `or` — not .get's default — resolves to the server key.
         unnorm_key = request.get("unnorm_key") or self.default_unnorm_key
+        if request.get("horizon"):
+            # Chunked control (OFT-style): one parallel forward emits the
+            # current + horizon-1 future actions — ONLY meaningful for models
+            # fine-tuned with `finetune.py --parallel_decode --action_chunk`.
+            # Bypasses micro-batching and drafting (no decode loop to skip).
+            chunk = self.model.predict_action_chunk(
+                self.params, image, instruction, horizon=int(request["horizon"]),
+                unnorm_key=unnorm_key,
+            )
+            return {"action": encode_array(chunk)}
         if "draft_tokens" in request and request["draft_tokens"] is not None:
             # Speculative serving (stateless): the client sends back the
             # `tokens` from its previous response as the draft; smooth robot
@@ -311,13 +321,16 @@ class VLAServer:
 
 
 def client_act(host: str, port: int, image: np.ndarray, instruction: str, unnorm_key: Optional[str] = None,
-               use_b64: bool = True, draft_tokens: Optional[np.ndarray] = None, return_tokens: bool = False):
+               use_b64: bool = True, draft_tokens: Optional[np.ndarray] = None, return_tokens: bool = False,
+               horizon: Optional[int] = None):
     """Minimal client (counterpart of the reference's requests snippet in
     deploy.py's docstring; also used by the robot eval harnesses).
 
     Speculative control loops: pass `draft_tokens` (the `tokens` from the
     previous response) and set `return_tokens=True` to receive
-    (action, tokens) — feed the tokens back on the next tick."""
+    (action, tokens) — feed the tokens back on the next tick.
+    Chunked control: pass `horizon=H` to receive an [H, action_dim] chunk
+    (parallel-objective fine-tunes only)."""
     import http.client
 
     if use_b64:
@@ -331,6 +344,8 @@ def client_act(host: str, port: int, image: np.ndarray, instruction: str, unnorm
     payload = {"image": img_payload, "instruction": instruction, "unnorm_key": unnorm_key}
     if draft_tokens is not None:
         payload["draft_tokens"] = np.asarray(draft_tokens).tolist()
+    if horizon is not None:
+        payload["horizon"] = int(horizon)
     body = json.dumps(payload)
     conn = http.client.HTTPConnection(host, port, timeout=120)
     conn.request("POST", "/act", body=body, headers={"Content-Type": "application/json"})

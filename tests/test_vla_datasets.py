@@ -278,3 +278,34 @@ def test_predict_action_chunk_shape_and_stats_tiling():
     for h in range(3):
         row = chunk[h]
         assert (row[mask] >= lo[mask] - 1e-6).all() and (row[mask] <= hi[mask] + 1e-6).all()
+
+
+def test_rest_chunked_action_request():
+    """POST /act with horizon=H returns an [H, action_dim] chunk through the
+    parallel program (server 'horizon' wire field + client_act passthrough)."""
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.serving.server import VLAServer, client_act
+    from tests.helpers import TINY_NORM_STATS
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32,
+                        prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    srv = VLAServer(model, params, default_unnorm_key="bridge_orig")
+    httpd = srv.serve_background(port=0)
+    try:
+        img = np.random.default_rng(4).integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        chunk = client_act("127.0.0.1", httpd.server_address[1], img, "push", horizon=3)
+        assert chunk.shape == (3, 7)
+        assert np.isfinite(chunk).all()
+    finally:
+        httpd.shutdown()
