@@ -34,6 +34,7 @@ class BridgeEvalConfig:
     remote_port: int = 8000
     center_crop: bool = False               # must stay False for Bridge (reference :84)
     speculative: bool = False  # draft = previous action tokens (greedy-equivalent, ~40% faster)
+    action_chunk: int = 1  # >1: open-loop chunk execution (parallel-objective fine-tunes)
 
     # WidowX environment (reference run_bridgev2_eval.py:53-71)
     host_ip: str = "localhost"

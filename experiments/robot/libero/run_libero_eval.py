@@ -47,6 +47,7 @@ class LiberoEvalConfig:
     unnorm_key: Optional[str] = None
     center_crop: bool = True  # models trained with image aug need this
     speculative: bool = False  # draft = previous action tokens (greedy-equivalent, ~40% faster)
+    action_chunk: int = 1  # >1: open-loop chunk execution (parallel-objective fine-tunes)
     seed: int = 7
     resolution: int = 256
     video_out_dir: Optional[str] = None

@@ -310,3 +310,41 @@ def test_libero_eval_main_end_to_end(tmp_path, monkeypatch):
         httpd2.shutdown()
     expected = -np.sign(2.0 * raw[-1] - 1.0)
     assert (acts[:, -1] == expected).all()
+
+
+def test_chunk_queue_open_loop_execution(monkeypatch):
+    """action_chunk>1: one chunk fetch feeds H control ticks, a task change
+    flushes the queue, and RemoteVLA passes horizon over the wire."""
+    import numpy as np
+
+    from experiments.robot.openvla_utils import RemoteVLA, _ChunkQueue
+
+    calls = []
+
+    def fetch(h):
+        calls.append(h)
+        return np.arange(h * 7, dtype=np.float32).reshape(h, 7) + len(calls) * 100
+
+    q = _ChunkQueue(3)
+    a0 = q.next(("taskA", "k"), fetch)
+    a1 = q.next(("taskA", "k"), fetch)
+    a2 = q.next(("taskA", "k"), fetch)
+    assert calls == [3]  # one fetch for three ticks
+    np.testing.assert_array_equal(a1 - a0, 7.0)
+    q.next(("taskA", "k"), fetch)
+    assert calls == [3, 3]  # drained -> refetch
+    q.next(("taskB", "k"), fetch)
+    assert calls == [3, 3, 3]  # task change flushes mid-chunk
+
+    seen = {}
+
+    def fake_client_act(host, port, image, instruction, unnorm_key=None, **kw):
+        seen.update(kw)
+        return np.zeros((kw["horizon"], 7), np.float32)
+
+    import bridgelang_tpu.serving.server as server_mod
+
+    monkeypatch.setattr(server_mod, "client_act", fake_client_act)
+    vla = RemoteVLA("h", 1, action_chunk=4)
+    out = vla.predict(np.zeros((8, 8, 3), np.uint8), "push", "bridge_orig")
+    assert seen["horizon"] == 4 and out.shape == (7,)
