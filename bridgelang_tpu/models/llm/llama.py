@@ -281,8 +281,8 @@ def full_attention(
                 raise ValueError("ring attention does not support sliding windows")
             if q.shape[1] % mesh.shape[axis]:
                 raise ValueError(
-                    f"sequence length {q.shape[1]} must divide the {axis!r} "
-                    f"axis size {mesh.shape[axis]} for ring attention"
+                    f"sequence length {q.shape[1]} must be a multiple of the "
+                    f"{axis!r} axis size {mesh.shape[axis]} for ring attention"
                 )
             from functools import partial
 

@@ -290,9 +290,15 @@ def resolve_checkpoint_dir(
             from jax.experimental import multihost_utils
 
             if jax.process_index() == 0:
-                local = fetch()
+                # Swallow rank-0 failures until AFTER the barrier: raising
+                # here would leave ranks 1..N blocked in the collective
+                # forever. The second fetch below re-raises on every rank.
+                try:
+                    fetch()
+                except Exception:
+                    pass
             multihost_utils.sync_global_devices("bridgelang_hub_download")
-            local = fetch()  # non-zero processes now hit the warm cache
+            local = fetch()  # non-zero ranks hit the warm cache; failures raise uniformly
         else:
             local = fetch()
     except Exception as e:

@@ -159,7 +159,8 @@ class PrismaticVLM:
         from bridgelang_tpu.parallel.sharding import constrain_batch
 
         patches = self.vision_module.apply({"params": params["vision"]}, pixel_values.astype(self.dtype))
-        return constrain_batch(apply_projector(params["projector"], constrain_batch(patches)))
+        # apply_projector's final layer already constrains its output.
+        return apply_projector(params["projector"], constrain_batch(patches))
 
     def fuse_after_bos(
         self,
@@ -262,7 +263,15 @@ class PrismaticVLM:
                 params["llm"], jnp.full((1, 1), LLAMA_EMPTY_TOKEN, jnp.int32), dtype=self.dtype
             )[0, 0]
             fused = jnp.where(act[..., None], q_embed, fused)
-            key_ok = fused_mask.astype(bool) & ~act
+            # Serve-time keys are exactly the prompt prefix, so exclude EVERY
+            # position from the first supervised one onward — not just the
+            # supervised ones. (With predict_stop_token=False the EOS after
+            # the actions is valid-but-unlabeled; leaving it attendable would
+            # train query rows against a key generate_parallel never has.)
+            has_act = act.any(axis=1)
+            first_act = jnp.argmax(act, axis=1)  # first supervised position
+            tail = jnp.arange(t)[None, :] >= first_act[:, None]
+            key_ok = fused_mask.astype(bool) & ~(tail & has_act[:, None])
             causal = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]
             row_mask = jnp.where(act[:, :, None], True, causal[None])
             mask = (row_mask & key_ok[:, None, :])[:, None]  # [B, 1, F, F]

@@ -117,7 +117,12 @@ class VLAServer:
         import jax.numpy as jnp
 
         self.speculative_default = (
-            bool(speculative_default) and getattr(model, "cache_dtype", None) != jnp.int8
+            bool(speculative_default)
+            and getattr(model, "cache_dtype", None) != jnp.int8
+            # A parallel-objective model must decode through generate_parallel;
+            # the sequential speculative path would emit teacher-forced tokens
+            # the fine-tune never trained (guarded here, not just in deploy.py).
+            and not getattr(model, "parallel_decode", False)
         )
         # per-(instruction, unnorm_key) last-two action token vectors
         # (prev2, prev1) for draft_from_history, LRU-bounded

@@ -32,6 +32,7 @@ def get_vla_dataset_and_collator(
     traj_transform_threads: Optional[int] = None,
     traj_read_threads: Optional[int] = None,
     action_chunk: int = 1,
+    action_dim: int = 7,
 ) -> Tuple[RLDSDataset, ActionTokenizer, PaddedCollatorForActionPrediction]:
     action_tokenizer = ActionTokenizer(base_tokenizer)
     batch_transform = RLDSBatchTransform(
@@ -39,9 +40,11 @@ def get_vla_dataset_and_collator(
         action_chunk=action_chunk,
     )
     # Chunked actions lengthen the supervised tail; widen the static bucket so
-    # the collator never truncates (7-DoF assumption matches the OXE fleet).
+    # the collator never truncates. `action_dim` must match the mixture's
+    # per-step action dimensionality (7 across the OXE fleet) — undersizing
+    # it makes the collator reject every example.
     if action_chunk > 1:
-        prompt_bucket = max(prompt_bucket, 64 + 7 * (action_chunk - 1))
+        prompt_bucket = max(prompt_bucket, 64 + action_dim * (action_chunk - 1))
     collator = PaddedCollatorForActionPrediction(max_length=prompt_bucket, pad_token_id=pad_token_id)
     dataset = RLDSDataset(
         data_root_dir,

@@ -88,6 +88,8 @@ def main(cfg: BridgeEvalConfig) -> None:
             break
 
         obs, _ = env.reset()
+        if hasattr(model, "reset_episode"):
+            model.reset_episode()  # flush pending chunk actions / drafts
         replay_images = []
         rollout_images, rollout_states, rollout_actions = [], [], []
 

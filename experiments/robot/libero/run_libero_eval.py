@@ -117,6 +117,8 @@ def main(cfg: LiberoEvalConfig) -> None:
         init_states = suite.get_task_init_states(task_id)
         for episode in range(cfg.num_trials_per_task):
             env.reset()
+            if hasattr(model, "reset_episode"):
+                model.reset_episode()  # flush pending chunk actions / drafts
             obs = env.set_init_state(init_states[episode % len(init_states)])
             frames = []
             for _ in range(NUM_SETTLE_STEPS):

@@ -31,6 +31,11 @@ class _ChunkQueue:
             self._pending = [chunk[i] for i in range(chunk.shape[0])]
         return self._pending.pop(0)
 
+    def reset(self) -> None:
+        """Flush pending actions. MUST be called at episode start — leftover
+        chunk actions were planned from the PREVIOUS episode's last frame."""
+        self._pending = []
+
 
 class InProcessVLA:
     """Both backends can run SPECULATIVELY (cfg.speculative): the previous
@@ -50,6 +55,12 @@ class InProcessVLA:
         self.speculative = speculative
         self._last_tokens: Optional[np.ndarray] = None
         self._chunks = _ChunkQueue(action_chunk) if action_chunk > 1 else None
+
+    def reset_episode(self) -> None:
+        """Flush per-episode state (pending chunk actions, draft history)."""
+        if self._chunks is not None:
+            self._chunks.reset()
+        self._last_tokens = None
 
     def predict(self, image: np.ndarray, instruction: str, unnorm_key: Optional[str]) -> np.ndarray:
         if self._chunks is not None:
@@ -78,6 +89,11 @@ class RemoteVLA:
         self.action_dim = action_dim
         self._last_tokens: Optional[np.ndarray] = None
         self._chunks = _ChunkQueue(action_chunk) if action_chunk > 1 else None
+
+    def reset_episode(self) -> None:
+        if self._chunks is not None:
+            self._chunks.reset()
+        self._last_tokens = None
 
     def predict(self, image: np.ndarray, instruction: str, unnorm_key: Optional[str]) -> np.ndarray:
         from bridgelang_tpu.serving.server import client_act

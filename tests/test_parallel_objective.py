@@ -124,3 +124,32 @@ def test_parallel_objective_overfit_then_parallel_decode_serves_it():
         state.params, jnp.asarray(ids_p), jnp.asarray(mask_p), jnp.asarray(pixels),
         max_new_tokens=4))
     np.testing.assert_array_equal(toks, actions)
+
+
+def test_parallel_objective_unlabeled_eos_not_attendable():
+    """predict_stop_token=False leaves EOS valid-but-unlabeled after the
+    actions; serve-time sequences have no EOS at all, so the objective must
+    exclude EVERYTHING from the first supervised position onward as keys —
+    the loss with the unlabeled EOS present must equal the loss with it
+    removed entirely."""
+    from bridgelang_tpu.training.trainer import chunked_ce_and_metrics
+    from bridgelang_tpu.vla.action_tokenizer import make_bins
+
+    model, params = _tiny_model()
+    ids, mask, labels, pixels, actions, p0 = _batch()
+    labels = labels.copy()
+    labels[:, p0 + 4] = IGNORE_INDEX  # un-supervise the EOS (predict_stop_token=False)
+    _, centers = make_bins(256)
+    begin = TINY_LLM.vocab_size - 257
+
+    def loss(ids_np, mask_np):
+        hidden, fl = model.forward_hidden(
+            params, jnp.asarray(ids_np), jnp.asarray(mask_np), jnp.asarray(pixels),
+            jnp.asarray(labels), remat=False, parallel_actions=True)
+        return float(chunked_ce_and_metrics(params["llm"], TINY_LLM, hidden, fl, begin,
+                                            jnp.asarray(centers))[0])
+
+    ids_no_eos, mask_no_eos = ids.copy(), mask.copy()
+    ids_no_eos[:, p0 + 4] = TINY_LLM.pad_token_id
+    mask_no_eos[:, p0 + 4] = 0
+    assert loss(ids, mask) == loss(ids_no_eos, mask_no_eos)

@@ -423,6 +423,13 @@ def test_server_speculative_default_auto_disables_for_int8_kv():
     srv = VLAServer(_M(), None, default_unnorm_key="k")
     assert srv.speculative_default is False
 
+    class _P:
+        cache_dtype = jnp.float32
+        parallel_decode = True  # parallel-objective model: sequential speculative would be wrong
+
+    srv = VLAServer(_P(), None, default_unnorm_key="k")
+    assert srv.speculative_default is False
+
 
 def test_verify_speculative_stream(tmp_path):
     """scripts/verify.py speculative_stream: per-tick accept counts from the
