@@ -134,3 +134,79 @@ def test_resolve_checkpoint_dir_contract(tmp_path):
     with pytest.raises(FileNotFoundError) as exc2:
         resolve_checkpoint_dir("some-org/some-model-xyz")
     assert "some-org/some-model-xyz" in str(exc2.value)
+
+
+def test_finetune_script_main_end_to_end(tmp_path, monkeypatch):
+    """scripts/finetune.py main() on a tiny checkpoint + injected dataset:
+    load -> int8 base + LoRA adapters -> donated jitted steps -> merged Orbax
+    save + HF re-export. The reference's most-used workflow as ONE script
+    call (reference vla-scripts/finetune.py:113-369)."""
+    from bridgelang_tpu.models.vision.vit import VIT_CONFIGS
+    import bridgelang_tpu.models.llm.llama as llama_mod
+    import bridgelang_tpu.models.llm.tokenizer as tok_mod
+    import bridgelang_tpu.vla.materialize as mat_mod
+    from bridgelang_tpu.vla.action_tokenizer import ActionTokenizer
+    from bridgelang_tpu.vla.datasets.datasets import (
+        DummyDataset,
+        PaddedCollatorForActionPrediction,
+        RLDSBatchTransform,
+    )
+    from tests.test_scripts import _load
+
+    model, params = _tiny_openvla()
+    ckpt_dir = export_checkpoint(model, params, tmp_path / "base_ckpt")
+
+    monkeypatch.setitem(VIT_CONFIGS, "siglip-vit-so400m", TINY_SINGLE_VIT)
+    monkeypatch.setitem(llama_mod.LLM_CONFIGS, "llama2-7b-pure", TINY_LLM)
+    monkeypatch.setattr(
+        vlm_mod, "build_vision_backbone",
+        lambda bid, dtype=jnp.float32: (ViT(TINY_SINGLE_VIT, dtype=dtype),
+                                        TINY_SINGLE_VIT.width, TINY_SINGLE_VIT.num_patches),
+    )
+    monkeypatch.setattr(tok_mod, "get_tokenizer", lambda path=None: StubTokenizer())
+    # This container sets TPU_WORKER_HOSTNAMES, which initialize_distributed
+    # reads as "on a pod" — in-process the backend is already up, so clear it.
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+
+    monkeypatch.setattr(
+        vlm_mod, "transform_config_for_backbone",
+        lambda bid, strategy: ImageTransformConfig(strategy, (ImageTowerSpec(size=32),)))
+
+    tok = StubTokenizer()
+    bt = RLDSBatchTransform(ActionTokenizer(tok), tok)
+    coll = PaddedCollatorForActionPrediction(max_length=32, pad_token_id=TINY_LLM.pad_token_id)
+
+    class _Batches:
+        dataset_statistics = TINY_NORM_STATS
+
+        def __iter__(self):
+            frames = list(DummyDataset(bt, n=8, image_hw=(32, 32)))
+            while True:
+                yield coll(frames)
+
+    monkeypatch.setattr(mat_mod, "get_vla_dataset_and_collator",
+                        lambda *a, **k: (_Batches(), ActionTokenizer(tok), coll))
+
+    finetune = _load("finetune")
+    cfg = finetune.FinetuneConfig(
+        vla_path=str(ckpt_dir), run_root_dir=str(tmp_path / "runs"),
+        max_steps=10, save_steps=100, batch_size=8, learning_rate=5e-3,
+        use_lora=True, lora_rank=2, use_quantization=True, image_aug=False,
+        shuffle_buffer_size=4, export_hf=True, trackers="jsonl",
+    )
+    finetune.main(cfg)
+
+    run_dirs = list((tmp_path / "runs").iterdir())
+    assert len(run_dirs) == 1
+    run = run_dirs[0]
+    names = {p.name for p in run.iterdir()}
+    assert "config.json" in names and "dataset_statistics.json" in names
+    ckpts = {p.name for p in (run / "checkpoints").iterdir()}
+    assert any(n.startswith("step-") for n in ckpts), ckpts  # merged Orbax ckpt
+    hf = run / "hf_export"
+    assert (hf / "config.json").exists() and (hf / "model.safetensors").exists()
+    jsonl = [p for p in run.iterdir() if p.suffix == ".jsonl"]
+    assert jsonl, names
+    lines = [json.loads(l) for l in open(jsonl[0]) if l.strip()]
+    assert any("train/loss" in l for l in lines)
