@@ -613,13 +613,18 @@ def _train_bench(norm_stats):
     }
 
 
-def _lora_bench(norm_stats):
+def _lora_bench(norm_stats, batch: int = 16, remat: str = "full"):
     """Full-depth (all 32 decoder layers) LoRA fine-tune step on one chip —
     the reference's most-used workflow (vla-scripts/finetune.py:9-11, PEFT
     r=32 "all-linear" + 8-bit base) at its real depth: int8 frozen base
     (6.8 GB) + fp32 r=32 adapters + adapter-only Adam + full-remat
     activations. Unlike _train_bench (a 2-of-32-layer proxy forced by bf16
-    footprint), every number here is measured at full depth."""
+    footprint), every number here is measured at full depth.
+
+    `bench.py lora [batch] [remat]` overrides for one-off comparisons.
+    MEASURED dead end: remat="dots" at full depth needs 21.4 GB even at b8
+    (compile-time OOM vs the 15.75 GB chip) — the saved matmul outputs of 32
+    layers dwarf the recompute saving; "full" is the only full-depth fit."""
     import jax
     import jax.numpy as jnp
 
@@ -660,7 +665,7 @@ def _lora_bench(norm_stats):
     # step transiently holds TWO copies of the 9.2 GB state (the frozen int8
     # base is duplicated into the outputs) and OOMs at any batch size.
     step_fn = jax.jit(make_vla_train_step(model, optimizer, trainable_mask=trainable,
-                                          grad_dtype=jnp.bfloat16, remat_policy="full"),
+                                          grad_dtype=jnp.bfloat16, remat_policy=remat),
                       donate_argnums=0)
 
     rng = np.random.default_rng(0)
@@ -668,7 +673,7 @@ def _lora_bench(norm_stats):
     # b16 is the reference finetune.py per-GPU default. Without donation this
     # OOMed at ANY batch size (two copies of the 9.2 GB state); with the
     # donated step the working set is state + activations and b16 fits.
-    BATCH = 16
+    BATCH = batch
     ids = np.full((BATCH, t), cfg.llm.pad_token_id, np.int32)
     mask = np.zeros((BATCH, t), np.int32)
     ids[:, 0] = 1
@@ -719,13 +724,13 @@ def _lora_bench(norm_stats):
     tok_s = tokens / p50
     print(
         f"[bench] lora step p50={p50*1e3:.0f}ms -> {tok_s:,.0f} tokens/s, "
-        f"true MFU={mfu*100:.1f}% (32-layer 7B int8 base + r32 adapters, batch {BATCH}, full-remat)",
+        f"true MFU={mfu*100:.1f}% (32-layer 7B int8 base + r32 adapters, batch {BATCH}, {remat}-remat)",
         file=sys.stderr,
     )
     return {
         "metric": "vla_lora_finetune_tokens_per_sec",
         "value": round(tok_s, 1),
-        "unit": f"tokens/sec (mfu={mfu:.3f}, full-depth-7b-int8-base, r32, b{BATCH}, full-remat)",
+        "unit": f"tokens/sec (mfu={mfu:.3f}, full-depth-7b-int8-base, r32, b{BATCH}, {remat}-remat)",
         "vs_baseline": round(mfu, 3),
     }
 
@@ -744,8 +749,12 @@ if __name__ == "__main__":
         from bridgelang_tpu.util.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
-        fn = _train_bench if sys.argv[1] == "train" else _lora_bench
-        line = fn(BENCH_NORM_STATS)
+        if sys.argv[1] == "train":
+            line = _train_bench(BENCH_NORM_STATS)
+        else:
+            line = _lora_bench(BENCH_NORM_STATS,
+                               batch=int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+                               remat=sys.argv[3] if len(sys.argv) > 3 else "full")
         if line:
             print(json.dumps(line))
     else:
