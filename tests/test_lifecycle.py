@@ -210,3 +210,70 @@ def test_finetune_script_main_end_to_end(tmp_path, monkeypatch):
     assert jsonl, names
     lines = [json.loads(l) for l in open(jsonl[0]) if l.strip()]
     assert any("train/loss" in l for l in lines)
+
+
+def test_train_script_main_end_to_end(tmp_path, monkeypatch):
+    """scripts/train.py main() (the reference's primary entry point) on the
+    debug VLA config with a tiny registry + injected dataset: mesh + sharded
+    params -> donated jitted steps -> Orbax checkpoint with optimizer state +
+    sidecars + jsonl metrics (reference vla-scripts/train.py:106-259)."""
+    import dataclasses as dc
+
+    from bridgelang_tpu.conf import VLAConfig
+    from bridgelang_tpu.models.vision.vit import VIT_CONFIGS
+    import bridgelang_tpu.models.llm.llama as llama_mod
+    import bridgelang_tpu.vla.materialize as mat_mod
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.vla.action_tokenizer import ActionTokenizer
+    from bridgelang_tpu.vla.datasets.datasets import (
+        DummyDataset,
+        PaddedCollatorForActionPrediction,
+        RLDSBatchTransform,
+    )
+    from tests.test_scripts import _load
+
+    monkeypatch.setitem(VIT_CONFIGS, "siglip-vit-so400m", TINY_SINGLE_VIT)
+    monkeypatch.setitem(llama_mod.LLM_CONFIGS, "llama2-7b-pure", TINY_LLM)
+    monkeypatch.setattr(
+        vlm_mod, "build_vision_backbone",
+        lambda bid, dtype=jnp.float32: (ViT(TINY_SINGLE_VIT, dtype=dtype),
+                                        TINY_SINGLE_VIT.width, TINY_SINGLE_VIT.num_patches),
+    )
+    monkeypatch.setattr(
+        vlm_mod, "transform_config_for_backbone",
+        lambda bid, strategy: ImageTransformConfig(strategy, (ImageTowerSpec(size=32),)))
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+
+    tok = StubTokenizer()
+    bt = RLDSBatchTransform(ActionTokenizer(tok), tok)
+    coll = PaddedCollatorForActionPrediction(max_length=32, pad_token_id=TINY_LLM.pad_token_id)
+
+    class _Batches:
+        dataset_statistics = TINY_NORM_STATS
+
+        def __iter__(self):
+            frames = list(DummyDataset(bt, n=8, image_hw=(32, 32)))
+            while True:
+                yield coll(frames)
+
+    monkeypatch.setattr(mat_mod, "get_vla_dataset_and_collator",
+                        lambda *a, **k: (_Batches(), ActionTokenizer(tok), coll))
+
+    train = _load("train")
+    monkeypatch.setattr(train, "_load_tokenizer", lambda path=None: StubTokenizer())
+    debug = dc.replace(VLAConfig.get("debug"), global_batch_size=8, per_device_batch_size=1,
+                       expected_device_count=8)
+    cfg = train.TrainConfig(vla=debug, run_root_dir=str(tmp_path / "runs"), run_id="e2e",
+                            is_resume=False, max_steps_override=12, log_interval=5,
+                            trackers="jsonl", seed=3)
+    train.main(cfg)
+
+    run = tmp_path / "runs" / "e2e"
+    names = {p.name for p in run.iterdir()}
+    assert "config.json" in names and "dataset_statistics.json" in names
+    ckpts = {p.name for p in (run / "checkpoints").iterdir()}
+    assert any(n.startswith("step-") for n in ckpts), ckpts
+    jsonl = [p for p in run.iterdir() if p.suffix == ".jsonl"]
+    assert jsonl, names
+    lines = [json.loads(l) for l in open(jsonl[0]) if l.strip()]
+    assert any("train/loss" in l for l in lines)
