@@ -153,3 +153,66 @@ def test_parallel_objective_unlabeled_eos_not_attendable():
     ids_no_eos[:, p0 + 4] = TINY_LLM.pad_token_id
     mask_no_eos[:, p0 + 4] = 0
     assert loss(ids, mask) == loss(ids_no_eos, mask_no_eos)
+
+
+def test_chunk_objective_overfit_then_predict_action_chunk():
+    """Train a 2-step action chunk (14 supervised tokens) with the parallel
+    objective, then the HOST serving API predict_action_chunk must return the
+    de-normalized [2, 7] chunk those tokens encode — closing the train/serve
+    loop for `finetune.py --parallel_decode --action_chunk 2`."""
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.vla.action_tokenizer import token_ids_to_actions, unnormalize_actions
+    from tests.helpers import TINY_NORM_STATS, StubTokenizer
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32,
+                        prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    rng = np.random.default_rng(11)
+    H, A = 2, 7
+    prompt = model.prepare_prompt_ids("push")
+    chunk_tokens = rng.integers(TINY_LLM.vocab_size - 200, TINY_LLM.vocab_size - 10,
+                                size=H * A).astype(np.int32)
+    seq = np.concatenate([prompt, chunk_tokens, [2]])  # + EOS
+    assert len(seq) <= 64
+    ids = np.full((1, 64), TINY_LLM.pad_token_id, np.int32)
+    mask = np.zeros((1, 64), np.int32)
+    labels = np.full((1, 64), IGNORE_INDEX, np.int32)
+    ids[0, : len(seq)] = seq
+    mask[0, : len(seq)] = 1
+    labels[0, len(prompt): len(seq)] = seq[len(prompt):]
+    frame = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    from bridgelang_tpu.ops.image_ops import preprocess_batch
+
+    pixels = np.asarray(preprocess_batch(jnp.asarray(frame[None]), model.image_transform,
+                                         dtype=jnp.float32))
+
+    optimizer = make_optimizer(OptimConfig(learning_rate=3e-3, lr_scheduler_type="constant",
+                                           max_grad_norm=1.0), params)
+    step = jax.jit(make_vla_train_step(model, optimizer, compute_dtype=jnp.float32,
+                                       parallel_decode_objective=True))
+    state = init_train_state(params, optimizer)
+    batch = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask),
+             "labels": jnp.asarray(labels), "pixel_values": jnp.asarray(pixels)}
+    for _ in range(120):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < 0.05, f"chunk objective failed to overfit: {float(m['loss'])}"
+
+    got = model.predict_action_chunk(state.params, frame, "push", horizon=H,
+                                     unnorm_key="bridge_orig")
+    stats = TINY_NORM_STATS["bridge_orig"]["action"]
+    normalized = token_ids_to_actions(jnp.asarray(chunk_tokens.reshape(H, A)),
+                                      jnp.asarray(model.bin_centers), TINY_LLM.vocab_size)
+    expect = np.asarray(unnormalize_actions(
+        np.asarray(normalized, np.float32), np.asarray(stats["q01"], np.float32),
+        np.asarray(stats["q99"], np.float32), np.asarray(stats["mask"])))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
