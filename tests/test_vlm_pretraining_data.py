@@ -130,3 +130,72 @@ def test_align_stage_training_smoke(llava_data):
         state, m = step(state, jb)
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_pretrain_script_main_end_to_end(tmp_path, monkeypatch):
+    """scripts/pretrain.py main() (align stage) end to end: registry model
+    with tiny overrides, injected LLaVA-style data, modality-split batching,
+    donated jitted steps on the virtual mesh, checkpoint + sidecars + jsonl
+    (reference scripts/pretrain.py:117-238)."""
+    from PIL import Image as PILImage
+
+    import bridgelang_tpu.models.llm.llama as llama_mod
+    import bridgelang_tpu.models.llm.tokenizer as tok_mod
+    import bridgelang_tpu.preprocessing as prep_mod
+    from bridgelang_tpu.conf import DatasetConfig, ModelConfig
+    from tests.test_scripts import _load
+
+    # tiny LLaVA-style corpus: 16 image-text pairs
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    examples = []
+    for i in range(16):
+        name = f"img{i}.jpg"
+        PILImage.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(img_dir / name)
+        examples.append({"image": name, "conversations": [
+            {"from": "human", "value": "<image>\nWhat is shown?"},
+            {"from": "gpt", "value": f"Pattern {i}."},
+        ]})
+    chat = tmp_path / "chat.json"
+    chat.write_text(json.dumps(examples))
+
+    monkeypatch.setitem(llama_mod.LLM_CONFIGS, "llama2-7b-pure", TINY_LLM)
+    monkeypatch.setattr(
+        vlm_mod, "build_vision_backbone",
+        lambda bid, dtype=jnp.float32: (ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches))
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+
+    monkeypatch.setattr(
+        vlm_mod, "transform_config_for_backbone",
+        lambda bid, strategy: ImageTransformConfig(strategy, (ImageTowerSpec(size=32),)))
+    monkeypatch.setattr(tok_mod, "get_tokenizer", lambda path=None: StubTokenizer())
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+
+    def fake_get_dataset_and_collator(stage, dataset_cfg, tokenizer, llm_family, **kw):
+        assert stage == "align"
+        ds = AlignDataset(chat, img_dir, StubTokenizer(), image_size=32)
+        coll = PaddedCollatorForLanguageModeling(
+            max_length=48, pad_token_id=TINY_LLM.pad_token_id, image_hw=(32, 32))
+        return ds, coll
+
+    monkeypatch.setattr(prep_mod, "get_dataset_and_collator", fake_get_dataset_and_collator)
+
+    pretrain = _load("pretrain")
+    m = dataclasses.replace(ModelConfig.get("prism-dinosiglip-224px+7b"),
+                            align_epochs=8, align_global_batch_size=8,
+                            align_per_device_batch_size=1)
+    cfg = pretrain.PretrainConfig(model=m, dataset=DatasetConfig.get("llava-v15"),
+                                  stage="align", run_root_dir=str(tmp_path / "runs"),
+                                  run_id="e2e", max_steps_override=12, trackers="jsonl", seed=3)
+    pretrain.main(cfg)
+
+    run = tmp_path / "runs" / "e2e"
+    names = {p.name for p in run.iterdir()}
+    assert "config.json" in names
+    ckpts = {p.name for p in (run / "checkpoints").iterdir()}
+    assert any(n.startswith("step-") for n in ckpts), ckpts
+    jsonl = [p for p in run.iterdir() if p.suffix == ".jsonl"]
+    assert jsonl, names
+    lines = [json.loads(l) for l in open(jsonl[0]) if l.strip()]
+    assert any("train/loss" in l for l in lines)
