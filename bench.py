@@ -104,6 +104,8 @@ def main():
     # can host is the reference's most-used workflow, LoRA fine-tuning
     # (reference vla-scripts/finetune.py:9-11) — int8 frozen base + adapters.
     _run_train_bench_subprocess("lora", LORA_BENCH_TIMEOUT_S)
+    # Capacity proof: 13B serving on one chip through the packed-int4 mode.
+    _run_train_bench_subprocess("13b4", LORA_BENCH_TIMEOUT_S)
 
     print(f"[bench] backend={jax.default_backend()} device={jax.devices()[0].device_kind}", file=sys.stderr)
     serving = _serving_bench(build, norm_stats)
@@ -735,6 +737,72 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full"):
     }
 
 
+def _13b_int4_bench(norm_stats):
+    """13B serving on ONE 16 GB chip via the packed-int4 capacity mode.
+    13B int8 loads (14.6 GB) but OOMs at execution (measured, round 2) — its
+    documented path was tensor=2. int4 (~8.7 GB total) brings 13B back to a
+    single chip, mirroring the reference's load_in_4bit memory story
+    (verify_openvla.py:60). Sequential greedy, same methodology as the 7B
+    headline."""
+    import jax
+    import jax.numpy as jnp
+
+    from bridgelang_tpu.models.projector import init_projector_params
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.models.vlm import VLMConfig
+    from bridgelang_tpu.ops.quant import init_llm_params_int4
+
+    cfg = VLMConfig.from_ids(
+        model_id="prism-dinosiglip-224px+13b",
+        vision_backbone_id="dinosiglip-vit-so-224px",
+        llm_backbone_id="llama2-13b-pure",
+        arch_specifier="no-align+fused-gelu-mlp",
+        image_resize_strategy="resize-naive",
+    )
+    model = OpenVLA(cfg, norm_stats, dtype=jnp.bfloat16, prompt_bucket=48)
+    k_vis, k_proj, k_llm = jax.random.split(jax.random.key(0), 3)
+    dummy = jnp.zeros((1, 6, 224, 224), dtype=jnp.bfloat16)
+    vision = jax.tree.map(lambda x: x.astype(jnp.bfloat16), model.vision_module.init(k_vis, dummy)["params"])
+    projector = init_projector_params(k_proj, cfg.arch_specifier, model.vision_dim, cfg.llm.dim,
+                                      dtype=jnp.bfloat16)
+    llm = init_llm_params_int4(k_llm, cfg.llm)
+    params = {"vision": vision, "projector": projector, "llm": llm}
+    n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
+    print(f"[bench] 13B-int4 model: {n_bytes/1e9:.1f} GB on-chip", file=sys.stderr)
+
+    stats = norm_stats["bridge_orig"]["action"]
+    q01 = jnp.asarray(stats["q01"], jnp.float32)
+    q99 = jnp.asarray(stats["q99"], jnp.float32)
+    smask = jnp.asarray(stats["mask"])
+    rng = np.random.default_rng(0)
+    ids = np.full((1, 48), cfg.llm.pad_token_id, np.int32)
+    mask = np.zeros((1, 48), np.int32)
+    ids[0, 0], ids[0, 1:26], ids[0, 26] = 1, rng.integers(3, 31000, 25), 29871
+    mask[0, :27] = 1
+    ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+    predict = model._jitted_predict_frames(7)
+
+    t0 = time.time()
+    frame = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
+    np.asarray(predict(params, ids_d, mask_d, jnp.asarray(frame[None]), q01, q99, smask))
+    print(f"[bench] 13B-int4 compile+first call: {time.time()-t0:.1f}s", file=sys.stderr)
+    lat = []
+    for _ in range(15):
+        f = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
+        t0 = time.perf_counter()
+        np.asarray(predict(params, ids_d, mask_d, jnp.asarray(f[None]), q01, q99, smask))
+        lat.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(lat, 50))
+    print(f"[bench] 13B-int4 sequential p50={p50*1e3:.1f}ms -> {1.0/p50:.2f} actions/s "
+          f"(one chip; int8 13B cannot execute here at all)", file=sys.stderr)
+    return {
+        "metric": "openvla13b-int4_predict_action_throughput",
+        "value": round(1.0 / p50, 3),
+        "unit": "actions/sec (13B on ONE 16GB chip via packed int4 — int8 13B OOMs)",
+        "vs_baseline": round(1.0 / p50 / REFERENCE_ACTIONS_PER_SEC, 3),
+    }
+
+
 BENCH_NORM_STATS = {
     "bridge_orig": {"action": {
         "q01": [-0.03, -0.05, -0.06, -0.13, -0.12, -0.43, 0.0],
@@ -745,12 +813,14 @@ BENCH_NORM_STATS = {
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] in ("train", "lora"):
+    if len(sys.argv) > 1 and sys.argv[1] in ("train", "lora", "13b4"):
         from bridgelang_tpu.util.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
         if sys.argv[1] == "train":
             line = _train_bench(BENCH_NORM_STATS)
+        elif sys.argv[1] == "13b4":
+            line = _13b_int4_bench(BENCH_NORM_STATS)
         else:
             line = _lora_bench(BENCH_NORM_STATS,
                                batch=int(sys.argv[2]) if len(sys.argv) > 2 else 16,

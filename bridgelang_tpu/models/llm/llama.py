@@ -360,7 +360,15 @@ def _block(
         # bf16-dequant path wins on numerics alone: no activation-quant noise,
         # and decode/verify math matches the w8-only mode exactly.
         w = lp[name]
-        if w.dtype == jnp.int8 and cfg.w8a8 and T >= W8A8_MIN_CHUNK:
+        s4 = lp.get(name + "_scale4")
+        if s4 is not None:
+            # Packed int4 (ops.quant): unpack nibbles + per-group dequant,
+            # then a dense matmul. A capacity mode (13B on one 16 GB chip);
+            # measured slower than int8 on models that fit either way.
+            from bridgelang_tpu.ops.quant import dequant_int4
+
+            y = inp @ dequant_int4(w, s4, dtype=inp.dtype)
+        elif w.dtype == jnp.int8 and cfg.w8a8 and T >= W8A8_MIN_CHUNK:
             absmax = jnp.max(jnp.abs(inp.astype(jnp.float32)), axis=-1, keepdims=True)
             xs = jnp.where(absmax == 0, 1.0, absmax / 127.0)
             q = jnp.round(inp.astype(jnp.float32) / xs).astype(jnp.int8)

@@ -317,9 +317,16 @@ def load_vla(
     load_weights: bool = True,
     dtype=None,
     quantize_int8: bool = False,
+    quantize_int4: bool = False,
     cache_dir=None,
 ):
     """Build an OpenVLA model (+ params when a checkpoint is found).
+
+    `quantize_int8` / `quantize_int4` quantize the decoder on load — the
+    reference's bitsandbytes load_in_8bit/load_in_4bit analogues
+    (verify_openvla.py:49-60). int8 is the serving default (faster than bf16
+    on bandwidth-bound decode); int4 is the CAPACITY mode that fits 13B on
+    one 16 GB chip (slower per step — see ops/quant.py).
 
     Accepts a local directory containing HF-format `config.json`,
     `*.safetensors`, and `dataset_statistics.json`
@@ -366,7 +373,11 @@ def load_vla(
     else:
         vit_depths = {"featurizer": VIT_CONFIGS[cfg.vision_backbone_id].depth}
     params = convert_hf_state_dict(tensors, cfg.llm.n_layers, vit_depths, target_dtype=dt)
-    if quantize_int8:
+    if quantize_int4:
+        from bridgelang_tpu.ops.quant import quantize_llm_int4
+
+        params["llm"] = quantize_llm_int4(params["llm"])
+    elif quantize_int8:
         from bridgelang_tpu.ops.quant import quantize_llm_int8
 
         params["llm"] = quantize_llm_int8(params["llm"])

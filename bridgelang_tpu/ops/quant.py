@@ -155,3 +155,162 @@ def quantized_bytes(params: Params) -> int:
     import jax
 
     return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
+
+
+# --- int4 weight-only (packed) — the capacity mode -------------------------
+#
+# Counterpart of the reference's bitsandbytes 4-bit inference
+# (vla-scripts/extern/verify_openvla.py:60, ~6 GB VRAM; finetune.py:142-148
+# NF4). TPU-native design: two signed 4-bit codes packed per int8 byte along
+# the INPUT axis (adjacent rows 2i/2i+1 in the low/high nibble), per-group
+# symmetric scales over GROUP input rows. The consuming matmul unpacks with
+# two arithmetic shifts (VPU) and dequantizes before the MXU.
+#
+# This is a MEMORY play, not a speed play: on the 7B, int4 decode was
+# MEASURED slower than int8 (nibble unpack costs more than the bandwidth
+# saved — see README). Its purpose is models that do not fit otherwise:
+# 13B int8 loads 14.6 GB and OOMs at execution on one 16 GB chip, while
+# 13B int4 (~8.7 GB total) serves on a single chip.
+
+INT4_GROUP = 128
+
+
+def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
+    """[..., in, out] int8 codes in [-8, 7] -> [..., in//2, out] packed int8.
+    Row 2i goes to the low nibble, row 2i+1 to the high nibble."""
+    lo = codes[..., 0::2, :].astype(jnp.int8) & jnp.int8(0x0F)
+    hi = codes[..., 1::2, :].astype(jnp.int8) << 4
+    return (hi | lo).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4: [..., in//2, out] -> [..., in, out] int8 codes.
+    Sign-extension via arithmetic shifts (int8 is signed in XLA)."""
+    lo = (packed.astype(jnp.int8) << 4) >> 4
+    hi = packed.astype(jnp.int8) >> 4
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in//2, 2, out]
+    return stacked.reshape(packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1]))
+
+
+def dequant_int4(packed: jnp.ndarray, scale4: jnp.ndarray, dtype: jnp.dtype = jnp.bfloat16) -> jnp.ndarray:
+    """[..., in//2, out] packed + [..., in//GROUP, out] scales -> [..., in, out]."""
+    codes = unpack_int4(packed)
+    n_in, out = codes.shape[-2], codes.shape[-1]
+    g = n_in // scale4.shape[-2]
+    grouped = codes.reshape(codes.shape[:-2] + (scale4.shape[-2], g, out)).astype(dtype)
+    return (grouped * scale4[..., :, None, :].astype(dtype)).reshape(codes.shape)
+
+
+def _quantize4_2d(w32: jnp.ndarray, group: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    n_in, out = w32.shape
+    group = min(group, n_in)  # tiny test dims: one group per matrix
+    assert n_in % group == 0 and n_in % 2 == 0, (n_in, group)
+    grouped = w32.reshape(n_in // group, group, out)
+    absmax = jnp.max(jnp.abs(grouped), axis=1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+    codes = jnp.clip(jnp.round(grouped / scale), -7, 7).astype(jnp.int8).reshape(n_in, out)
+    return pack_int4(codes), scale[:, 0, :].astype(jnp.bfloat16)
+
+
+def quantize_llm_int4(
+    llm_params: Params,
+    targets: Sequence[str] = QUANT_TARGETS,
+    group: int = INT4_GROUP,
+) -> Params:
+    """Quantize decoder layer matrices [L, in, out] to packed int4 with
+    per-(layer, input-group, out-channel) scales. Embedding + head stay int8
+    (gather/one-column access patterns; streaming them is not the bottleneck).
+    Leaves: `<name>` packed int8 [L, in//2, out] + `<name>_scale4`
+    [L, in//group, out] — the projection helper detects `_scale4`."""
+    import jax
+
+    out = quantize_llm_int8(llm_params)  # embed/head int8 + any non-targets
+    layers = dict(out["layers"])
+    for name in targets:
+        if name not in layers:
+            continue
+        w = llm_params["layers"][name]
+        if w.dtype == jnp.int8:  # already int8-quantized: dequant first
+            w = w.astype(jnp.float32) * layers[name + "_scale"].astype(jnp.float32)
+        q4, s4 = jax.lax.map(lambda wl: _quantize4_2d(wl.astype(jnp.float32), group), w)
+        layers[name] = q4
+        layers[name + "_scale4"] = s4
+        layers.pop(name + "_scale", None)
+    out["layers"] = layers
+    return out
+
+
+def init_llm_params_int4(key, cfg, group: int = INT4_GROUP) -> Params:
+    """Random-init a decoder directly in packed int4 (+ group scales).
+    Generation + quantization happen ONE LAYER AT A TIME inside lax.map, so
+    at no point does a full-precision (or int8) copy of any matrix exist —
+    peak transient is a single layer. Required to stand up 13B on one 16 GB
+    chip (the int8->int4 conversion route holds both copies: 12.6 + 6.3 GB,
+    and the OOM surfaces asynchronously at the first blocking fetch)."""
+    import jax
+
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    D, I, L = cfg.dim, cfg.intermediate_size, cfg.n_layers
+    H, Hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    assert cfg.arch == "llama", "int4 init currently targets the Llama family"
+
+    def dense_q4(k, shape):
+        fan_in = shape[-2]
+
+        @jax.jit
+        def make(keys):
+            return jax.lax.map(
+                lambda kl: _quantize4_2d(
+                    jax.random.normal(kl, shape[1:], jnp.float32) * (fan_in ** -0.5), group),
+                keys)
+
+        return make(jax.random.split(k, shape[0]))
+
+    lk = jax.random.split(k_layers, 8)
+    layers: Params = {"attn_norm": jnp.ones((L, D), jnp.bfloat16), "mlp_norm": jnp.ones((L, D), jnp.bfloat16)}
+    for name, k, shape in (
+        ("wq", lk[0], (L, D, H * hd)),
+        ("wk", lk[1], (L, D, Hkv * hd)),
+        ("wv", lk[2], (L, D, Hkv * hd)),
+        ("wo", lk[3], (L, H * hd, D)),
+        ("w_gate", lk[4], (L, D, I)),
+        ("w_up", lk[5], (L, D, I)),
+        ("w_down", lk[6], (L, I, D)),
+    ):
+        q4, s4 = dense_q4(k, shape)
+        layers[name], layers[name + "_scale4"] = q4, s4
+
+    @jax.jit
+    def make_embed(k):
+        w = jax.random.normal(k, (cfg.padded_vocab_size, D), dtype=jnp.bfloat16) * jnp.asarray(0.02, jnp.bfloat16)
+        return _quantize_tensor(w, axis=1)
+
+    @jax.jit
+    def make_head(k):
+        w = jax.random.normal(k, (D, cfg.padded_vocab_size), dtype=jnp.bfloat16) * jnp.asarray(D ** -0.5, jnp.bfloat16)
+        return _quantize_tensor(w, axis=0)
+
+    embed_q, embed_s = make_embed(k_embed)
+    head_q, head_s = make_head(k_head)
+    return {
+        "embed": embed_q,
+        "embed_scale": embed_s,
+        "layers": layers,
+        "final_norm": jnp.ones((D,), jnp.bfloat16),
+        "lm_head": head_q,
+        "lm_head_scale": head_s,
+    }
+
+
+def dequantize_llm_int4(llm_params: Params, dtype: jnp.dtype = jnp.bfloat16) -> Params:
+    """codes * group scales back to `dtype`, dropping `*_scale4` leaves
+    (embed/head go through dequantize_llm_int8)."""
+    out = dict(llm_params)
+    layers = dict(out["layers"])
+    for name in list(layers):
+        if name.endswith("_scale4"):
+            base = name[: -len("_scale4")]
+            layers[base] = dequant_int4(layers[base], layers[name], dtype)
+            del layers[name]
+    out["layers"] = layers
+    return dequantize_llm_int8(out, dtype)

@@ -42,6 +42,10 @@ class DeployConfig:
     # int8 KV cache (per-token-per-head quant + bf16 scales): halves the
     # cache's HBM footprint — required for max_batch >= 16 on one 16 GB chip.
     kv_cache_int8: bool = False
+    # Packed int4 decoder (capacity mode): fits 13B on one 16 GB chip where
+    # int8 OOMs. Slower than int8 on models that fit either way — keep the
+    # default int8 for 7B. Overrides quantize_int8.
+    quantize_int4: bool = False
     # Batch-1 default: decode speculatively, drafting from the server-side
     # previous tokens per (instruction, unnorm_key) — greedy-equivalent
     # (margin-gated), ~40% faster on smooth control loops, no client changes.
@@ -87,7 +91,8 @@ def main(cfg: DeployConfig) -> None:
     else:
         from bridgelang_tpu.models.load import load_vla
 
-        model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8)
+        model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8,
+                                 quantize_int4=cfg.quantize_int4)
         model.tokenizer = get_tokenizer(cfg.tokenizer_path)
 
     if cfg.kv_cache_int8:

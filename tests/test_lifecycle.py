@@ -277,3 +277,33 @@ def test_train_script_main_end_to_end(tmp_path, monkeypatch):
     assert jsonl, names
     lines = [json.loads(l) for l in open(jsonl[0]) if l.strip()]
     assert any("train/loss" in l for l in lines)
+
+
+def test_load_vla_quantize_int4(tmp_path, monkeypatch):
+    """load_vla(quantize_int4=True): the reference's load_in_4bit analogue —
+    decoder matrices come back packed ([in//2]) with group scales and the
+    serving path still predicts."""
+    from bridgelang_tpu.models.vision.vit import VIT_CONFIGS
+    import bridgelang_tpu.models.llm.llama as llama_mod
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+
+    model, params = _tiny_openvla()
+    ckpt_dir = export_checkpoint(model, params, tmp_path / "ckpt")
+
+    monkeypatch.setitem(VIT_CONFIGS, "siglip-vit-so400m", TINY_SINGLE_VIT)
+    monkeypatch.setitem(llama_mod.LLM_CONFIGS, "llama2-7b-pure", TINY_LLM)
+    monkeypatch.setattr(
+        vlm_mod, "build_vision_backbone",
+        lambda bid, dtype=jnp.float32: (ViT(TINY_SINGLE_VIT, dtype=dtype),
+                                        TINY_SINGLE_VIT.width, TINY_SINGLE_VIT.num_patches))
+    model2, params2 = load_mod.load_vla(str(ckpt_dir), dtype=jnp.float32, quantize_int4=True)
+    model2.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+    model2.tokenizer = StubTokenizer()
+
+    layers = params2["llm"]["layers"]
+    assert layers["wq"].dtype == jnp.int8
+    assert layers["wq"].shape[1] == TINY_LLM.dim // 2  # packed input axis
+    assert "wq_scale4" in layers and "wq_scale" not in layers
+
+    action = model2.predict_action(params2, random_image(40, 40), "stack the cups")
+    assert action.shape == (7,) and np.isfinite(action).all()

@@ -422,3 +422,55 @@ def test_donated_step_checkpoint_save_interplay(tmp_path):
     # and the live state kept training past the save
     np.testing.assert_allclose(np.asarray(state.params["layers"]["wq"]),
                                expected_wq * 0.81, rtol=1e-6)
+
+
+def test_int4_pack_roundtrip_and_dequant_groups():
+    from bridgelang_tpu.ops.quant import INT4_GROUP, dequant_int4, pack_int4, unpack_int4, _quantize4_2d
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(-8, 8, size=(6, 256, 10)).astype(np.int8)
+    packed = pack_int4(jnp.asarray(codes))
+    assert packed.shape == (6, 128, 10) and packed.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), codes)
+
+    w = rng.normal(size=(256, 12)).astype(np.float32)
+    q4, s4 = _quantize4_2d(jnp.asarray(w), group=128)
+    assert q4.shape == (128, 12) and s4.shape == (2, 12)
+    deq = np.asarray(dequant_int4(q4, s4, dtype=jnp.float32))
+    # error bounded by half an int4 step of each group's absmax
+    step = np.abs(w).reshape(2, 128, 12).max(axis=1, keepdims=True) / 7.0
+    bound = np.repeat(step, 128, axis=1).reshape(256, 12)
+    assert (np.abs(deq - w) <= bound * 0.5 + 1e-5).all()
+
+
+def test_int4_quantized_forward_close_to_fp():
+    """int4 weight-only forward tracks the fp forward (looser than int8) and
+    the packed leaves halve the decoder matrix bytes."""
+    from bridgelang_tpu.ops.quant import quantize_llm_int4
+
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    q4 = quantize_llm_int4(params, group=32)  # tiny dims -> small group
+    assert q4["layers"]["wq"].shape[1] == params["layers"]["wq"].shape[1] // 2
+    assert "wq_scale4" in q4["layers"] and "wq_scale" not in q4["layers"]
+
+    ids = jnp.asarray([[1, 5, 9, 12, 44, 101]], dtype=jnp.int32)
+    base = np.asarray(_fwd(params, ids), dtype=np.float32)
+    quant = np.asarray(_fwd(q4, ids), dtype=np.float32)
+    rel = np.linalg.norm(base - quant) / (np.linalg.norm(base) + 1e-6)
+    assert rel < 0.35, f"relative error {rel}"  # 4-bit on a tiny random model
+    agree = (base.argmax(-1) == quant.argmax(-1)).mean()
+    assert agree >= 0.5
+
+
+def test_int4_init_and_dequant_roundtrip():
+    from bridgelang_tpu.ops.quant import dequantize_llm_int4, init_llm_params_int4
+
+    qp = init_llm_params_int4(jax.random.key(1), TINY_LLM, group=32)
+    assert qp["layers"]["w_down"].dtype == jnp.int8
+    assert qp["layers"]["w_down"].shape[1] == TINY_LLM.intermediate_size // 2
+    ids = jnp.asarray([[1, 3, 7]], dtype=jnp.int32)
+    out = _fwd(qp, ids)
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+    deq = dequantize_llm_int4(qp)
+    assert deq["layers"]["w_down"].shape == (TINY_LLM.n_layers, TINY_LLM.intermediate_size, TINY_LLM.dim)
+    assert "w_down_scale4" not in deq["layers"]
