@@ -362,12 +362,13 @@ def _block(
         w = lp[name]
         s4 = lp.get(name + "_scale4")
         if s4 is not None:
-            # Packed int4 (ops.quant): unpack nibbles + per-group dequant,
-            # then a dense matmul. A capacity mode (13B on one 16 GB chip);
-            # measured slower than int8 on models that fit either way.
-            from bridgelang_tpu.ops.quant import dequant_int4
+            # Packed int4: fused Pallas matmul streams the packed bytes and
+            # unpacks in VMEM (ops/int4_matmul.py) — XLA-level dequant was
+            # measured to materialize bf16 weights (18 GB/s effective vs
+            # int8's 444). A capacity mode (13B on one 16 GB chip).
+            from bridgelang_tpu.ops.int4_matmul import matmul_int4
 
-            y = inp @ dequant_int4(w, s4, dtype=inp.dtype)
+            y = matmul_int4(inp, w, s4)
         elif w.dtype == jnp.int8 and cfg.w8a8 and T >= W8A8_MIN_CHUNK:
             absmax = jnp.max(jnp.abs(inp.astype(jnp.float32)), axis=-1, keepdims=True)
             xs = jnp.where(absmax == 0, 1.0, absmax / 127.0)

@@ -1,0 +1,143 @@
+"""Fused packed-int4 weight-only matmul (Pallas TPU kernel).
+
+Why a kernel at all: XLA cannot fuse 4-bit unpacking into a dot — every
+XLA-level formulation (dequant-then-dot, s4-bitcast, group-reassociated
+partial sums) was measured to materialize full-width weights in HBM, running
+at 13–28 GB/s effective against int8's 444 GB/s at 13B MLP dims. This kernel
+streams the PACKED bytes from HBM to VMEM and unpacks on the VPU, so HBM
+traffic is the int4 bytes — the whole point of the capacity mode
+(13B on one 16 GB chip; counterpart of the reference's bitsandbytes 4-bit,
+vla-scripts/extern/verify_openvla.py:60).
+
+Layout contract (ops/quant.py::pack_int4, "split-half"): for a weight
+[K, N], byte [r, c] holds code[r, c] in the LOW nibble and
+code[K//2 + r, c] in the HIGH nibble. Unpacking a block is therefore two
+arithmetic shifts producing two independent [128, TN] code blocks — no
+sublane/lane interleave on the VPU. Scales are per (128-input-row group,
+out-channel); since a grid step's reduction tile is exactly one group per
+half, scales apply to the f32 PARTIAL sums (exact reassociation:
+x @ (c * s) == (x @ c) * s when s is constant over the tile's rows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128  # input rows per scale group; kernel reduction tile is one group/half
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref, *, n_g: int, out_dtype):
+    # Scales arrive as [G, 1, N] with the group row selected by the BlockSpec
+    # index map — block (1, 1, block_n) satisfies Mosaic tiling (middle dim
+    # equals the overall dim), and an in-kernel dynamic sublane load of bf16
+    # rows would not ("index in dimension 0 is a multiple of 4" failure).
+    g = pl.program_id(2)
+
+    @pl.when(g == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Nibble extraction in int32 — Mosaic does not legalize i8 vector shifts
+    # (the VPU is a 32-bit machine); int32 arithmetic shifts sign-extend
+    # identically to byte-level shifts after the widening convert.
+    p32 = p_ref[:].astype(jnp.int32)
+    lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
+    hi = (p32 >> 4).astype(jnp.bfloat16)
+    part_lo = jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
+    part_hi = jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
+    acc_ref[:] += part_lo * s_lo_ref[0].astype(jnp.float32) + part_hi * s_hi_ref[0].astype(jnp.float32)
+
+    @pl.when(g == n_g - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _pick_tile(n: int, cap: int, multiple: int) -> int:
+    """Largest divisor of `n` that is a multiple of `multiple` and <= cap."""
+    best = 0
+    for t in range(multiple, min(n, cap) + 1, multiple):
+        if n % t == 0:
+            best = t
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def _matmul_int4_2d(x, packed, scales, block_m: int, block_n: int):
+    m, k = x.shape
+    n = packed.shape[1]
+    n_g = k // (2 * GROUP)
+    grid = (m // block_m, n // block_n, n_g)
+    scales3 = scales.reshape(2 * n_g, 1, n)
+
+    kernel = functools.partial(_kernel, n_g=n_g, out_dtype=x.dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, GROUP), lambda mi, ni, g: (mi, g)),
+            pl.BlockSpec((block_m, GROUP), lambda mi, ni, g, _n_g=n_g: (mi, _n_g + g)),
+            pl.BlockSpec((GROUP, block_n), lambda mi, ni, g: (g, ni)),
+            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g: (g, 0, ni)),
+            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g, _n_g=n_g: (_n_g + g, 0, ni)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, g: (mi, ni)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(x, x, packed, scales3, scales3)
+
+
+def int4_kernel_eligible(k: int, n: int, n_groups: int) -> bool:
+    """The kernel requires 128-row scale groups and both halves tile-aligned."""
+    return (
+        k % (2 * GROUP) == 0
+        and n % 128 == 0
+        and n_groups * GROUP == k
+    )
+
+
+def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """x [..., K] @ int4-packed weight -> [..., N].
+
+    `packed` is [K//2, N] int8 in the split-half nibble layout, `scales`
+    [K//GROUP, N]. Falls back to an XLA dequant-then-dot for shapes the
+    kernel cannot tile (tiny test configs) — bit-identical codes either way.
+    """
+    *lead, k = x.shape
+    n = packed.shape[-1]
+    if not int4_kernel_eligible(k, n, scales.shape[-2]):
+        from bridgelang_tpu.ops.quant import dequant_int4
+
+        return x @ dequant_int4(packed, scales, dtype=x.dtype)
+
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    if m < 16:  # decode/verify chunks: pad to one bf16 sublane tile
+        x2 = jnp.pad(x2, ((0, 16 - m), (0, 0)))
+    m_pad = x2.shape[0]
+    block_m = m_pad if m_pad <= 256 else _pick_tile(m_pad, 256, 8)
+    if block_m == 0 or m_pad * n * x.dtype.itemsize > 64 * 1024 * 1024:
+        # awkward M (large prime) or an output too big to be a serving shape
+        from bridgelang_tpu.ops.quant import dequant_int4
+
+        return x @ dequant_int4(packed, scales, dtype=x.dtype)
+    # Largest out-tile whose f32 accumulator fits a VMEM budget: fewer grid
+    # steps pipelined deeper — measured 0.258 -> 0.174 ms/matmul going from
+    # block_n=512 to full-row at 13B MLP dims (M=16).
+    block_n_cap = max(512, (3 * 1024 * 1024) // (4 * block_m))
+    block_n = _pick_tile(n, min(n, block_n_cap), 128)
+    out = _matmul_int4_2d(x2, packed, scales, block_m, block_n)
+    return out[:m].reshape(*lead, n)

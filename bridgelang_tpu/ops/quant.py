@@ -162,24 +162,30 @@ def quantized_bytes(params: Params) -> int:
 # Counterpart of the reference's bitsandbytes 4-bit inference
 # (vla-scripts/extern/verify_openvla.py:60, ~6 GB VRAM; finetune.py:142-148
 # NF4). TPU-native design: two signed 4-bit codes packed per int8 byte along
-# the INPUT axis (adjacent rows 2i/2i+1 in the low/high nibble), per-group
-# symmetric scales over GROUP input rows. The consuming matmul unpacks with
-# two arithmetic shifts (VPU) and dequantizes before the MXU.
+# the INPUT axis (split-half: rows r and in//2 + r share a byte — see
+# pack_int4), per-group symmetric scales over GROUP input rows. The consuming
+# matmul is a fused Pallas kernel (ops/int4_matmul.py) that streams the packed
+# bytes and unpacks in VMEM, so HBM traffic is the int4 bytes; XLA-level
+# dequant (the fallback for tiny shapes) materializes full-width weights.
 #
-# This is a MEMORY play, not a speed play: on the 7B, int4 decode was
-# MEASURED slower than int8 (nibble unpack costs more than the bandwidth
-# saved — see README). Its purpose is models that do not fit otherwise:
-# 13B int8 loads 14.6 GB and OOMs at execution on one 16 GB chip, while
-# 13B int4 (~8.7 GB total) serves on a single chip.
+# Purpose: models that do not fit otherwise — 13B int8 loads 14.6 GB and
+# OOMs at execution on one 16 GB chip, while 13B int4 (~8.7 GB total)
+# serves on a single chip.
 
 INT4_GROUP = 128
 
 
 def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
     """[..., in, out] int8 codes in [-8, 7] -> [..., in//2, out] packed int8.
-    Row 2i goes to the low nibble, row 2i+1 to the high nibble."""
-    lo = codes[..., 0::2, :].astype(jnp.int8) & jnp.int8(0x0F)
-    hi = codes[..., 1::2, :].astype(jnp.int8) << 4
+
+    SPLIT-HALF layout: byte [r, c] holds code [r, c] in the low nibble and
+    code [in//2 + r, c] in the high nibble. Chosen for the Pallas kernel
+    (ops/int4_matmul.py): unpacking a tile is two arithmetic shifts yielding
+    two independent code blocks — no sublane interleave on the VPU, unlike
+    an adjacent-rows (2i, 2i+1) packing."""
+    half = codes.shape[-2] // 2
+    lo = codes[..., :half, :].astype(jnp.int8) & jnp.int8(0x0F)
+    hi = codes[..., half:, :].astype(jnp.int8) << 4
     return (hi | lo).astype(jnp.int8)
 
 
@@ -188,8 +194,7 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     Sign-extension via arithmetic shifts (int8 is signed in XLA)."""
     lo = (packed.astype(jnp.int8) << 4) >> 4
     hi = packed.astype(jnp.int8) >> 4
-    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in//2, 2, out]
-    return stacked.reshape(packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1]))
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def dequant_int4(packed: jnp.ndarray, scale4: jnp.ndarray, dtype: jnp.dtype = jnp.bfloat16) -> jnp.ndarray:

@@ -443,6 +443,40 @@ def test_int4_pack_roundtrip_and_dequant_groups():
     assert (np.abs(deq - w) <= bound * 0.5 + 1e-5).all()
 
 
+def test_int4_pallas_matmul_matches_dequant_reference():
+    """The fused kernel (interpret mode on CPU) is numerically equivalent to
+    the XLA dequant-then-dot fallback — same codes, same group scales."""
+    from bridgelang_tpu.ops.int4_matmul import int4_kernel_eligible, matmul_int4
+    from bridgelang_tpu.ops.quant import _quantize4_2d, dequant_int4
+
+    rng = np.random.default_rng(3)
+    K, N = 512, 256
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    q4, s4 = _quantize4_2d(jnp.asarray(w), group=128)
+    assert int4_kernel_eligible(K, N, s4.shape[0])
+    ref_w = np.asarray(dequant_int4(q4, s4, dtype=jnp.float32))
+    for M in (1, 8, 48):  # sub-tile (padded), tile, multi-row
+        x = jnp.asarray(rng.normal(size=(M, K)), dtype=jnp.bfloat16)
+        out = np.asarray(matmul_int4(x, q4, s4), dtype=np.float32)
+        ref = np.asarray(x, dtype=np.float32) @ ref_w
+        np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2 * np.abs(ref).max())
+    # leading batch dims route through the same kernel
+    x3 = jnp.asarray(rng.normal(size=(2, 3, K)), dtype=jnp.bfloat16)
+    out3 = matmul_int4(x3, q4, s4)
+    assert out3.shape == (2, 3, N)
+    np.testing.assert_allclose(
+        np.asarray(out3, np.float32).reshape(6, N),
+        np.asarray(matmul_int4(x3.reshape(6, K), q4, s4), np.float32),
+        rtol=1e-6)
+    # unaligned shapes fall back to the dequant path (tiny test configs)
+    w_small = rng.normal(size=(64, 32)).astype(np.float32)
+    q_s, s_s = _quantize4_2d(jnp.asarray(w_small), group=32)
+    assert not int4_kernel_eligible(64, 32, s_s.shape[0])
+    x_s = jnp.asarray(rng.normal(size=(2, 64)), dtype=jnp.bfloat16)
+    out_s = matmul_int4(x_s, q_s, s_s)
+    assert out_s.shape == (2, 32)
+
+
 def test_int4_quantized_forward_close_to_fp():
     """int4 weight-only forward tracks the fp forward (looser than int8) and
     the packed leaves halve the decoder matrix bytes."""
