@@ -109,13 +109,24 @@ def int4_kernel_eligible(k: int, n: int, n_groups: int) -> bool:
     )
 
 
+@jax.custom_vjp
 def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """x [..., K] @ int4-packed weight -> [..., N].
 
     `packed` is [K//2, N] int8 in the split-half nibble layout, `scales`
     [K//GROUP, N]. Falls back to an XLA dequant-then-dot for shapes the
     kernel cannot tile (tiny test configs) — bit-identical codes either way.
+
+    Differentiable w.r.t. `x` only (custom VJP — Pallas kernels have no AD
+    rule): the backward dequantizes one layer's weight transiently and runs a
+    plain XLA dot. That materialization is fine in training, where QLoRA over
+    a frozen int4 base (scripts/finetune.py --quantization_bits 4) is
+    compute-bound and per-layer transients are rematerialized anyway.
     """
+    return _matmul_int4_impl(x, packed, scales)
+
+
+def _matmul_int4_impl(x, packed, scales):
     *lead, k = x.shape
     n = packed.shape[-1]
     if not int4_kernel_eligible(k, n, scales.shape[-2]):
@@ -141,3 +152,23 @@ def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp
     block_n = _pick_tile(n, min(n, block_n_cap), 128)
     out = _matmul_int4_2d(x2, packed, scales, block_m, block_n)
     return out[:m].reshape(*lead, n)
+
+
+def _matmul_int4_fwd(x, packed, scales):
+    return _matmul_int4_impl(x, packed, scales), (packed, scales)
+
+
+def _matmul_int4_bwd(res, g):
+    import numpy as np
+
+    from bridgelang_tpu.ops.quant import dequant_int4
+
+    packed, scales = res
+    w = dequant_int4(packed, scales, dtype=g.dtype)  # [K, N] transient
+    dx = g @ w.T
+    # packed is integer (no cotangent); scales are frozen in every consumer
+    d_scales = jnp.zeros(scales.shape, scales.dtype)
+    return dx, np.zeros(packed.shape, jax.dtypes.float0), d_scales
+
+
+matmul_int4.defvjp(_matmul_int4_fwd, _matmul_int4_bwd)

@@ -133,12 +133,17 @@ def init_llm_params_int8(key, cfg) -> Params:
 def dequantize_llm_int8(llm_params: Params, dtype: jnp.dtype = jnp.bfloat16) -> Params:
     """Inverse of quantize_llm_int8: codes * scale back to `dtype`, dropping
     the `*_scale` leaves. Used before checkpoint export / LoRA merge so int8
-    codes are never mistaken for real weights."""
+    codes are never mistaken for real weights. Packed-int4 leaves (sibling
+    `*_scale4`, e.g. a --quantization_bits 4 QLoRA base at export time) are
+    dequantized too, so this is the one do-whatever-is-needed entry."""
     out = dict(llm_params)
     layers = dict(llm_params["layers"])
-    for name in [n for n in layers if not n.endswith("_scale")]:
+    for name in [n for n in layers if not (n.endswith("_scale") or n.endswith("_scale4"))]:
         w = layers[name]
-        if w.dtype == jnp.int8:
+        if name + "_scale4" in layers:
+            s4 = layers.pop(name + "_scale4")
+            layers[name] = dequant_int4(w, s4, dtype)
+        elif w.dtype == jnp.int8:
             scale = layers.pop(name + "_scale")
             layers[name] = (w.astype(jnp.float32) * scale.astype(jnp.float32)).astype(dtype)
     out["layers"] = layers
@@ -308,14 +313,5 @@ def init_llm_params_int4(key, cfg, group: int = INT4_GROUP) -> Params:
 
 
 def dequantize_llm_int4(llm_params: Params, dtype: jnp.dtype = jnp.bfloat16) -> Params:
-    """codes * group scales back to `dtype`, dropping `*_scale4` leaves
-    (embed/head go through dequantize_llm_int8)."""
-    out = dict(llm_params)
-    layers = dict(out["layers"])
-    for name in list(layers):
-        if name.endswith("_scale4"):
-            base = name[: -len("_scale4")]
-            layers[base] = dequant_int4(layers[base], layers[name], dtype)
-            del layers[name]
-    out["layers"] = layers
-    return dequantize_llm_int8(out, dtype)
+    """Alias: dequantize_llm_int8 handles `*_scale4` leaves too."""
+    return dequantize_llm_int8(llm_params, dtype)

@@ -43,8 +43,10 @@ def add_lora_params(
     for t, k in zip(targets, keys):
         if t not in layers:
             continue
-        w = layers[t]  # [L, in, out]
+        w = layers[t]  # [L, in, out] — or [L, in//2, out] for packed-int4 bases
         L, d_in, d_out = w.shape
+        if t + "_scale4" in layers:
+            d_in *= 2  # packed nibbles halve the stored input dim
         layers[t + "_lora_a"] = (jax.random.normal(k, (L, d_in, rank), dtype=dtype) * (rank ** -0.5))
         # Fold alpha/rank into B's eventual contribution by scaling at merge
         # time; B starts at zero either way. We record scale via metadata-free
@@ -68,14 +70,21 @@ def merge_lora(llm_params: Params) -> Params:
 
     layers = llm_params["layers"]
     merged = {k: v for k, v in layers.items() if not (k.endswith("_lora_a") or k.endswith("_lora_b"))}
-    for name in [n for n in merged if not n.endswith("_scale")]:
+    for name in [n for n in merged if not (n.endswith("_scale") or n.endswith("_scale4"))]:
         a = layers.get(name + "_lora_a")
         b = layers.get(name + "_lora_b")
         if a is None or b is None:
             continue
         delta = jnp.einsum("lir,lro->lio", a.astype(jnp.float32), b.astype(jnp.float32))
         w = merged[name]
-        if w.dtype == jnp.int8:
+        if name + "_scale4" in merged:
+            from bridgelang_tpu.ops.quant import _quantize4_2d, dequant_int4
+
+            w32 = dequant_int4(w, merged[name + "_scale4"], dtype=jnp.float32)
+            group = w32.shape[1] // merged[name + "_scale4"].shape[1]
+            q, scale = jax.lax.map(lambda wl: _quantize4_2d(wl, group), w32 + delta)
+            merged[name], merged[name + "_scale4"] = q, scale
+        elif w.dtype == jnp.int8:
             w32 = w.astype(jnp.float32) * merged[name + "_scale"].astype(jnp.float32)
             q, scale = _quantize_tensor(w32 + delta, axis=1)
             merged[name], merged[name + "_scale"] = q, scale

@@ -3,13 +3,15 @@
 Counterpart of reference vla-scripts/finetune.py:113-369 (PEFT r=32
 "all-linear" LoRA through the HF twin + DDP). Here: adapters are extra pytree
 leaves trained under the same jitted SPMD step; merge-and-unload happens at
-save; 4-bit/8-bit base quantization maps to int8 weight-only
-(bridgelang_tpu.ops.quant).
+save; the reference's 8-bit/4-bit base quantization maps to int8 weight-only
+or packed int4 (bridgelang_tpu.ops.quant + ops/int4_matmul.py — the int4
+base is how 13B LoRA fits one 16 GB chip).
 
 Usage:
   python scripts/finetune.py --vla_path /ckpts/openvla-7b \
       --dataset_name libero_spatial_no_noops --data_root_dir /data/rlds \
-      [--use_lora true] [--lora_rank 32] [--use_quantization true]
+      [--use_lora true] [--lora_rank 32] [--use_quantization true] \
+      [--quantization_bits 4]
 """
 
 from __future__ import annotations
@@ -60,7 +62,11 @@ class FinetuneConfig:
     use_lora: bool = True
     lora_rank: int = 32
     lora_dropout: float = 0.0
-    use_quantization: bool = False  # int8 weight-only base (QLoRA analogue)
+    use_quantization: bool = False  # quantized frozen base (QLoRA analogue)
+    # 8 = int8 weight-only; 4 = packed int4 (halves base HBM again — the
+    # route to 13B LoRA on one 16 GB chip; reference finetune.py:142-148
+    # uses bitsandbytes NF4 for the same purpose)
+    quantization_bits: int = 8
     export_hf: bool = True  # also write HF-format checkpoints (reference finetune.py saves HF ckpts)
     mesh_shape: Optional[str] = None
     trackers: str = "jsonl"
@@ -87,11 +93,17 @@ def main(cfg: FinetuneConfig) -> None:
     exp_id = (
         f"{Path(cfg.vla_path).name}+{cfg.dataset_name}+b{cfg.batch_size}+lr-{cfg.learning_rate}"
         + (f"+lora-r{cfg.lora_rank}" if cfg.use_lora else "")
-        + ("+q-int8" if cfg.use_quantization else "")
+        + (f"+q-int{cfg.quantization_bits}" if cfg.use_quantization else "")
     )
     run_dir = Path(cfg.run_root_dir) / exp_id
 
-    model, params = load_vla(cfg.vla_path, quantize_int8=cfg.use_quantization)
+    if cfg.use_quantization and cfg.quantization_bits not in (4, 8):
+        raise ValueError(f"quantization_bits must be 4 or 8, got {cfg.quantization_bits}")
+    model, params = load_vla(
+        cfg.vla_path,
+        quantize_int8=cfg.use_quantization and cfg.quantization_bits == 8,
+        quantize_int4=cfg.use_quantization and cfg.quantization_bits == 4,
+    )
     if params is None:
         raise FileNotFoundError(f"No weights found at {cfg.vla_path}")
 

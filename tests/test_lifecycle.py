@@ -136,11 +136,13 @@ def test_resolve_checkpoint_dir_contract(tmp_path):
     assert "some-org/some-model-xyz" in str(exc2.value)
 
 
-def test_finetune_script_main_end_to_end(tmp_path, monkeypatch):
+@pytest.mark.parametrize("qbits", [8, 4])
+def test_finetune_script_main_end_to_end(tmp_path, monkeypatch, qbits):
     """scripts/finetune.py main() on a tiny checkpoint + injected dataset:
-    load -> int8 base + LoRA adapters -> donated jitted steps -> merged Orbax
-    save + HF re-export. The reference's most-used workflow as ONE script
-    call (reference vla-scripts/finetune.py:113-369)."""
+    load -> quantized base (int8 and packed-int4 QLoRA) + LoRA adapters ->
+    donated jitted steps -> merged Orbax save + HF re-export. The reference's
+    most-used workflow as ONE script call (reference
+    vla-scripts/finetune.py:113-369; NF4 base :142-148)."""
     from bridgelang_tpu.models.vision.vit import VIT_CONFIGS
     import bridgelang_tpu.models.llm.llama as llama_mod
     import bridgelang_tpu.models.llm.tokenizer as tok_mod
@@ -193,6 +195,7 @@ def test_finetune_script_main_end_to_end(tmp_path, monkeypatch):
         vla_path=str(ckpt_dir), run_root_dir=str(tmp_path / "runs"),
         max_steps=10, save_steps=100, batch_size=8, learning_rate=5e-3,
         use_lora=True, lora_rank=2, use_quantization=True, image_aug=False,
+        quantization_bits=qbits,
         shuffle_buffer_size=4, export_hf=True, trackers="jsonl",
     )
     finetune.main(cfg)
@@ -208,7 +211,7 @@ def test_finetune_script_main_end_to_end(tmp_path, monkeypatch):
     assert (hf / "config.json").exists() and (hf / "model.safetensors").exists()
     jsonl = [p for p in run.iterdir() if p.suffix == ".jsonl"]
     assert jsonl, names
-    lines = [json.loads(l) for l in open(jsonl[0]) if l.strip()]
+    lines = [json.loads(l) for p in jsonl for l in open(p) if l.strip()]
     assert any("train/loss" in l for l in lines)
 
 
@@ -275,7 +278,7 @@ def test_train_script_main_end_to_end(tmp_path, monkeypatch):
     assert any(n.startswith("step-") for n in ckpts), ckpts
     jsonl = [p for p in run.iterdir() if p.suffix == ".jsonl"]
     assert jsonl, names
-    lines = [json.loads(l) for l in open(jsonl[0]) if l.strip()]
+    lines = [json.loads(l) for p in jsonl for l in open(p) if l.strip()]
     assert any("train/loss" in l for l in lines)
 
 

@@ -477,6 +477,80 @@ def test_int4_pallas_matmul_matches_dequant_reference():
     assert out_s.shape == (2, 32)
 
 
+def test_int4_matmul_custom_vjp_matches_dequant_grad():
+    """d/dx of the kernel path equals d/dx through the XLA dequant reference
+    (both the aligned Pallas route and the tiny-shape fallback)."""
+    from bridgelang_tpu.ops.int4_matmul import matmul_int4
+    from bridgelang_tpu.ops.quant import _quantize4_2d, dequant_int4
+
+    rng = np.random.default_rng(7)
+    for K, N, group in ((512, 256, 128), (64, 32, 32)):  # kernel + fallback
+        w = rng.normal(size=(K, N)).astype(np.float32)
+        q4, s4 = _quantize4_2d(jnp.asarray(w), group=group)
+        x = jnp.asarray(rng.normal(size=(4, K)), dtype=jnp.float32)
+        co = jnp.asarray(rng.normal(size=(4, N)), dtype=jnp.float32)
+
+        g_kernel = jax.grad(lambda x: jnp.sum(matmul_int4(x, q4, s4) * co))(x)
+        g_ref = jax.grad(lambda x: jnp.sum((x @ dequant_int4(q4, s4, jnp.float32)) * co))(x)
+        np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_lora_over_int4_base_trains_and_merges():
+    """QLoRA over a packed-int4 frozen base (scripts/finetune.py
+    --quantization_bits 4): adapters get FULL input dims despite the packed
+    storage, grads flow through the int4 matmul into the adapters, and
+    merge_lora requantizes group-wise so the merged model matches the
+    adapter model."""
+    from bridgelang_tpu.ops.quant import quantize_llm_int4
+    from bridgelang_tpu.training.lora import add_lora_params, lora_trainable_mask, merge_lora
+
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    q4 = quantize_llm_int4(params, group=32)
+    lora = add_lora_params(jax.random.key(1), q4, rank=2)
+    D, I = TINY_LLM.dim, TINY_LLM.intermediate_size
+    assert lora["layers"]["w_gate_lora_a"].shape == (TINY_LLM.n_layers, D, 2)
+    assert lora["layers"]["w_down_lora_a"].shape == (TINY_LLM.n_layers, I, 2)
+
+    mask = lora_trainable_mask(lora)
+    assert jax.tree_util.tree_reduce(
+        lambda a, b: a + b, jax.tree_util.tree_map(int, mask)) == 14  # 7 targets x a,b
+
+    ids = jnp.asarray([[1, 5, 9, 12]], dtype=jnp.int32)
+
+    def loss(p):
+        return jnp.sum(jnp.abs(_fwd(p, ids).astype(jnp.float32)))
+
+    grads = jax.grad(loss, allow_int=True)(lora)  # int leaves -> float0 (as the trainer partitions)
+    # B = 0 at init, so dL/dA == 0 exactly; dL/dB = (x@A)^T g flows through
+    # the int4 matmul's custom VJP and must be nonzero.
+    gb = np.asarray(grads["layers"]["w_gate_lora_b"], dtype=np.float32)
+    assert np.isfinite(gb).all() and np.abs(gb).sum() > 0
+
+    # make adapters nonzero, then merge: in WEIGHT space the merged packed
+    # base must equal dequant(base) + A@B up to the requantization step
+    # (output-space comparison would compound int4 noise across layers)
+    from bridgelang_tpu.ops.quant import dequant_int4
+
+    bumped = dict(lora, layers={
+        k: (v + 0.05 if k.endswith("_lora_b") else v) for k, v in lora["layers"].items()})
+    merged = merge_lora(bumped)
+    assert "w_gate_lora_a" not in merged["layers"]
+    assert merged["layers"]["w_gate"].shape[1] == D // 2  # still packed
+    base_w = np.asarray(dequant_int4(q4["layers"]["w_gate"], q4["layers"]["w_gate_scale4"], jnp.float32))
+    delta = np.einsum("lir,lro->lio",
+                      np.asarray(bumped["layers"]["w_gate_lora_a"], np.float32),
+                      np.asarray(bumped["layers"]["w_gate_lora_b"], np.float32))
+    expected = base_w + delta
+    merged_w = np.asarray(dequant_int4(merged["layers"]["w_gate"], merged["layers"]["w_gate_scale4"], jnp.float32))
+    L_, d_in, d_out = expected.shape  # [L, D, intermediate]
+    group = d_in // merged["layers"]["w_gate_scale4"].shape[1]
+    grouped = expected.reshape(L_, d_in // group, group, d_out)
+    step = np.abs(grouped).max(axis=2, keepdims=True) / 7.0
+    bound = np.broadcast_to(step, grouped.shape).reshape(expected.shape)
+    # half an int4 step plus bf16 scale-storage rounding
+    assert (np.abs(merged_w - expected) <= bound * 0.5 + 0.01 * np.abs(expected) + 1e-5).all()
+
+
 def test_int4_quantized_forward_close_to_fp():
     """int4 weight-only forward tracks the fp forward (looser than int8) and
     the packed leaves halve the decoder matrix bytes."""
