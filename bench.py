@@ -104,6 +104,10 @@ def main():
     # can host is the reference's most-used workflow, LoRA fine-tuning
     # (reference vla-scripts/finetune.py:9-11) — int8 frozen base + adapters.
     _run_train_bench_subprocess("lora", LORA_BENCH_TIMEOUT_S)
+    # 13B at full 40-layer depth: QLoRA over the packed-int4 base (the fused
+    # Pallas matmul + custom VJP) — a model whose reference LoRA recipe
+    # outgrows an A100-80GB, training on one 16 GB chip.
+    _run_train_bench_subprocess("lora13b", LORA_BENCH_TIMEOUT_S)
     # Capacity proof: 13B serving on one chip through the packed-int4 mode.
     _run_train_bench_subprocess("13b4", LORA_BENCH_TIMEOUT_S)
 
@@ -615,15 +619,17 @@ def _train_bench(norm_stats):
     }
 
 
-def _lora_bench(norm_stats, batch: int = 16, remat: str = "full"):
-    """Full-depth (all 32 decoder layers) LoRA fine-tune step on one chip —
-    the reference's most-used workflow (vla-scripts/finetune.py:9-11, PEFT
-    r=32 "all-linear" + 8-bit base) at its real depth: int8 frozen base
-    (6.8 GB) + fp32 r=32 adapters + adapter-only Adam + full-remat
-    activations. Unlike _train_bench (a 2-of-32-layer proxy forced by bf16
-    footprint), every number here is measured at full depth.
+def _lora_bench(norm_stats, batch: int = 16, remat: str = "full", size: str = "7b"):
+    """Full-depth LoRA fine-tune step on one chip — the reference's most-used
+    workflow (vla-scripts/finetune.py:9-11, PEFT r=32 "all-linear" + 8-bit
+    base) at its real depth: quantized frozen base + fp32 r=32 adapters +
+    adapter-only Adam + full-remat activations. Unlike _train_bench (a
+    2-of-32-layer proxy forced by bf16 footprint), every number here is
+    measured at full depth. size="13b" swaps in the 40-layer Llama-2 13B on a
+    packed-int4 base (--quantization_bits 4): QLoRA for a model whose bf16
+    finetune needs multiple A100-80GBs, on ONE 16 GB chip.
 
-    `bench.py lora [batch] [remat]` overrides for one-off comparisons.
+    `bench.py lora [batch] [remat]` / `bench.py lora13b [batch]` overrides.
     MEASURED dead end: remat="dots" at full depth needs 21.4 GB even at b8
     (compile-time OOM vs the 15.75 GB chip) — the saved matmul outputs of 32
     layers dwarf the recompute saving; "full" is the only full-depth fit."""
@@ -632,7 +638,7 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full"):
 
     from bridgelang_tpu.models.vla import OpenVLA
     from bridgelang_tpu.models.vlm import VLMConfig
-    from bridgelang_tpu.ops.quant import init_llm_params_int8
+    from bridgelang_tpu.ops.quant import init_llm_params_int4, init_llm_params_int8
     from bridgelang_tpu.models.projector import init_projector_params
     from bridgelang_tpu.training.lora import add_lora_params, lora_trainable_mask
     from bridgelang_tpu.training.trainer import (
@@ -643,9 +649,9 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full"):
     )
 
     cfg = VLMConfig.from_ids(
-        model_id="prism-dinosiglip-224px+7b",
+        model_id=f"prism-dinosiglip-224px+{size}",
         vision_backbone_id="dinosiglip-vit-so-224px",
-        llm_backbone_id="llama2-7b-pure",
+        llm_backbone_id=f"llama2-{size}-pure",
         arch_specifier="no-align+fused-gelu-mlp",
         image_resize_strategy="resize-naive",
     )
@@ -654,10 +660,12 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full"):
     dummy = jnp.zeros((1, 6, 224, 224), dtype=jnp.bfloat16)
     vision = jax.tree.map(lambda x: x.astype(jnp.bfloat16), model.vision_module.init(k_vis, dummy)["params"])
     projector = init_projector_params(k_proj, cfg.arch_specifier, model.vision_dim, cfg.llm.dim, dtype=jnp.bfloat16)
-    llm = add_lora_params(k_lora, init_llm_params_int8(k_llm, cfg.llm), rank=32)
+    base_kind = "int4" if size == "13b" else "int8"
+    base = init_llm_params_int4(k_llm, cfg.llm) if base_kind == "int4" else init_llm_params_int8(k_llm, cfg.llm)
+    llm = add_lora_params(k_lora, base, rank=32)
     params = {"vision": vision, "projector": projector, "llm": llm}
     n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
-    print(f"[bench] lora model: {n_bytes/1e9:.1f} GB on-chip (int8 base + fp32 r=32 adapters)",
+    print(f"[bench] lora model: {n_bytes/1e9:.1f} GB on-chip ({base_kind} base + fp32 r=32 adapters)",
           file=sys.stderr)
 
     trainable = lora_trainable_mask(params)
@@ -717,7 +725,11 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full"):
     tokens = BATCH * f_len
     leaves = [(jax.tree_util.keystr(p), x) for p, x in jax.tree_util.tree_leaves_with_path(params["llm"])]
     n_lora = sum(int(x.size) for p, x in leaves if "_lora_" in p)
-    n_llm = sum(int(x.size) for p, x in leaves if not p.endswith("_scale']") and "_lora_" not in p)
+    # packed-int4 leaves store two params per byte-element: count them double
+    n_llm = sum(
+        int(x.size) * (2 if any(p2 == p[:-2] + "_scale4']" for p2, _ in leaves) else 1)
+        for p, x in leaves
+        if not (p.endswith("_scale']") or p.endswith("_scale4']") or "_lora_" in p))
     n_proj = sum(int(x.size) for x in jax.tree_util.tree_leaves(params["projector"]))
     n_vis = sum(int(x.size) for x in jax.tree_util.tree_leaves(params["vision"]))
     vis_tokens = BATCH * (model.num_patches + 5)
@@ -726,13 +738,14 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full"):
     tok_s = tokens / p50
     print(
         f"[bench] lora step p50={p50*1e3:.0f}ms -> {tok_s:,.0f} tokens/s, "
-        f"true MFU={mfu*100:.1f}% (32-layer 7B int8 base + r32 adapters, batch {BATCH}, {remat}-remat)",
+        f"true MFU={mfu*100:.1f}% ({cfg.llm.n_layers}-layer {size} {base_kind} base + r32 adapters, "
+        f"batch {BATCH}, {remat}-remat)",
         file=sys.stderr,
     )
     return {
-        "metric": "vla_lora_finetune_tokens_per_sec",
+        "metric": f"vla_lora_finetune_tokens_per_sec" if size == "7b" else "vla13b_qlora_finetune_tokens_per_sec",
         "value": round(tok_s, 1),
-        "unit": f"tokens/sec (mfu={mfu:.3f}, full-depth-7b-int8-base, r32, b{BATCH}, {remat}-remat)",
+        "unit": f"tokens/sec (mfu={mfu:.3f}, full-depth-{size}-{base_kind}-base, r32, b{BATCH}, {remat}-remat)",
         "vs_baseline": round(mfu, 3),
     }
 
@@ -795,6 +808,38 @@ def _13b_int4_bench(norm_stats):
     p50 = float(np.percentile(lat, 50))
     print(f"[bench] 13B-int4 sequential p50={p50*1e3:.1f}ms -> {1.0/p50:.2f} actions/s "
           f"(one chip; int8 13B cannot execute here at all)", file=sys.stderr)
+
+    # Speculative endpoints (cf. the 7B latency(k) curve): one verification
+    # pass replaces the six decode passes when a draft is accepted, and each
+    # 13B decode step streams 6.3 GB — the larger the model, the bigger the
+    # speculative win. Crafted drafts pin k=1 (all-but-first rejected) and
+    # k=7 (fully accepted); real rates depend on trajectory smoothness.
+    try:
+        frame_d = jnp.asarray(frame[None])
+        spec = model._jitted_predict_frames_speculative(margin_threshold=0.0,
+                                                        return_accept_count=True)
+        _, toks, _ = spec(params, ids_d, mask_d, frame_d, q01, q99, smask,
+                          jnp.zeros((1, 7), jnp.int32))
+        greedy_t = np.asarray(toks)[0].astype(np.int32)
+        for k in (1, 7):
+            draft = greedy_t.copy()
+            if k < 7:
+                draft[k:] = greedy_t[k:] + 1
+            draft_d = jnp.asarray(draft[None])
+            acts, _, acc = spec(params, ids_d, mask_d, frame_d, q01, q99, smask, draft_d)
+            np.asarray(acts)
+            sl = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                acts, _, _ = spec(params, ids_d, mask_d, frame_d, q01, q99, smask, draft_d)
+                np.asarray(acts)
+                sl.append(time.perf_counter() - t0)
+            pk = float(np.percentile(sl, 50))
+            print(f"[bench] 13B-int4 speculative k={int(np.asarray(acc)[0])}/7: "
+                  f"p50={pk*1e3:.1f}ms -> {1.0/pk:.2f} actions/s", file=sys.stderr)
+    except Exception as e:  # never let the extra curve kill the capacity line
+        print(f"[bench] 13B speculative endpoints skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     return {
         "metric": "openvla13b-int4_predict_action_throughput",
         "value": round(1.0 / p50, 3),
@@ -813,7 +858,7 @@ BENCH_NORM_STATS = {
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] in ("train", "lora", "13b4"):
+    if len(sys.argv) > 1 and sys.argv[1] in ("train", "lora", "lora13b", "13b4"):
         from bridgelang_tpu.util.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
@@ -821,6 +866,11 @@ if __name__ == "__main__":
             line = _train_bench(BENCH_NORM_STATS)
         elif sys.argv[1] == "13b4":
             line = _13b_int4_bench(BENCH_NORM_STATS)
+        elif sys.argv[1] == "lora13b":
+            line = _lora_bench(BENCH_NORM_STATS,
+                               batch=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+                               remat=sys.argv[3] if len(sys.argv) > 3 else "full",
+                               size="13b")
         else:
             line = _lora_bench(BENCH_NORM_STATS,
                                batch=int(sys.argv[2]) if len(sys.argv) > 2 else 16,
