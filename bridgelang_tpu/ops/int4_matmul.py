@@ -25,7 +25,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -109,6 +108,112 @@ def int4_kernel_eligible(k: int, n: int, n_groups: int) -> bool:
     )
 
 
+def _matmul_int4_route(x3, packed, scales):
+    """[B, T, K] @ packed — the shape-dispatch body. Also the per-shard
+    lowering under SPMD (shard-local shapes re-run the tile selection)."""
+    B, T, k = x3.shape
+    n = packed.shape[-1]
+    if not int4_kernel_eligible(k, n, scales.shape[-2]):
+        from bridgelang_tpu.ops.quant import dequant_int4
+
+        return x3 @ dequant_int4(packed, scales, dtype=x3.dtype)
+
+    x2 = x3.reshape(-1, k)
+    m = x2.shape[0]
+    if m < 16:  # decode/verify chunks: pad to one bf16 sublane tile
+        x2 = jnp.pad(x2, ((0, 16 - m), (0, 0)))
+    m_pad = x2.shape[0]
+    block_m = m_pad if m_pad <= 256 else _pick_tile(m_pad, 256, 8)
+    if block_m == 0 or m_pad * n * x3.dtype.itemsize > 64 * 1024 * 1024:
+        # awkward M (large prime) or an output too big to be a serving shape
+        from bridgelang_tpu.ops.quant import dequant_int4
+
+        return x3 @ dequant_int4(packed, scales, dtype=x3.dtype)
+    # Largest out-tile whose f32 accumulator fits a VMEM budget: fewer grid
+    # steps pipelined deeper — measured 0.258 -> 0.174 ms/matmul going from
+    # block_n=512 to full-row at 13B MLP dims (M=16).
+    block_n_cap = max(512, (3 * 1024 * 1024) // (4 * block_m))
+    block_n = _pick_tile(n, min(n, block_n_cap), 128)
+    out = _matmul_int4_2d(x2, packed, scales, block_m, block_n)
+    return out[:m].reshape(B, T, n)
+
+
+# --- SPMD partitioning --------------------------------------------------------
+#
+# Like the flash kernels (ops/flash_attention.py:206-290), a pallas_call is an
+# XLA custom call the GSPMD/Shardy partitioner cannot shard on its own —
+# unwrapped, a mesh context would force full replication of every operand
+# (all-gathering batch-sharded activations on the serving replica axis, or
+# fsdp-sharded QLoRA bases, every layer). The matmul is embarrassingly
+# parallel over x's leading (batch/time) dims and the weight's out-channel
+# dim, so the wrapper declares exactly that: batch/time propagate from x,
+# out-channels propagate from `packed` (column-parallel; `scales` reshard to
+# match), and K — where the split-half byte layout couples input rows r and
+# K/2+r inside one byte, so no contiguous x shard matches a byte-row shard —
+# is always replicated (a K-sharded operand, e.g. an fsdp-sharded QLoRA base,
+# is all-gathered before the shard-local call: standard FSDP semantics).
+
+
+def _axis_size(mesh, axes) -> int:
+    if axes is None:
+        return 1
+    import math
+
+    axes = (axes,) if isinstance(axes, str) else tuple(axes)
+    return math.prod(int(mesh.shape[a]) for a in axes)
+
+
+def _pick_int4_specs(mesh, arg_shapes):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec_of(s):
+        sh = getattr(s, "sharding", None)
+        return sh.spec if isinstance(sh, NamedSharding) else P()
+
+    x_s, p_s = arg_shapes[0], arg_shapes[1]
+    xspec = spec_of(x_s)
+    b = xspec[0] if len(xspec) > 0 else None
+    t = xspec[1] if len(xspec) > 1 else None
+    if b is not None and x_s.shape[0] % _axis_size(mesh, b) != 0:
+        b = None
+    if t is not None and x_s.shape[1] % _axis_size(mesh, t) != 0:
+        t = None
+    pspec = spec_of(p_s)
+    n = pspec[-1] if len(pspec) >= 2 else None
+    if n is not None:
+        n_sz = _axis_size(mesh, n)
+        # per-shard out-channels must stay lane-tileable for the kernel
+        if p_s.shape[-1] % n_sz != 0 or (p_s.shape[-1] // n_sz) % 128 != 0 or n in (b, t):
+            n = None
+    args = (
+        NamedSharding(mesh, P(b, t, None)),
+        NamedSharding(mesh, P(None, n)),
+        NamedSharding(mesh, P(None, n)),
+    )
+    return args, NamedSharding(mesh, P(b, t, n))
+
+
+def _int4_infer(mesh, arg_shapes, result_shape):
+    return _pick_int4_specs(mesh, arg_shapes)[1]
+
+
+def _int4_partition(mesh, arg_shapes, result_shape):
+    arg_sh, result_sh = _pick_int4_specs(mesh, arg_shapes)
+    return mesh, _matmul_int4_route, result_sh, arg_sh
+
+
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+
+_matmul_int4_spmd = custom_partitioning(_matmul_int4_route)
+_matmul_int4_spmd.def_partition(
+    partition=_int4_partition,
+    infer_sharding_from_operands=_int4_infer,  # GSPMD propagation
+    sharding_rule="b t k, p n, g n -> b t n",  # Shardy propagation
+    # sorted by factor index (order of first appearance in the rule)
+    need_replication_factors=("k", "p", "g"),
+)
+
+
 @jax.custom_vjp
 def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """x [..., K] @ int4-packed weight -> [..., N].
@@ -129,29 +234,10 @@ def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp
 def _matmul_int4_impl(x, packed, scales):
     *lead, k = x.shape
     n = packed.shape[-1]
-    if not int4_kernel_eligible(k, n, scales.shape[-2]):
-        from bridgelang_tpu.ops.quant import dequant_int4
-
-        return x @ dequant_int4(packed, scales, dtype=x.dtype)
-
-    x2 = x.reshape(-1, k)
-    m = x2.shape[0]
-    if m < 16:  # decode/verify chunks: pad to one bf16 sublane tile
-        x2 = jnp.pad(x2, ((0, 16 - m), (0, 0)))
-    m_pad = x2.shape[0]
-    block_m = m_pad if m_pad <= 256 else _pick_tile(m_pad, 256, 8)
-    if block_m == 0 or m_pad * n * x.dtype.itemsize > 64 * 1024 * 1024:
-        # awkward M (large prime) or an output too big to be a serving shape
-        from bridgelang_tpu.ops.quant import dequant_int4
-
-        return x @ dequant_int4(packed, scales, dtype=x.dtype)
-    # Largest out-tile whose f32 accumulator fits a VMEM budget: fewer grid
-    # steps pipelined deeper — measured 0.258 -> 0.174 ms/matmul going from
-    # block_n=512 to full-row at 13B MLP dims (M=16).
-    block_n_cap = max(512, (3 * 1024 * 1024) // (4 * block_m))
-    block_n = _pick_tile(n, min(n, block_n_cap), 128)
-    out = _matmul_int4_2d(x2, packed, scales, block_m, block_n)
-    return out[:m].reshape(*lead, n)
+    # canonical [B, T, K]: leading-dim sharding survives the (no-op for the
+    # serving/training 3-dim case) reshape into the SPMD wrapper
+    x3 = x.reshape(lead[0] if lead else 1, -1, k)
+    return _matmul_int4_spmd(x3, packed, scales).reshape(*lead, n)
 
 
 def _matmul_int4_fwd(x, packed, scales):

@@ -15,6 +15,7 @@ lookups detect int8 and apply scales. Norms and biases stay bf16/fp32.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Sequence
 
 import jax.numpy as jnp
@@ -179,6 +180,15 @@ def quantized_bytes(params: Params) -> int:
 
 INT4_GROUP = 128
 
+# Byte-layout version of pack_int4, persisted into every run's config.json
+# sidecar (training/checkpointing.py::save_sidecars) and checked on resume:
+# a packed-int4 checkpoint dequantizes to silently row-permuted garbage under
+# any OTHER layout (no shape or dtype mismatch would be raised). v1 is the
+# split-half layout below; the short-lived adjacent-rows (2i, 2i+1) packing
+# that preceded the fused kernel was never tagged — artifacts from it (if any
+# exist) must be re-quantized from their source checkpoint.
+INT4_PACK_LAYOUT = "split-half/v1"
+
 
 def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
     """[..., in, out] int8 codes in [-8, 7] -> [..., in//2, out] packed int8.
@@ -231,22 +241,55 @@ def quantize_llm_int4(
     per-(layer, input-group, out-channel) scales. Embedding + head stay int8
     (gather/one-column access patterns; streaming them is not the bottleneck).
     Leaves: `<name>` packed int8 [L, in//2, out] + `<name>_scale4`
-    [L, in//group, out] — the projection helper detects `_scale4`."""
+    [L, in//group, out] — the projection helper detects `_scale4`.
+
+    Memory discipline: targets quantize ONE LAYER AT A TIME straight from
+    the source leaves (host numpy from the checkpoint loader, or device
+    arrays) — at no point is an int8 staging copy or a full-stack fp32
+    transient resident. This is what lets a REAL 13B checkpoint quantize on
+    one 16 GB chip: device peak is the growing packed pytree (~7 GB final)
+    plus a single-layer transient (~140 MB), where the previous
+    int8-first route held 12.6 GB of codes next to a 5.7 GB stacked
+    transient and OOM'd (cf. init_llm_params_int4's identical discipline
+    for the random-init bench path)."""
     import jax
 
-    out = quantize_llm_int8(llm_params)  # embed/head int8 + any non-targets
-    layers = dict(out["layers"])
+    src_layers = llm_params["layers"]
+    layers = dict(src_layers)
+
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def _q4_layer(wl, g):
+        return _quantize4_2d(wl.astype(jnp.float32), g)
+
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def _q4_layer_from_int8(wl, sl, g):
+        return _quantize4_2d(wl.astype(jnp.float32) * sl.astype(jnp.float32), g)
+
     for name in targets:
-        if name not in layers:
+        if name not in src_layers:
             continue
-        w = llm_params["layers"][name]
-        if w.dtype == jnp.int8:  # already int8-quantized: dequant first
-            w = w.astype(jnp.float32) * layers[name + "_scale"].astype(jnp.float32)
-        q4, s4 = jax.lax.map(lambda wl: _quantize4_2d(wl.astype(jnp.float32), group), w)
-        layers[name] = q4
-        layers[name + "_scale4"] = s4
+        w = src_layers[name]
+        int8_scale = layers.get(name + "_scale") if w.dtype == jnp.int8 else None
+        per_layer = []
+        for l in range(w.shape[0]):  # layer at a time: bounded transients
+            if int8_scale is not None:
+                per_layer.append(_q4_layer_from_int8(w[l], int8_scale[l], g=group))
+            else:
+                per_layer.append(_q4_layer(w[l], g=group))
+        layers[name] = jnp.stack([q for q, _ in per_layer])
+        layers[name + "_scale4"] = jnp.stack([s for _, s in per_layer])
+        del per_layer
         layers.pop(name + "_scale", None)
+
+    out = dict(llm_params)
     out["layers"] = layers
+    # Embedding + head: int8 exactly as quantize_llm_int8 does (quant.py:64-71).
+    if out["embed"].dtype != jnp.int8:
+        q, scale = _quantize_tensor(out["embed"], axis=1)  # per-row (token)
+        out["embed"], out["embed_scale"] = q, scale
+    if out["lm_head"].dtype != jnp.int8:
+        q, scale = _quantize_tensor(out["lm_head"], axis=0)  # per-out-column
+        out["lm_head"], out["lm_head_scale"] = q, scale
     return out
 
 

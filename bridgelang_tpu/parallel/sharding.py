@@ -84,7 +84,28 @@ SERVING_RULES: List[Tuple[str, P]] = [
 
 
 def serving_param_shardings(mesh: Mesh, params: Any) -> Any:
-    return param_shardings(mesh, params, rules=SERVING_RULES)
+    sh = param_shardings(mesh, params, rules=SERVING_RULES)
+    # Packed-int4 leaves (capacity mode, ops/quant.py::pack_int4): the
+    # split-half byte layout couples input rows r and K/2+r inside one byte,
+    # so the megatron ROW-parallel specs above (wo/w_down shard the input
+    # dim) would hand each chip interleaved code rows that no contiguous
+    # activation shard matches — and the `*_scale4` siblings have no rule at
+    # all. int4 weights therefore REPLICATE under a mesh (13B int4 is
+    # ~8.7 GB — fits per-chip); multi-chip int4 parallelism comes from the
+    # replica (batch) axis, and matmul_int4's custom_partitioning keeps
+    # batch-sharded activations shard-local. For tensor-parallel 13B use
+    # int8 instead (fits at tensor >= 2; tested at 13B geometry in
+    # tests/test_serving_tp.py).
+    llm_layers = params.get("llm", {}).get("layers", {}) if isinstance(params, dict) else {}
+    scale4 = [k for k in llm_layers if k.endswith("_scale4")]
+    if scale4:
+        repl = NamedSharding(mesh, P())
+        layers_sh = dict(sh["llm"]["layers"])
+        for k in scale4:
+            layers_sh[k] = repl
+            layers_sh[k[: -len("_scale4")]] = repl
+        sh = {**sh, "llm": {**sh["llm"], "layers": layers_sh}}
+    return sh
 
 
 def shard_params_for_serving(mesh: Mesh, params: Any) -> Any:

@@ -136,6 +136,12 @@ def save_sidecars(run_dir, config: Dict[str, Any], dataset_statistics: Optional[
     (reference: train.py:133-138, 203-204)."""
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
+    from bridgelang_tpu.ops.quant import INT4_PACK_LAYOUT
+
+    # self-describing artifacts: packed-int4 leaves dequantize to silently
+    # row-permuted garbage under any other byte layout, so every run records
+    # the layout version and resume checks it (validate_resume).
+    config = {**config, "int4_pack_layout": INT4_PACK_LAYOUT}
     with open(run_dir / "config.json", "w") as f:
         json.dump(config, f, indent=2, default=str)
     if dataset_statistics is not None:
@@ -152,7 +158,27 @@ def load_dataset_statistics(path) -> Dict[str, Any]:
 
 def validate_resume(checkpoint_path, resume_step: int, resume_epoch: int) -> None:
     """reference train.py:146-148 asserts the filename matches the claimed
-    resume step/epoch; keep that guard."""
+    resume step/epoch; keep that guard. Additionally reject a run whose
+    recorded packed-int4 byte layout differs from this build's — restoring
+    such params would produce row-permuted weights with no shape/dtype error
+    (quant.py::INT4_PACK_LAYOUT)."""
     step, epoch, _ = parse_checkpoint_name(Path(checkpoint_path).name)
     assert step == resume_step, f"checkpoint step {step} != resume_step {resume_step}"
     assert epoch == resume_epoch, f"checkpoint epoch {epoch} != resume_epoch {resume_epoch}"
+    ckpt = Path(checkpoint_path)
+    # checkpoints live at <run_dir>/checkpoints/step-*; sidecars at <run_dir>/
+    candidates = [ckpt.parent / "config.json", ckpt.parent.parent / "config.json"]
+    cfg_file = next((c for c in candidates if c.exists()), None)
+    if cfg_file is not None:
+        from bridgelang_tpu.ops.quant import INT4_PACK_LAYOUT
+
+        with open(cfg_file) as f:
+            run_cfg = json.load(f)
+        recorded = run_cfg.get("int4_pack_layout")
+        quantized4 = run_cfg.get("use_quantization") and run_cfg.get("quantization_bits") == 4
+        if quantized4 and recorded != INT4_PACK_LAYOUT:
+            raise ValueError(
+                f"checkpoint was written with int4 pack layout {recorded!r}, this build "
+                f"uses {INT4_PACK_LAYOUT!r} — re-quantize from the source checkpoint "
+                "instead of resuming (restored packed weights would be row-permuted)."
+            )

@@ -105,6 +105,14 @@ def main(cfg: DeployConfig) -> None:
         from bridgelang_tpu.parallel.sharding import shard_params_for_serving
 
         mesh = make_mesh(cfg.mesh_spec)
+        if cfg.quantize_int4 and mesh.shape.get("tensor", 1) > 1:
+            raise SystemExit(
+                "--quantize_int4 is the single-chip capacity mode: the split-half "
+                "byte packing cannot be row-parallel-sharded, so a tensor axis "
+                "would only replicate the weights (no TP speedup). Use int8 for "
+                "tensor-parallel serving (13B int8 fits at tensor>=2), or shard "
+                "batches over the replica axis with int4."
+            )
         params = shard_params_for_serving(mesh, params)
         model.use_mesh(mesh)
         overwatch.info("Tensor-parallel serving over mesh %s", dict(mesh.shape))

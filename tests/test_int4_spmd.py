@@ -1,0 +1,84 @@
+"""SPMD partitioning of the fused packed-int4 matmul.
+
+Like flash attention (tests/test_flash_attention_spmd.py), the pallas_call
+lowers to an XLA custom call the partitioner cannot shard on its own;
+ops/int4_matmul.py registers custom_partitioning rules: x's leading
+batch/time dims propagate, the weight's out-channel dim propagates
+(column-parallel), and K — whose split-half byte packing couples input rows
+r and K/2+r inside one byte — always replicates (a K-sharded QLoRA base is
+all-gathered before the shard-local call, standard FSDP semantics). The
+reference's 4-bit path is single-GPU bitsandbytes with no sharding story at
+all (reference: vla-scripts/finetune.py:142-148).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bridgelang_tpu.ops.int4_matmul import int4_kernel_eligible, matmul_int4
+from bridgelang_tpu.ops.quant import _quantize4_2d
+from bridgelang_tpu.parallel.mesh import make_mesh
+
+K, N = 512, 256
+
+
+def _mk(seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    q4, s4 = _quantize4_2d(jnp.asarray(w), group=128)
+    assert int4_kernel_eligible(K, N, s4.shape[0])
+    x = jnp.asarray(rng.normal(size=(8, 4, K)), dtype=jnp.float32)
+    return x, q4, s4
+
+
+def _run(mesh, x_spec, w_spec, s_spec):
+    x, q4, s4 = _mk()
+    ref = np.asarray(matmul_int4(x, q4, s4), np.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, x_spec))
+    qs = jax.device_put(q4, NamedSharding(mesh, w_spec))
+    ss = jax.device_put(s4, NamedSharding(mesh, s_spec))
+    out = jax.jit(matmul_int4)(xs, qs, ss)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=1e-5, atol=1e-5)
+    return out
+
+
+def test_batch_sharded_x_stays_local():
+    """Replica-axis batch serving: x sharded on its leading dim, weights
+    replicated — the out keeps x's batch sharding (no all-gather of x)."""
+    mesh = make_mesh("replica=8,fsdp=1,tensor=1")
+    out = _run(mesh, P("replica", None, None), P(), P())
+    assert out.sharding.spec[0] == "replica"
+
+
+def test_column_parallel_weights():
+    """Out-channel (megatron column-parallel) sharding of packed + scales
+    propagates to the result's feature dim."""
+    mesh = make_mesh("replica=4,fsdp=1,tensor=2")
+    out = _run(mesh, P(), P(None, "tensor"), P(None, "tensor"))
+    assert out.sharding.spec[-1] == "tensor"
+
+
+def test_k_sharded_base_is_gathered():
+    """An fsdp-sharded frozen QLoRA base ([K//2, N] sharded on byte rows) is
+    all-gathered before the shard-local kernel — numerically exact."""
+    mesh = make_mesh("replica=2,fsdp=4,tensor=1")
+    _run(mesh, P(("replica", "fsdp"), None, None), P("fsdp", None), P(None, None))
+
+
+def test_grad_through_sharded_int4():
+    """QLoRA-on-a-mesh: d/dx of the custom VJP under sharded operands matches
+    the single-device gradient."""
+    x, q4, s4 = _mk(1)
+    co = jnp.ones((8, 4, N), jnp.float32)
+
+    def loss(xx, qq, ss):
+        return jnp.sum(matmul_int4(xx, qq, ss) * co)
+
+    g_ref = np.asarray(jax.grad(loss)(x, q4, s4), np.float32)
+    mesh = make_mesh("replica=2,fsdp=4,tensor=1")
+    xs = jax.device_put(x, NamedSharding(mesh, P(("replica", "fsdp"), None, None)))
+    qs = jax.device_put(q4, NamedSharding(mesh, P("fsdp", None)))
+    ss = jax.device_put(s4, NamedSharding(mesh, P()))
+    g = jax.jit(jax.grad(loss))(xs, qs, ss)
+    np.testing.assert_allclose(np.asarray(g, np.float32), g_ref, rtol=1e-5, atol=1e-5)

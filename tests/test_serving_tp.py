@@ -160,3 +160,28 @@ def test_tp_serving_13b_geometry_matches_single_device():
     model_tp.use_mesh(mesh)
     out = model_tp.predict_action_batch(sharded, _images(2), _instructions(2))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_int4_serving_on_mesh_matches_single_device():
+    """Packed-int4 (the 13B capacity mode) under a mesh: SERVING_RULES
+    replicate the packed leaves + their *_scale4 siblings (the split-half
+    byte layout cannot be row-parallel-sharded — sharding.py rationale), and
+    matmul_int4's custom_partitioning keeps replica-sharded batches
+    shard-local. Output must match the single-device int4 model exactly."""
+    from bridgelang_tpu.ops.quant import quantize_llm_int4
+
+    model = _tiny_model()
+    params = model.init_params(jax.random.key(7))
+    params = dict(params, llm=quantize_llm_int4(params["llm"], group=32))
+    ref = model.predict_action_batch(params, _images(4), _instructions(4))
+
+    mesh = make_mesh("replica=4,fsdp=1,tensor=2")
+    sharded = shard_params_for_serving(mesh, params)
+    # the int4 leaves must have been forced to replicate despite the tensor axis
+    for name in ("wq", "wq_scale4", "w_down", "w_down_scale4"):
+        spec = sharded["llm"]["layers"][name].sharding.spec
+        assert all(s is None for s in spec), (name, spec)
+    model_m = _tiny_model()
+    model_m.use_mesh(mesh)
+    out = model_m.predict_action_batch(sharded, _images(4), _instructions(4))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)

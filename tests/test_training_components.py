@@ -151,6 +151,28 @@ def test_checkpoint_roundtrip(tmp_path):
     except AssertionError:
         pass
 
+    # packed-int4 layout tripwire: a run recorded under a different byte
+    # layout must refuse to resume (weights would be silently row-permuted)
+    import json as _json
+
+    from bridgelang_tpu.training.checkpointing import save_sidecars
+
+    save_sidecars(tmp_path, {"use_quantization": True, "quantization_bits": 4})
+    with open(tmp_path / "config.json") as f:
+        cfg = _json.load(f)
+    from bridgelang_tpu.ops.quant import INT4_PACK_LAYOUT
+
+    assert cfg["int4_pack_layout"] == INT4_PACK_LAYOUT
+    validate_resume(path, 100, 1)  # matching layout: fine
+    cfg["int4_pack_layout"] = "adjacent-rows/v0"
+    with open(tmp_path / "config.json", "w") as f:
+        _json.dump(cfg, f)
+    try:
+        validate_resume(path, 100, 1)
+        raise RuntimeError("should have failed")
+    except ValueError as e:
+        assert "pack layout" in str(e)
+
 
 def test_checkpoint_name_parse():
     assert parse_checkpoint_name(checkpoint_name(2500, 3, 0.5)) == (2500, 3, 0.5)
