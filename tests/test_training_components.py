@@ -573,6 +573,30 @@ def test_lora_over_int4_base_trains_and_merges():
     assert (np.abs(merged_w - expected) <= bound * 0.5 + 0.01 * np.abs(expected) + 1e-5).all()
 
 
+def test_int4_quantize_from_int8_source():
+    """quantize_llm_int4 accepts an ALREADY int8-quantized decoder (the
+    serving default): each target dequantizes from its int8 codes layer by
+    layer and re-quantizes to packed int4 — close to int4-from-fp (one extra
+    8-bit rounding), with no *_scale leaves left behind."""
+    from bridgelang_tpu.ops.quant import dequant_int4, quantize_llm_int4, quantize_llm_int8
+
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    q4_direct = quantize_llm_int4(params, group=32)
+    q4_via_int8 = quantize_llm_int4(quantize_llm_int8(params), group=32)
+    assert "wq_scale" not in q4_via_int8["layers"]
+    assert q4_via_int8["layers"]["wq"].shape == q4_direct["layers"]["wq"].shape
+    a = np.asarray(dequant_int4(q4_direct["layers"]["wq"], q4_direct["layers"]["wq_scale4"], jnp.float32))
+    b = np.asarray(dequant_int4(q4_via_int8["layers"]["wq"], q4_via_int8["layers"]["wq_scale4"], jnp.float32))
+    # each is within half an int4 step (= half the group scale) of its
+    # source, the int8 detour adds half an int8 step, and the bf16 scale
+    # storage adds ~0.4% — so the dequantized weights agree to one int4 step
+    # plus that slack (garbage, e.g. a permuted layout, would be many steps)
+    step = np.maximum(np.asarray(q4_direct["layers"]["wq_scale4"], np.float32),
+                      np.asarray(q4_via_int8["layers"]["wq_scale4"], np.float32))
+    bound = np.repeat(step, 32, axis=1)  # [L, n_groups, out] -> per-row step
+    assert (np.abs(a - b) <= 1.05 * bound + 2e-3).all()
+
+
 def test_int4_quantized_forward_close_to_fp():
     """int4 weight-only forward tracks the fp forward (looser than int8) and
     the packed leaves halve the decoder matrix bytes."""
