@@ -4,19 +4,32 @@ Why a kernel at all: XLA cannot fuse 4-bit unpacking into a dot — every
 XLA-level formulation (dequant-then-dot, s4-bitcast, group-reassociated
 partial sums) was measured to materialize full-width weights in HBM, running
 at 13–28 GB/s effective against int8's 444 GB/s at 13B MLP dims. This kernel
-streams the PACKED bytes from HBM to VMEM and unpacks on the VPU, so HBM
-traffic is the int4 bytes — the whole point of the capacity mode
-(13B on one 16 GB chip; counterpart of the reference's bitsandbytes 4-bit,
+streams the PACKED bytes from HBM to VMEM, so HBM traffic is the int4
+bytes — the whole point of the capacity mode (13B on one 16 GB chip;
+counterpart of the reference's bitsandbytes 4-bit,
 vla-scripts/extern/verify_openvla.py:60).
 
-Layout contract (ops/quant.py::pack_int4, "split-half"): for a weight
-[K, N], byte [r, c] holds code[r, c] in the LOW nibble and
-code[K//2 + r, c] in the HIGH nibble. Unpacking a block is therefore two
-arithmetic shifts producing two independent [128, TN] code blocks — no
-sublane/lane interleave on the VPU. Scales are per (128-input-row group,
-out-channel); since a grid step's reduction tile is exactly one group per
-half, scales apply to the f32 PARTIAL sums (exact reassociation:
-x @ (c * s) == (x @ c) * s when s is constant over the tile's rows).
+Layout contract (ops/quant.py::pack_int4, "out-paired-lobias/v2"): for a
+weight [K, N], byte [r, c] holds code[r, c] + 8 (biased to [0, 15]) in the
+LOW nibble and code[r, N//2 + c] (signed) in the HIGH nibble. Both nibbles
+of a byte therefore multiply the SAME activation row, which lets the kernel
+skip per-element unpacking entirely: the byte value as a signed int8 IS
+16*hi + (lo + 8), so
+
+    y_all  = x @ bytes          ( = 16*y_hi + y_lo + 8*s,  s = rowsum(x) )
+    y_lo_b = x @ (bytes & 0xF)  ( = y_lo + 8*s )
+    y_hi   = (y_all - y_lo_b) / 16          (exact: integers in f32)
+    y_lo   = y_lo_b - 8*s
+
+— two MXU dots of raw/masked bytes plus two cheap linear fixups replace the
+shift-heavy VPU unpack of the previous split-half layout. The bytes convert
+to bf16 exactly (|values| <= 255 < 2^8 mantissa). Measured 3x faster at 13B
+MLP dims, M=16 (0.081 vs 0.243 ms/matmul on v5e): the old kernel was
+VPU-bound at ~8.7 us/grid-step against 2.2 us of DMA; the dots ride the
+otherwise-idle MXU. Scales are per (128-input-row group, out-channel);
+since a grid step's reduction tile is exactly one group, scales apply to
+the f32 PARTIAL sums (exact reassociation: x @ (c * s) == (x @ c) * s when
+s is constant over the tile's rows).
 """
 
 from __future__ import annotations
@@ -28,37 +41,46 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GROUP = 128  # input rows per scale group; kernel reduction tile is one group/half
+GROUP = 128  # input rows per scale group; kernel reduction tile is one group
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref, *, n_g: int, out_dtype):
-    # Scales arrive as [G, 1, N] with the group row selected by the BlockSpec
-    # index map — block (1, 1, block_n) satisfies Mosaic tiling (middle dim
-    # equals the overall dim), and an in-kernel dynamic sublane load of bf16
-    # rows would not ("index in dimension 0 is a multiple of 4" failure).
+def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_g: int, out_dtype):
+    # Scales arrive as [2*G, 1, N//2] with the group row selected by the
+    # BlockSpec index map — block (1, 1, block_n) satisfies Mosaic tiling
+    # (middle dim equals the overall dim), and an in-kernel dynamic sublane
+    # load of bf16 rows would not ("index in dimension 0 is a multiple of 4"
+    # failure).
     g = pl.program_id(2)
 
     @pl.when(g == 0)
     def _zero():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc_lo_ref[:] = jnp.zeros_like(acc_lo_ref)
+        acc_hi_ref[:] = jnp.zeros_like(acc_hi_ref)
 
-    # Nibble extraction in int32 — Mosaic does not legalize i8 vector shifts
-    # (the VPU is a 32-bit machine); int32 arithmetic shifts sign-extend
-    # identically to byte-level shifts after the widening convert.
+    # Byte math in int32 — Mosaic does not legalize i8 vector ops (the VPU
+    # is a 32-bit machine); the widening convert sign-extends, preserving
+    # the signed byte value 16*hi + lo_b. bf16 holds these integers
+    # (|v| <= 255) exactly.
     p32 = p_ref[:].astype(jnp.int32)
-    lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
-    hi = (p32 >> 4).astype(jnp.bfloat16)
-    part_lo = jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
-    part_hi = jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
-    acc_ref[:] += part_lo * s_lo_ref[0].astype(jnp.float32) + part_hi * s_hi_ref[0].astype(jnp.float32)
+    all_bf = p32.astype(jnp.bfloat16)          # 16*hi + (lo + 8)
+    lo_bf = (p32 & 0xF).astype(jnp.bfloat16)   # lo + 8
+    x = x_ref[:]
+    y_all = jnp.dot(x, all_bf, preferred_element_type=jnp.float32)
+    y_lo_b = jnp.dot(x, lo_bf, preferred_element_type=jnp.float32)
+    s = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # per-group rowsum
+    y_hi = (y_all - y_lo_b) * (1.0 / 16.0)
+    y_lo = y_lo_b - 8.0 * s
+    acc_lo_ref[:] += y_lo * s_lo_ref[0].astype(jnp.float32)
+    acc_hi_ref[:] += y_hi * s_hi_ref[0].astype(jnp.float32)
 
     @pl.when(g == n_g - 1)
     def _emit():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+        o_lo_ref[:] = acc_lo_ref[:].astype(out_dtype)
+        o_hi_ref[:] = acc_hi_ref[:].astype(out_dtype)
 
 
 def _pick_tile(n: int, cap: int, multiple: int) -> int:
@@ -73,37 +95,42 @@ def _pick_tile(n: int, cap: int, multiple: int) -> int:
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
 def _matmul_int4_2d(x, packed, scales, block_m: int, block_n: int):
     m, k = x.shape
-    n = packed.shape[1]
-    n_g = k // (2 * GROUP)
-    grid = (m // block_m, n // block_n, n_g)
-    scales3 = scales.reshape(2 * n_g, 1, n)
+    n2 = packed.shape[1]  # = N // 2
+    n_g = k // GROUP
+    grid = (m // block_m, n2 // block_n, n_g)
+    # rows g -> low-half column scales, n_g + g -> high-half column scales
+    scales3 = jnp.concatenate(
+        [scales[:, :n2], scales[:, n2:]], axis=0
+    ).reshape(2 * n_g, 1, n2)
 
     kernel = functools.partial(_kernel, n_g=n_g, out_dtype=x.dtype)
-    return pl.pallas_call(
+    out_lo, out_hi = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        out_shape=(jax.ShapeDtypeStruct((m, n2), x.dtype),) * 2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, GROUP), lambda mi, ni, g: (mi, g)),
-            pl.BlockSpec((block_m, GROUP), lambda mi, ni, g, _n_g=n_g: (mi, _n_g + g)),
             pl.BlockSpec((GROUP, block_n), lambda mi, ni, g: (g, ni)),
             pl.BlockSpec((1, 1, block_n), lambda mi, ni, g: (g, 0, ni)),
             pl.BlockSpec((1, 1, block_n), lambda mi, ni, g, _n_g=n_g: (_n_g + g, 0, ni)),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, g: (mi, ni)),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_specs=(pl.BlockSpec((block_m, block_n), lambda mi, ni, g: (mi, ni)),) * 2,
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(x, x, packed, scales3, scales3)
+    )(x, packed, scales3, scales3)
+    # the halves are the output's column halves; the concat is tiny next to
+    # the streamed weights (decode: 0.4 MB vs 35 MB at 13B dims)
+    return jnp.concatenate([out_lo, out_hi], axis=1)
 
 
 def int4_kernel_eligible(k: int, n: int, n_groups: int) -> bool:
-    """The kernel requires 128-row scale groups and both halves tile-aligned."""
+    """The kernel requires 128-row scale groups and lane-tileable halves."""
     return (
-        k % (2 * GROUP) == 0
-        and n % 128 == 0
+        k % GROUP == 0
+        and n % 256 == 0
         and n_groups * GROUP == k
     )
 
@@ -112,7 +139,7 @@ def _matmul_int4_route(x3, packed, scales):
     """[B, T, K] @ packed — the shape-dispatch body. Also the per-shard
     lowering under SPMD (shard-local shapes re-run the tile selection)."""
     B, T, k = x3.shape
-    n = packed.shape[-1]
+    n = 2 * packed.shape[-1]
     if not int4_kernel_eligible(k, n, scales.shape[-2]):
         from bridgelang_tpu.ops.quant import dequant_int4
 
@@ -129,11 +156,14 @@ def _matmul_int4_route(x3, packed, scales):
         from bridgelang_tpu.ops.quant import dequant_int4
 
         return x3 @ dequant_int4(packed, scales, dtype=x3.dtype)
-    # Largest out-tile whose f32 accumulator fits a VMEM budget: fewer grid
-    # steps pipelined deeper — measured 0.258 -> 0.174 ms/matmul going from
-    # block_n=512 to full-row at 13B MLP dims (M=16).
-    block_n_cap = max(512, (3 * 1024 * 1024) // (4 * block_m))
-    block_n = _pick_tile(n, min(n, block_n_cap), 128)
+    # Largest out-tile whose TWO f32 accumulators fit a VMEM budget: fewer
+    # grid steps pipelined deeper — full half-row at 13B decode dims.
+    block_n_cap = max(512, (3 * 1024 * 1024) // (8 * block_m))
+    block_n = _pick_tile(packed.shape[-1], min(packed.shape[-1], block_n_cap), 128)
+    if block_n == 0:  # half-row not 128-divisible despite n % 256 == 0: impossible, but guard
+        from bridgelang_tpu.ops.quant import dequant_int4
+
+        return x3 @ dequant_int4(packed, scales, dtype=x3.dtype)
     out = _matmul_int4_2d(x2, packed, scales, block_m, block_n)
     return out[:m].reshape(B, T, n)
 
@@ -145,13 +175,13 @@ def _matmul_int4_route(x3, packed, scales):
 # unwrapped, a mesh context would force full replication of every operand
 # (all-gathering batch-sharded activations on the serving replica axis, or
 # fsdp-sharded QLoRA bases, every layer). The matmul is embarrassingly
-# parallel over x's leading (batch/time) dims and the weight's out-channel
-# dim, so the wrapper declares exactly that: batch/time propagate from x,
-# out-channels propagate from `packed` (column-parallel; `scales` reshard to
-# match), and K — where the split-half byte layout couples input rows r and
-# K/2+r inside one byte, so no contiguous x shard matches a byte-row shard —
-# is always replicated (a K-sharded operand, e.g. an fsdp-sharded QLoRA base,
-# is all-gathered before the shard-local call: standard FSDP semantics).
+# parallel over x's leading (batch/time) dims, so the wrapper declares
+# exactly that: batch/time propagate from x; the weight operands always
+# replicate (the out-paired byte layout couples output columns c and N/2+c
+# inside one byte, so no contiguous column shard of the packed tensor maps
+# to a contiguous shard of the result — a sharded weight, e.g. an
+# fsdp-sharded QLoRA base, is all-gathered before the shard-local call:
+# standard FSDP semantics; tensor parallelism stays int8's job).
 
 
 def _axis_size(mesh, axes) -> int:
@@ -170,7 +200,7 @@ def _pick_int4_specs(mesh, arg_shapes):
         sh = getattr(s, "sharding", None)
         return sh.spec if isinstance(sh, NamedSharding) else P()
 
-    x_s, p_s = arg_shapes[0], arg_shapes[1]
+    x_s = arg_shapes[0]
     xspec = spec_of(x_s)
     b = xspec[0] if len(xspec) > 0 else None
     t = xspec[1] if len(xspec) > 1 else None
@@ -178,19 +208,12 @@ def _pick_int4_specs(mesh, arg_shapes):
         b = None
     if t is not None and x_s.shape[1] % _axis_size(mesh, t) != 0:
         t = None
-    pspec = spec_of(p_s)
-    n = pspec[-1] if len(pspec) >= 2 else None
-    if n is not None:
-        n_sz = _axis_size(mesh, n)
-        # per-shard out-channels must stay lane-tileable for the kernel
-        if p_s.shape[-1] % n_sz != 0 or (p_s.shape[-1] // n_sz) % 128 != 0 or n in (b, t):
-            n = None
     args = (
         NamedSharding(mesh, P(b, t, None)),
-        NamedSharding(mesh, P(None, n)),
-        NamedSharding(mesh, P(None, n)),
+        NamedSharding(mesh, P(None, None)),
+        NamedSharding(mesh, P(None, None)),
     )
-    return args, NamedSharding(mesh, P(b, t, n))
+    return args, NamedSharding(mesh, P(b, t, None))
 
 
 def _int4_infer(mesh, arg_shapes, result_shape):
@@ -208,9 +231,9 @@ _matmul_int4_spmd = custom_partitioning(_matmul_int4_route)
 _matmul_int4_spmd.def_partition(
     partition=_int4_partition,
     infer_sharding_from_operands=_int4_infer,  # GSPMD propagation
-    sharding_rule="b t k, p n, g n -> b t n",  # Shardy propagation
+    sharding_rule="b t k, k p, g n -> b t n",  # Shardy propagation
     # sorted by factor index (order of first appearance in the rule)
-    need_replication_factors=("k", "p", "g"),
+    need_replication_factors=("k", "p", "g", "n"),
 )
 
 
@@ -218,7 +241,7 @@ _matmul_int4_spmd.def_partition(
 def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """x [..., K] @ int4-packed weight -> [..., N].
 
-    `packed` is [K//2, N] int8 in the split-half nibble layout, `scales`
+    `packed` is [K, N//2] int8 in the out-paired nibble layout, `scales`
     [K//GROUP, N]. Falls back to an XLA dequant-then-dot for shapes the
     kernel cannot tile (tiny test configs) — bit-identical codes either way.
 
@@ -233,7 +256,7 @@ def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp
 
 def _matmul_int4_impl(x, packed, scales):
     *lead, k = x.shape
-    n = packed.shape[-1]
+    n = 2 * packed.shape[-1]
     # canonical [B, T, K]: leading-dim sharding survives the (no-op for the
     # serving/training 3-dim case) reshape into the SPMD wrapper
     x3 = x.reshape(lead[0] if lead else 1, -1, k)

@@ -167,12 +167,14 @@ def quantized_bytes(params: Params) -> int:
 #
 # Counterpart of the reference's bitsandbytes 4-bit inference
 # (vla-scripts/extern/verify_openvla.py:60, ~6 GB VRAM; finetune.py:142-148
-# NF4). TPU-native design: two signed 4-bit codes packed per int8 byte along
-# the INPUT axis (split-half: rows r and in//2 + r share a byte — see
-# pack_int4), per-group symmetric scales over GROUP input rows. The consuming
-# matmul is a fused Pallas kernel (ops/int4_matmul.py) that streams the packed
-# bytes and unpacks in VMEM, so HBM traffic is the int4 bytes; XLA-level
-# dequant (the fallback for tiny shapes) materializes full-width weights.
+# NF4). TPU-native design: two 4-bit codes packed per int8 byte along the
+# OUTPUT axis (out-paired: columns c and out//2 + c share a byte, low nibble
+# biased +8 — see pack_int4), per-group symmetric scales over GROUP input
+# rows. The consuming matmul is a fused Pallas kernel (ops/int4_matmul.py)
+# that streams the packed bytes and recovers both halves with two MXU dots
+# of the RAW bytes (no per-element unpack at all), so HBM traffic is the
+# int4 bytes and the VPU does no shift work; XLA-level dequant (the
+# fallback for tiny shapes) materializes full-width weights.
 #
 # Purpose: models that do not fit otherwise — 13B int8 loads 14.6 GB and
 # OOMs at execution on one 16 GB chip, while 13B int4 (~8.7 GB total)
@@ -182,38 +184,44 @@ INT4_GROUP = 128
 
 # Byte-layout version of pack_int4, persisted into every run's config.json
 # sidecar (training/checkpointing.py::save_sidecars) and checked on resume:
-# a packed-int4 checkpoint dequantizes to silently row-permuted garbage under
-# any OTHER layout (no shape or dtype mismatch would be raised). v1 is the
-# split-half layout below; the short-lived adjacent-rows (2i, 2i+1) packing
-# that preceded the fused kernel was never tagged — artifacts from it (if any
-# exist) must be re-quantized from their source checkpoint.
-INT4_PACK_LAYOUT = "split-half/v1"
+# a packed-int4 checkpoint dequantizes to silently permuted garbage under
+# any OTHER layout (no shape or dtype mismatch would be raised). v2 is the
+# out-paired, low-nibble-biased layout below; the short-lived split-half/v1
+# (input rows r and in//2+r per byte, both nibbles signed) and the
+# adjacent-rows packing that preceded it were never shipped — artifacts from
+# them (if any exist) must be re-quantized from their source checkpoint.
+INT4_PACK_LAYOUT = "out-paired-lobias/v2"
 
 
 def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
-    """[..., in, out] int8 codes in [-8, 7] -> [..., in//2, out] packed int8.
+    """[..., in, out] int8 codes in [-8, 7] -> [..., in, out//2] packed int8.
 
-    SPLIT-HALF layout: byte [r, c] holds code [r, c] in the low nibble and
-    code [in//2 + r, c] in the high nibble. Chosen for the Pallas kernel
-    (ops/int4_matmul.py): unpacking a tile is two arithmetic shifts yielding
-    two independent code blocks — no sublane interleave on the VPU, unlike
-    an adjacent-rows (2i, 2i+1) packing."""
-    half = codes.shape[-2] // 2
-    lo = codes[..., :half, :].astype(jnp.int8) & jnp.int8(0x0F)
-    hi = codes[..., half:, :].astype(jnp.int8) << 4
+    OUT-PAIRED, LOW-BIASED layout: byte [r, c] holds code [r, c] PLUS 8
+    (i.e. biased to [0, 15]) in the low nibble and code [r, out//2 + c]
+    (signed) in the high nibble. Chosen for the Pallas kernel
+    (ops/int4_matmul.py): both nibbles of a byte multiply the SAME
+    activation row, so the kernel needs NO per-element unpack shifts at
+    all — the byte value IS 16*hi + (lo+8), so one dot of the raw bytes
+    plus one dot of the masked low nibbles recovers both halves with two
+    cheap linear fixups. Measured 3x faster than the shift-unpack kernel
+    over the previous split-half layout at 13B MLP dims (0.081 vs
+    0.243 ms/matmul, M=16)."""
+    half = codes.shape[-1] // 2
+    lo = (codes[..., :, :half].astype(jnp.int8) + jnp.int8(8)) & jnp.int8(0x0F)
+    hi = codes[..., :, half:].astype(jnp.int8) << 4
     return (hi | lo).astype(jnp.int8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of pack_int4: [..., in//2, out] -> [..., in, out] int8 codes.
-    Sign-extension via arithmetic shifts (int8 is signed in XLA)."""
-    lo = (packed.astype(jnp.int8) << 4) >> 4
+    """Inverse of pack_int4: [..., in, out//2] -> [..., in, out] int8 codes.
+    Low nibble un-biases (-8); high nibble sign-extends arithmetically."""
+    lo = (packed.astype(jnp.int8) & jnp.int8(0x0F)) - jnp.int8(8)
     hi = packed.astype(jnp.int8) >> 4
-    return jnp.concatenate([lo, hi], axis=-2)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def dequant_int4(packed: jnp.ndarray, scale4: jnp.ndarray, dtype: jnp.dtype = jnp.bfloat16) -> jnp.ndarray:
-    """[..., in//2, out] packed + [..., in//GROUP, out] scales -> [..., in, out]."""
+    """[..., in, out//2] packed + [..., in//GROUP, out] scales -> [..., in, out]."""
     codes = unpack_int4(packed)
     n_in, out = codes.shape[-2], codes.shape[-1]
     g = n_in // scale4.shape[-2]
@@ -224,7 +232,7 @@ def dequant_int4(packed: jnp.ndarray, scale4: jnp.ndarray, dtype: jnp.dtype = jn
 def _quantize4_2d(w32: jnp.ndarray, group: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     n_in, out = w32.shape
     group = min(group, n_in)  # tiny test dims: one group per matrix
-    assert n_in % group == 0 and n_in % 2 == 0, (n_in, group)
+    assert n_in % group == 0 and out % 2 == 0, (n_in, group, out)
     grouped = w32.reshape(n_in // group, group, out)
     absmax = jnp.max(jnp.abs(grouped), axis=1, keepdims=True)
     scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
@@ -240,7 +248,7 @@ def quantize_llm_int4(
     """Quantize decoder layer matrices [L, in, out] to packed int4 with
     per-(layer, input-group, out-channel) scales. Embedding + head stay int8
     (gather/one-column access patterns; streaming them is not the bottleneck).
-    Leaves: `<name>` packed int8 [L, in//2, out] + `<name>_scale4`
+    Leaves: `<name>` packed int8 [L, in, out//2] + `<name>_scale4`
     [L, in//group, out] — the projection helper detects `_scale4`.
 
     Memory discipline: targets quantize ONE LAYER AT A TIME straight from

@@ -86,10 +86,10 @@ SERVING_RULES: List[Tuple[str, P]] = [
 def serving_param_shardings(mesh: Mesh, params: Any) -> Any:
     sh = param_shardings(mesh, params, rules=SERVING_RULES)
     # Packed-int4 leaves (capacity mode, ops/quant.py::pack_int4): the
-    # split-half byte layout couples input rows r and K/2+r inside one byte,
-    # so the megatron ROW-parallel specs above (wo/w_down shard the input
-    # dim) would hand each chip interleaved code rows that no contiguous
-    # activation shard matches — and the `*_scale4` siblings have no rule at
+    # out-paired byte layout couples output columns c and N/2+c inside one
+    # byte, so neither the megatron column-parallel specs above (shard the
+    # out dim) nor the row-parallel ones map a contiguous weight shard to a
+    # contiguous result shard — and the `*_scale4` siblings have no rule at
     # all. int4 weights therefore REPLICATE under a mesh (13B int4 is
     # ~8.7 GB — fits per-chip); multi-chip int4 parallelism comes from the
     # replica (batch) axis, and matmul_int4's custom_partitioning keeps

@@ -43,10 +43,10 @@ def add_lora_params(
     for t, k in zip(targets, keys):
         if t not in layers:
             continue
-        w = layers[t]  # [L, in, out] — or [L, in//2, out] for packed-int4 bases
+        w = layers[t]  # [L, in, out] — or [L, in, out//2] for packed-int4 bases
         L, d_in, d_out = w.shape
         if t + "_scale4" in layers:
-            d_in *= 2  # packed nibbles halve the stored input dim
+            d_out *= 2  # out-paired nibbles halve the stored output dim
         layers[t + "_lora_a"] = (jax.random.normal(k, (L, d_in, rank), dtype=dtype) * (rank ** -0.5))
         # Fold alpha/rank into B's eventual contribution by scaling at merge
         # time; B starts at zero either way. We record scale via metadata-free

@@ -107,8 +107,8 @@ def main(cfg: DeployConfig) -> None:
         mesh = make_mesh(cfg.mesh_spec)
         if cfg.quantize_int4 and mesh.shape.get("tensor", 1) > 1:
             raise SystemExit(
-                "--quantize_int4 is the single-chip capacity mode: the split-half "
-                "byte packing cannot be row-parallel-sharded, so a tensor axis "
+                "--quantize_int4 is the single-chip capacity mode: the out-paired "
+                "byte packing cannot be tensor-sharded, so a tensor axis "
                 "would only replicate the weights (no TP speedup). Use int8 for "
                 "tensor-parallel serving (13B int8 fits at tensor>=2), or shard "
                 "batches over the replica axis with int4."

@@ -3,12 +3,13 @@
 Like flash attention (tests/test_flash_attention_spmd.py), the pallas_call
 lowers to an XLA custom call the partitioner cannot shard on its own;
 ops/int4_matmul.py registers custom_partitioning rules: x's leading
-batch/time dims propagate, the weight's out-channel dim propagates
-(column-parallel), and K — whose split-half byte packing couples input rows
-r and K/2+r inside one byte — always replicates (a K-sharded QLoRA base is
-all-gathered before the shard-local call, standard FSDP semantics). The
-reference's 4-bit path is single-GPU bitsandbytes with no sharding story at
-all (reference: vla-scripts/finetune.py:142-148).
+batch/time dims propagate, and the weight operands always replicate — the
+out-paired byte layout couples output columns c and N/2+c inside one byte,
+so no contiguous shard of the packed tensor maps to a contiguous result
+shard (a sharded QLoRA base is all-gathered before the shard-local call,
+standard FSDP semantics). The reference's 4-bit path is single-GPU
+bitsandbytes with no sharding story at all (reference:
+vla-scripts/finetune.py:142-148).
 """
 
 import jax
@@ -51,16 +52,16 @@ def test_batch_sharded_x_stays_local():
     assert out.sharding.spec[0] == "replica"
 
 
-def test_column_parallel_weights():
-    """Out-channel (megatron column-parallel) sharding of packed + scales
-    propagates to the result's feature dim."""
+def test_out_sharded_weights_are_gathered():
+    """Out-dim sharding of packed bytes cannot propagate (each byte holds
+    output columns c AND N/2+c): the wrapper declares the weights replicated,
+    GSPMD all-gathers them, and the result is exact and replicated."""
     mesh = make_mesh("replica=4,fsdp=1,tensor=2")
-    out = _run(mesh, P(), P(None, "tensor"), P(None, "tensor"))
-    assert out.sharding.spec[-1] == "tensor"
+    _run(mesh, P(), P(None, "tensor"), P(None, "tensor"))  # exactness is the contract
 
 
 def test_k_sharded_base_is_gathered():
-    """An fsdp-sharded frozen QLoRA base ([K//2, N] sharded on byte rows) is
+    """An fsdp-sharded frozen QLoRA base ([K, N//2] sharded on input rows) is
     all-gathered before the shard-local kernel — numerically exact."""
     mesh = make_mesh("replica=2,fsdp=4,tensor=1")
     _run(mesh, P(("replica", "fsdp"), None, None), P("fsdp", None), P(None, None))

@@ -305,7 +305,7 @@ def test_load_vla_quantize_int4(tmp_path, monkeypatch):
 
     layers = params2["llm"]["layers"]
     assert layers["wq"].dtype == jnp.int8
-    assert layers["wq"].shape[1] == TINY_LLM.dim // 2  # packed input axis
+    assert layers["wq"].shape[2] == TINY_LLM.n_heads * TINY_LLM.head_dim // 2  # out-paired packing
     assert "wq_scale4" in layers and "wq_scale" not in layers
 
     action = model2.predict_action(params2, random_image(40, 40), "stack the cups")

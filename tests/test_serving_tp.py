@@ -164,8 +164,8 @@ def test_tp_serving_13b_geometry_matches_single_device():
 
 def test_int4_serving_on_mesh_matches_single_device():
     """Packed-int4 (the 13B capacity mode) under a mesh: SERVING_RULES
-    replicate the packed leaves + their *_scale4 siblings (the split-half
-    byte layout cannot be row-parallel-sharded — sharding.py rationale), and
+    replicate the packed leaves + their *_scale4 siblings (the out-paired
+    byte layout cannot be tensor-sharded — sharding.py rationale), and
     matmul_int4's custom_partitioning keeps replica-sharded batches
     shard-local. Output must match the single-device int4 model exactly."""
     from bridgelang_tpu.ops.quant import quantize_llm_int4

@@ -452,12 +452,12 @@ def test_int4_pack_roundtrip_and_dequant_groups():
     rng = np.random.default_rng(0)
     codes = rng.integers(-8, 8, size=(6, 256, 10)).astype(np.int8)
     packed = pack_int4(jnp.asarray(codes))
-    assert packed.shape == (6, 128, 10) and packed.dtype == jnp.int8
+    assert packed.shape == (6, 256, 5) and packed.dtype == jnp.int8
     np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), codes)
 
     w = rng.normal(size=(256, 12)).astype(np.float32)
     q4, s4 = _quantize4_2d(jnp.asarray(w), group=128)
-    assert q4.shape == (128, 12) and s4.shape == (2, 12)
+    assert q4.shape == (256, 6) and s4.shape == (2, 12)
     deq = np.asarray(dequant_int4(q4, s4, dtype=jnp.float32))
     # error bounded by half an int4 step of each group's absmax
     step = np.abs(w).reshape(2, 128, 12).max(axis=1, keepdims=True) / 7.0
@@ -557,7 +557,7 @@ def test_lora_over_int4_base_trains_and_merges():
         k: (v + 0.05 if k.endswith("_lora_b") else v) for k, v in lora["layers"].items()})
     merged = merge_lora(bumped)
     assert "w_gate_lora_a" not in merged["layers"]
-    assert merged["layers"]["w_gate"].shape[1] == D // 2  # still packed
+    assert merged["layers"]["w_gate"].shape[2] == I // 2  # still packed (out-paired)
     base_w = np.asarray(dequant_int4(q4["layers"]["w_gate"], q4["layers"]["w_gate_scale4"], jnp.float32))
     delta = np.einsum("lir,lro->lio",
                       np.asarray(bumped["layers"]["w_gate_lora_a"], np.float32),
@@ -604,7 +604,7 @@ def test_int4_quantized_forward_close_to_fp():
 
     params = init_llm_params(jax.random.key(0), TINY_LLM)
     q4 = quantize_llm_int4(params, group=32)  # tiny dims -> small group
-    assert q4["layers"]["wq"].shape[1] == params["layers"]["wq"].shape[1] // 2
+    assert q4["layers"]["wq"].shape[2] == params["layers"]["wq"].shape[2] // 2
     assert "wq_scale4" in q4["layers"] and "wq_scale" not in q4["layers"]
 
     ids = jnp.asarray([[1, 5, 9, 12, 44, 101]], dtype=jnp.int32)
@@ -621,7 +621,7 @@ def test_int4_init_and_dequant_roundtrip():
 
     qp = init_llm_params_int4(jax.random.key(1), TINY_LLM, group=32)
     assert qp["layers"]["w_down"].dtype == jnp.int8
-    assert qp["layers"]["w_down"].shape[1] == TINY_LLM.intermediate_size // 2
+    assert qp["layers"]["w_down"].shape[1:] == (TINY_LLM.intermediate_size, TINY_LLM.dim // 2)
     ids = jnp.asarray([[1, 3, 7]], dtype=jnp.int32)
     out = _fwd(qp, ids)
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
