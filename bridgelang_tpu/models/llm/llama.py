@@ -363,12 +363,19 @@ def _block(
         s4 = lp.get(name + "_scale4")
         if s4 is not None:
             # Packed int4: fused Pallas matmul streams the packed bytes and
-            # unpacks in VMEM (ops/int4_matmul.py) — XLA-level dequant was
-            # measured to materialize bf16 weights (18 GB/s effective vs
-            # int8's 444). A capacity mode (13B on one 16 GB chip).
-            from bridgelang_tpu.ops.int4_matmul import matmul_int4
+            # recovers both output halves with two dots of the raw bytes
+            # (ops/int4_matmul.py) — XLA-level dequant was measured to
+            # materialize bf16 weights (18 GB/s effective vs int8's 444).
+            # With cfg.w8a8 (the serving configs) the dots run on the MXU
+            # int8 path via per-token activation quant — unlike the int8
+            # weights' w8a8 branch below there is NO min-chunk gate, because
+            # the bf16-dot kernel is MXU-pass-bound even at decode M (437
+            # GB/s of packed bytes measured), so a8 speeds every chunk.
+            # Training (finetune.py QLoRA) leaves w8a8 off: bf16 dots keep
+            # the forward numerics that the STE backward assumes.
+            from bridgelang_tpu.ops.int4_matmul import matmul_int4, matmul_int4_a8
 
-            y = matmul_int4(inp, w, s4)
+            y = matmul_int4_a8(inp, w, s4) if cfg.w8a8 else matmul_int4(inp, w, s4)
         elif w.dtype == jnp.int8 and cfg.w8a8 and T >= W8A8_MIN_CHUNK:
             absmax = jnp.max(jnp.abs(inp.astype(jnp.float32)), axis=-1, keepdims=True)
             xs = jnp.where(absmax == 0, 1.0, absmax / 127.0)

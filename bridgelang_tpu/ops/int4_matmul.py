@@ -83,6 +83,39 @@ def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, ac
         o_hi_ref[:] = acc_hi_ref[:].astype(out_dtype)
 
 
+def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_g: int):
+    """w4a8 variant: activations arrive pre-quantized to int8 (per-token
+    scale applied OUTSIDE the kernel), so both dots ride the MXU's int8 path
+    (394 TOPS on v5e, 2x the bf16 rate) and the nibble-recovery fixups are
+    EXACT int32 arithmetic. Why it matters: at decode M (padded 32 rows), the
+    bf16-dot kernel is MXU-pass-bound — every 128x128 byte tile costs a full
+    systolic pass at 25% row-occupancy, capping the stream at ~437 GB/s of
+    packed bytes. Halving the pass cost makes the kernel DMA-bound."""
+    g = pl.program_id(2)
+
+    @pl.when(g == 0)
+    def _zero():
+        acc_lo_ref[:] = jnp.zeros_like(acc_lo_ref)
+        acc_hi_ref[:] = jnp.zeros_like(acc_hi_ref)
+
+    q = q_ref[:]
+    p = p_ref[:]
+    # mask in int32 (Mosaic legalizes no i8 vector bitwise), narrow for the dot
+    p_lo = (p.astype(jnp.int32) & 0xF).astype(jnp.int8)
+    y_all = jnp.dot(q, p, preferred_element_type=jnp.int32)    # 16*y_hi + y_lo_b
+    y_lo_b = jnp.dot(q, p_lo, preferred_element_type=jnp.int32)
+    s = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)    # per-group rowsum
+    y_hi = (y_all - y_lo_b) >> 4        # exact: the difference is 16*y_hi
+    y_lo = y_lo_b - 8 * s
+    acc_lo_ref[:] += y_lo.astype(jnp.float32) * s_lo_ref[0].astype(jnp.float32)
+    acc_hi_ref[:] += y_hi.astype(jnp.float32) * s_hi_ref[0].astype(jnp.float32)
+
+    @pl.when(g == n_g - 1)
+    def _emit():
+        o_lo_ref[:] = acc_lo_ref[:]
+        o_hi_ref[:] = acc_hi_ref[:]
+
+
 def _pick_tile(n: int, cap: int, multiple: int) -> int:
     """Largest divisor of `n` that is a multiple of `multiple` and <= cap."""
     best = 0
@@ -126,6 +159,37 @@ def _matmul_int4_2d(x, packed, scales, block_m: int, block_n: int):
     return jnp.concatenate([out_lo, out_hi], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def _matmul_int4_a8_2d(q, packed, scales, block_m: int, block_n: int):
+    m, k = q.shape
+    n2 = packed.shape[1]
+    n_g = k // GROUP
+    grid = (m // block_m, n2 // block_n, n_g)
+    scales3 = jnp.concatenate(
+        [scales[:, :n2], scales[:, n2:]], axis=0
+    ).reshape(2 * n_g, 1, n2)
+
+    kernel = functools.partial(_kernel_a8, n_g=n_g)
+    out_lo, out_hi = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((m, n2), jnp.float32),) * 2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, GROUP), lambda mi, ni, g: (mi, g)),
+            pl.BlockSpec((GROUP, block_n), lambda mi, ni, g: (g, ni)),
+            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g: (g, 0, ni)),
+            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g, _n_g=n_g: (_n_g + g, 0, ni)),
+        ],
+        out_specs=(pl.BlockSpec((block_m, block_n), lambda mi, ni, g: (mi, ni)),) * 2,
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(q, packed, scales3, scales3)
+    return jnp.concatenate([out_lo, out_hi], axis=1)
+
+
 def int4_kernel_eligible(k: int, n: int, n_groups: int) -> bool:
     """The kernel requires 128-row scale groups and lane-tileable halves."""
     return (
@@ -165,6 +229,37 @@ def _matmul_int4_route(x3, packed, scales):
 
         return x3 @ dequant_int4(packed, scales, dtype=x3.dtype)
     out = _matmul_int4_2d(x2, packed, scales, block_m, block_n)
+    return out[:m].reshape(B, T, n)
+
+
+def _matmul_int4_a8_route(q3, packed, scales):
+    """[B, T, K] int8 activations @ packed -> f32 [B, T, N]. Per-token scale
+    is applied by the caller (it's a rank-broadcast multiply XLA fuses into
+    the consumer). Fallback keeps the kernel's exact integer semantics."""
+    B, T, k = q3.shape
+    n = 2 * packed.shape[-1]
+    if not int4_kernel_eligible(k, n, scales.shape[-2]):
+        from bridgelang_tpu.ops.quant import dequant_int4
+
+        return q3.astype(jnp.float32) @ dequant_int4(packed, scales, dtype=jnp.float32)
+
+    q2 = q3.reshape(-1, k)
+    m = q2.shape[0]
+    if m < 32:  # int8 native sublane tile is 32 rows
+        q2 = jnp.pad(q2, ((0, 32 - m), (0, 0)))
+    m_pad = q2.shape[0]
+    block_m = m_pad if m_pad <= 256 else _pick_tile(m_pad, 256, 8)
+    if block_m == 0 or m_pad * n * 4 > 64 * 1024 * 1024:
+        from bridgelang_tpu.ops.quant import dequant_int4
+
+        return q3.astype(jnp.float32) @ dequant_int4(packed, scales, dtype=jnp.float32)
+    block_n_cap = max(512, (3 * 1024 * 1024) // (8 * block_m))
+    block_n = _pick_tile(packed.shape[-1], min(packed.shape[-1], block_n_cap), 128)
+    if block_n == 0:
+        from bridgelang_tpu.ops.quant import dequant_int4
+
+        return q3.astype(jnp.float32) @ dequant_int4(packed, scales, dtype=jnp.float32)
+    out = _matmul_int4_a8_2d(q2, packed, scales, block_m, block_n)
     return out[:m].reshape(B, T, n)
 
 
@@ -220,21 +315,28 @@ def _int4_infer(mesh, arg_shapes, result_shape):
     return _pick_int4_specs(mesh, arg_shapes)[1]
 
 
-def _int4_partition(mesh, arg_shapes, result_shape):
-    arg_sh, result_sh = _pick_int4_specs(mesh, arg_shapes)
-    return mesh, _matmul_int4_route, result_sh, arg_sh
-
-
 from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
 
-_matmul_int4_spmd = custom_partitioning(_matmul_int4_route)
-_matmul_int4_spmd.def_partition(
-    partition=_int4_partition,
-    infer_sharding_from_operands=_int4_infer,  # GSPMD propagation
-    sharding_rule="b t k, k p, g n -> b t n",  # Shardy propagation
-    # sorted by factor index (order of first appearance in the rule)
-    need_replication_factors=("k", "p", "g", "n"),
-)
+
+def _make_int4_spmd(route):
+    cp = custom_partitioning(route)
+
+    def _partition(mesh, arg_shapes, result_shape):
+        arg_sh, result_sh = _pick_int4_specs(mesh, arg_shapes)
+        return mesh, route, result_sh, arg_sh
+
+    cp.def_partition(
+        partition=_partition,
+        infer_sharding_from_operands=_int4_infer,  # GSPMD propagation
+        sharding_rule="b t k, k p, g n -> b t n",  # Shardy propagation
+        # sorted by factor index (order of first appearance in the rule)
+        need_replication_factors=("k", "p", "g", "n"),
+    )
+    return cp
+
+
+_matmul_int4_spmd = _make_int4_spmd(_matmul_int4_route)
+_matmul_int4_a8_spmd = _make_int4_spmd(_matmul_int4_a8_route)
 
 
 @jax.custom_vjp
@@ -281,3 +383,42 @@ def _matmul_int4_bwd(res, g):
 
 
 matmul_int4.defvjp(_matmul_int4_fwd, _matmul_int4_bwd)
+
+
+@jax.custom_vjp
+def matmul_int4_a8(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """w4a8: x [..., K] @ int4-packed weight -> [..., N], activations
+    quantized per-token to int8 so the kernel's dots ride the MXU int8 path.
+
+    Same layout contract as matmul_int4. The activation quantization mirrors
+    the w8a8 prefill path (models/llm/llama.py::proj) — per-token symmetric
+    absmax/127 — but unlike w8a8 it pays off at EVERY chunk length: the bf16
+    kernel is MXU-pass-bound at decode M, not weight-stream-bound, so halving
+    the pass cost speeds decode too (the serving config keys this on
+    cfg.w8a8). Numerics: nibble recovery is exact int32; the only
+    approximation beyond int4 weights is the int8 activation rounding.
+
+    Backward (for completeness — serving never differentiates): straight-
+    through estimator through the activation quant, dx = g @ W^T via a
+    transient dequant, matching matmul_int4's VJP.
+    """
+    return _matmul_int4_a8_impl(x, packed, scales)
+
+
+def _matmul_int4_a8_impl(x, packed, scales):
+    *lead, k = x.shape
+    n = 2 * packed.shape[-1]
+    x3 = x.reshape(lead[0] if lead else 1, -1, k)
+    xf = x3.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q3 = jnp.round(xf / xs).astype(jnp.int8)
+    out = _matmul_int4_a8_spmd(q3, packed, scales)  # f32, per-token scale off
+    return (out * xs).astype(x.dtype).reshape(*lead, n)
+
+
+def _matmul_int4_a8_fwd(x, packed, scales):
+    return _matmul_int4_a8_impl(x, packed, scales), (packed, scales)
+
+
+matmul_int4_a8.defvjp(_matmul_int4_a8_fwd, _matmul_int4_bwd)

@@ -83,3 +83,20 @@ def test_grad_through_sharded_int4():
     ss = jax.device_put(s4, NamedSharding(mesh, P()))
     g = jax.jit(jax.grad(loss))(xs, qs, ss)
     np.testing.assert_allclose(np.asarray(g, np.float32), g_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_a8_batch_sharded_x_stays_local():
+    """The w4a8 variant carries the same partitioning rules: a replica-
+    sharded batch stays shard-local (the internal per-token quant is
+    elementwise and GSPMD-native; the kernel wrapper propagates b/t)."""
+    from bridgelang_tpu.ops.int4_matmul import matmul_int4_a8
+
+    x, q4, s4 = _mk()
+    ref = np.asarray(matmul_int4_a8(x, q4, s4), np.float32)
+    mesh = make_mesh("replica=8,fsdp=1,tensor=1")
+    xs = jax.device_put(x, NamedSharding(mesh, P("replica", None, None)))
+    qs = jax.device_put(q4, NamedSharding(mesh, P()))
+    ss = jax.device_put(s4, NamedSharding(mesh, P()))
+    out = jax.jit(matmul_int4_a8)(xs, qs, ss)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=1e-5, atol=1e-5)
+    assert out.sharding.spec[0] == "replica"

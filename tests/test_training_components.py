@@ -499,6 +499,66 @@ def test_int4_pallas_matmul_matches_dequant_reference():
     assert out_s.shape == (2, 32)
 
 
+def test_int4_a8_matmul_matches_integer_reference():
+    """The w4a8 kernel (int8 MXU dots + exact int32 nibble recovery) must
+    match an XLA emulation of the same math: quantize x per-token to int8,
+    integer-dot against the dequantized codes, re-apply the token scale."""
+    from bridgelang_tpu.ops.int4_matmul import int4_kernel_eligible, matmul_int4_a8
+    from bridgelang_tpu.ops.quant import _quantize4_2d, dequant_int4
+
+    rng = np.random.default_rng(7)
+    K, N = 512, 256
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    q4, s4 = _quantize4_2d(jnp.asarray(w), group=128)
+    assert int4_kernel_eligible(K, N, s4.shape[0])
+    ref_w = np.asarray(dequant_int4(q4, s4, dtype=jnp.float32))
+    for M in (1, 32, 48):  # sub-tile (padded to the int8 sublane tile), tile, multi
+        x = jnp.asarray(rng.normal(size=(M, K)), dtype=jnp.bfloat16)
+        out = np.asarray(matmul_int4_a8(x, q4, s4), dtype=np.float32)
+        xf = np.asarray(x, np.float32)
+        xs = np.abs(xf).max(-1, keepdims=True) / 127.0
+        xs[xs == 0] = 1.0
+        qx = np.round(xf / xs)
+        ref = (qx @ ref_w) * xs
+        # integer path is exact; tolerance is the final cast to x.dtype (bf16)
+        np.testing.assert_allclose(out, ref, rtol=1e-2, atol=1e-2 * np.abs(ref).max())
+        # and a8 stays close to the bf16-activation truth (int8 act noise only)
+        np.testing.assert_allclose(out, xf @ ref_w, rtol=3e-2, atol=3e-2 * np.abs(xf @ ref_w).max())
+    # leading batch dims + ineligible-shape fallback keep a8 semantics
+    x3 = jnp.asarray(rng.normal(size=(2, 3, K)), dtype=jnp.bfloat16)
+    assert matmul_int4_a8(x3, q4, s4).shape == (2, 3, N)
+    w_small = rng.normal(size=(64, 32)).astype(np.float32)
+    q_s, s_s = _quantize4_2d(jnp.asarray(w_small), group=32)
+    assert not int4_kernel_eligible(64, 32, s_s.shape[0])
+    out_s = np.asarray(matmul_int4_a8(jnp.asarray(rng.normal(size=(2, 64)), jnp.bfloat16), q_s, s_s))
+    assert out_s.shape == (2, 32) and np.isfinite(out_s).all()
+
+
+def test_int4_a8_forward_close_to_bf16_kernel():
+    """cfg.w8a8 routes the int4 base through the a8 kernel (llama.py::proj);
+    logits must stay close to the bf16-dot int4 forward."""
+    import dataclasses
+
+    from bridgelang_tpu.ops.quant import quantize_llm_int4
+
+    params = init_llm_params(jax.random.key(0), TINY_LLM)
+    q4 = quantize_llm_int4(params, group=32)
+    ids = jnp.asarray([[1, 5, 9, 12, 44, 101]], dtype=jnp.int32)
+    cfg_a8 = dataclasses.replace(TINY_LLM, w8a8=True)
+
+    def fwd(cfg):
+        x = embed_tokens(q4, ids)
+        pos = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
+        h, _ = llm_forward(q4, cfg, x, pos, _causal(*ids.shape))
+        return lm_logits(q4, h, cfg)
+
+    out_bf = np.asarray(fwd(TINY_LLM), np.float32)
+    out_a8 = np.asarray(fwd(cfg_a8), np.float32)
+    assert np.isfinite(out_a8).all()
+    rel = np.linalg.norm(out_a8 - out_bf) / (np.linalg.norm(out_bf) + 1e-6)
+    assert rel < 0.1, f"a8 vs bf16-dot relative error {rel}"
+
+
 def test_int4_matmul_custom_vjp_matches_dequant_grad():
     """d/dx of the kernel path equals d/dx through the XLA dequant reference
     (both the aligned Pallas route and the tiny-shape fallback)."""
