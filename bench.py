@@ -758,13 +758,14 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full", size: str = "7
     }
 
 
-def _13b_int4_bench(norm_stats):
-    """13B serving on ONE 16 GB chip via the packed-int4 capacity mode.
-    13B int8 loads (14.6 GB) but OOMs at execution (measured, round 2) — its
-    documented path was tensor=2. int4 (~8.7 GB total) brings 13B back to a
-    single chip, mirroring the reference's load_in_4bit memory story
-    (verify_openvla.py:60). Sequential greedy, same methodology as the 7B
-    headline."""
+def _int4_serving_bench(norm_stats, size="13b"):
+    """Serving via the packed-int4 mode (w4a8 fused kernel), sequential
+    greedy, same methodology as the 7B headline. size="13b": the CAPACITY
+    story — 13B int8 loads (14.6 GB) but OOMs at execution (measured, round
+    2), int4 (~8.7 GB total) brings 13B back to a single chip, mirroring the
+    reference's load_in_4bit memory story (verify_openvla.py:60).
+    size="7b": the SPEED story — the w4a8 kernel halves decode's HBM
+    traffic vs int8, trading int4 weight precision for latency."""
     import jax
     import jax.numpy as jnp
 
@@ -774,11 +775,14 @@ def _13b_int4_bench(norm_stats):
     from bridgelang_tpu.ops.quant import init_llm_params_int4
 
     cfg = VLMConfig.from_ids(
-        model_id="prism-dinosiglip-224px+13b",
+        model_id=f"prism-dinosiglip-224px+{size}",
         vision_backbone_id="dinosiglip-vit-so-224px",
-        llm_backbone_id="llama2-13b-pure",
+        llm_backbone_id=f"llama2-{size}-pure",
         arch_specifier="no-align+fused-gelu-mlp",
         image_resize_strategy="resize-naive",
+        # a8: int4 dots ride the MXU int8 path (ops/int4_matmul.py) — exact
+        # int32 nibble recovery; only adds per-token activation rounding.
+        llm_overrides={"w8a8": True},
     )
     model = OpenVLA(cfg, norm_stats, dtype=jnp.bfloat16, prompt_bucket=48)
     k_vis, k_proj, k_llm = jax.random.split(jax.random.key(0), 3)
@@ -789,7 +793,7 @@ def _13b_int4_bench(norm_stats):
     llm = init_llm_params_int4(k_llm, cfg.llm)
     params = {"vision": vision, "projector": projector, "llm": llm}
     n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
-    print(f"[bench] 13B-int4 model: {n_bytes/1e9:.1f} GB on-chip", file=sys.stderr)
+    print(f"[bench] {size}-int4 model: {n_bytes/1e9:.1f} GB on-chip", file=sys.stderr)
 
     stats = norm_stats["bridge_orig"]["action"]
     q01 = jnp.asarray(stats["q01"], jnp.float32)
@@ -806,7 +810,7 @@ def _13b_int4_bench(norm_stats):
     t0 = time.time()
     frame = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
     np.asarray(predict(params, ids_d, mask_d, jnp.asarray(frame[None]), q01, q99, smask))
-    print(f"[bench] 13B-int4 compile+first call: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"[bench] {size}-int4 compile+first call: {time.time()-t0:.1f}s", file=sys.stderr)
     lat = []
     for _ in range(15):
         f = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
@@ -814,16 +818,18 @@ def _13b_int4_bench(norm_stats):
         np.asarray(predict(params, ids_d, mask_d, jnp.asarray(f[None]), q01, q99, smask))
         lat.append(time.perf_counter() - t0)
     p50 = float(np.percentile(lat, 50))
-    print(f"[bench] 13B-int4 sequential p50={p50*1e3:.1f}ms -> {1.0/p50:.2f} actions/s "
-          f"(one chip; int8 13B cannot execute here at all)", file=sys.stderr)
+    note = "one chip; int8 13B cannot execute here at all" if size == "13b" else "one chip; w4a8 speed mode"
+    print(f"[bench] {size}-int4 sequential p50={p50*1e3:.1f}ms -> {1.0/p50:.2f} actions/s "
+          f"({note})", file=sys.stderr)
     # Emit the capacity line BEFORE the optional speculative curve: a
     # cold-cache speculative compile can blow the subprocess timeout, and the
     # already-measured headline must survive that (the runner salvages
     # stdout from TimeoutExpired).
     print(json.dumps({
-        "metric": "openvla13b-int4_predict_action_throughput",
+        "metric": f"openvla{size}-int4_predict_action_throughput",
         "value": round(1.0 / p50, 3),
-        "unit": "actions/sec (13B on ONE 16GB chip via packed int4 — int8 13B OOMs)",
+        "unit": "actions/sec (13B on ONE 16GB chip via packed int4 — int8 13B OOMs)" if size == "13b"
+                else "actions/sec (7B packed-int4 w4a8 speed mode)",
         "vs_baseline": round(1.0 / p50 / REFERENCE_ACTIONS_PER_SEC, 3),
     }), flush=True)
 
@@ -853,10 +859,10 @@ def _13b_int4_bench(norm_stats):
                 np.asarray(acts)
                 sl.append(time.perf_counter() - t0)
             pk = float(np.percentile(sl, 50))
-            print(f"[bench] 13B-int4 speculative k={int(np.asarray(acc)[0])}/7: "
+            print(f"[bench] {size}-int4 speculative k={int(np.asarray(acc)[0])}/7: "
                   f"p50={pk*1e3:.1f}ms -> {1.0/pk:.2f} actions/s", file=sys.stderr)
     except Exception as e:  # never let the extra curve kill the capacity line
-        print(f"[bench] 13B speculative endpoints skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        print(f"[bench] {size} speculative endpoints skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     return None  # JSON already printed above (pre-speculative)
 
@@ -871,14 +877,16 @@ BENCH_NORM_STATS = {
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] in ("train", "lora", "lora13b", "13b4"):
+    if len(sys.argv) > 1 and sys.argv[1] in ("train", "lora", "lora13b", "13b4", "7b4"):
         from bridgelang_tpu.util.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
         if sys.argv[1] == "train":
             line = _train_bench(BENCH_NORM_STATS)
         elif sys.argv[1] == "13b4":
-            line = _13b_int4_bench(BENCH_NORM_STATS)
+            line = _int4_serving_bench(BENCH_NORM_STATS, size="13b")
+        elif sys.argv[1] == "7b4":
+            line = _int4_serving_bench(BENCH_NORM_STATS, size="7b")
         elif sys.argv[1] == "lora13b":
             line = _lora_bench(BENCH_NORM_STATS,
                                batch=int(sys.argv[2]) if len(sys.argv) > 2 else 8,

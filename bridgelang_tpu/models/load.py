@@ -318,6 +318,7 @@ def load_vla(
     dtype=None,
     quantize_int8: bool = False,
     quantize_int4: bool = False,
+    w8a8: Optional[bool] = None,
     cache_dir=None,
 ):
     """Build an OpenVLA model (+ params when a checkpoint is found).
@@ -325,8 +326,15 @@ def load_vla(
     `quantize_int8` / `quantize_int4` quantize the decoder on load — the
     reference's bitsandbytes load_in_8bit/load_in_4bit analogues
     (verify_openvla.py:49-60). int8 is the serving default (faster than bf16
-    on bandwidth-bound decode); int4 is the CAPACITY mode that fits 13B on
-    one 16 GB chip (slower per step — see ops/quant.py).
+    on bandwidth-bound decode); int4 is the capacity mode that fits 13B on
+    one 16 GB chip (and, with w8a8, the decode speed mode — see ops/quant.py).
+
+    `w8a8=True` additionally quantizes activations per-token so quantized
+    matmuls ride the MXU int8 path: prefill chunks for int8 weights
+    (models/llm/llama.py::proj), every chunk for int4. Default: enabled
+    whenever the decoder is quantized — the serving posture. Pass
+    w8a8=False for training loads (finetune.py QLoRA keeps bf16-activation
+    forward numerics).
 
     Accepts a local directory containing HF-format `config.json`,
     `*.safetensors`, and `dataset_statistics.json`
@@ -346,6 +354,8 @@ def load_vla(
     with open(path / "config.json") as f:
         hf_cfg = json.load(f)
 
+    if w8a8 is None:
+        w8a8 = quantize_int8 or quantize_int4  # serving posture by default
     cfg = VLMConfig.from_ids(
         model_id=hf_cfg.get("_name_or_path", str(path.name)),
         vision_backbone_id=hf_cfg["vision_backbone_id"],
@@ -353,6 +363,7 @@ def load_vla(
         arch_specifier=hf_cfg["arch_specifier"],
         image_resize_strategy=hf_cfg["image_resize_strategy"],
         llm_max_length=hf_cfg.get("llm_max_length", 2048),
+        llm_overrides={"w8a8": True} if w8a8 else None,
     )
     norm_stats = hf_cfg.get("norm_stats") or {}
     stats_file = path / "dataset_statistics.json"

@@ -42,9 +42,10 @@ class DeployConfig:
     # int8 KV cache (per-token-per-head quant + bf16 scales): halves the
     # cache's HBM footprint — required for max_batch >= 16 on one 16 GB chip.
     kv_cache_int8: bool = False
-    # Packed int4 decoder (capacity mode): fits 13B on one 16 GB chip where
-    # int8 OOMs. Slower than int8 on models that fit either way — keep the
-    # default int8 for 7B. Overrides quantize_int8.
+    # Packed int4 decoder: fits 13B on one 16 GB chip where int8 OOMs, and
+    # with the w4a8 fused kernel (ops/int4_matmul.py) halves decode's HBM
+    # traffic vs int8 — a speed/precision tradeoff for 7B too. Overrides
+    # quantize_int8.
     quantize_int4: bool = False
     # Batch-1 default: decode speculatively, drafting from the server-side
     # previous tokens per (instruction, unnorm_key) — greedy-equivalent

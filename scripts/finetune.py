@@ -103,6 +103,10 @@ def main(cfg: FinetuneConfig) -> None:
         cfg.vla_path,
         quantize_int8=cfg.use_quantization and cfg.quantization_bits == 8,
         quantize_int4=cfg.use_quantization and cfg.quantization_bits == 4,
+        # Training keeps bf16-activation matmuls over the quantized base:
+        # the a8 serving path's STE backward assumes the forward it skews
+        # (load.py defaults w8a8 on for quantized loads — the serving posture).
+        w8a8=False,
     )
     if params is None:
         raise FileNotFoundError(f"No weights found at {cfg.vla_path}")
