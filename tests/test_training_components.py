@@ -688,3 +688,16 @@ def test_int4_init_and_dequant_roundtrip():
     deq = dequantize_llm_int4(qp)
     assert deq["layers"]["w_down"].shape == (TINY_LLM.n_layers, TINY_LLM.intermediate_size, TINY_LLM.dim)
     assert "w_down_scale4" not in deq["layers"]
+
+
+def test_int4_kernel_eligible_at_flagship_geometry():
+    """The fused kernel (not the XLA dequant fallback) must cover every
+    decoder matmul of the shipped models: 7B (4096/11008) and 13B
+    (5120/13824) projections, including the fused gate|up and q|k|v stacks."""
+    from bridgelang_tpu.ops.int4_matmul import GROUP, int4_kernel_eligible
+
+    for k, n in [
+        (4096, 4096), (4096, 11008), (11008, 4096),   # 7B attn + MLP
+        (5120, 5120), (5120, 13824), (13824, 5120),   # 13B attn + MLP
+    ]:
+        assert int4_kernel_eligible(k, n, k // GROUP), (k, n)
