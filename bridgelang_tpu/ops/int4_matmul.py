@@ -49,11 +49,11 @@ def _interpret() -> bool:
 
 
 def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_g: int, out_dtype):
-    # Scales arrive as [2*G, 1, N//2] with the group row selected by the
-    # BlockSpec index map — block (1, 1, block_n) satisfies Mosaic tiling
-    # (middle dim equals the overall dim), and an in-kernel dynamic sublane
-    # load of bf16 rows would not ("index in dimension 0 is a multiple of 4"
-    # failure).
+    # Scales arrive as a free [G, 1, N] view with the group row AND column
+    # half selected by the BlockSpec index maps — block (1, 1, block_n)
+    # satisfies Mosaic tiling (middle dim equals the overall dim), and an
+    # in-kernel dynamic sublane load of bf16 rows would not ("index in
+    # dimension 0 is a multiple of 4" failure).
     g = pl.program_id(2)
 
     @pl.when(g == 0)
@@ -131,10 +131,12 @@ def _matmul_int4_2d(x, packed, scales, block_m: int, block_n: int):
     n2 = packed.shape[1]  # = N // 2
     n_g = k // GROUP
     grid = (m // block_m, n2 // block_n, n_g)
-    # rows g -> low-half column scales, n_g + g -> high-half column scales
-    scales3 = jnp.concatenate(
-        [scales[:, :n2], scales[:, n2:]], axis=0
-    ).reshape(2 * n_g, 1, n2)
+    # [G, 1, N] view (free reshape — no copy): the lo/hi column halves are
+    # selected by the two BlockSpec index maps below. An earlier version
+    # materialized a [2G, 1, N//2] concat here — inside the decoder's layer
+    # scan that re-copied EVERY scale every step (~210 MB/step at 7B).
+    scales3 = scales.reshape(n_g, 1, 2 * n2)
+    nb_hi = n2 // block_n  # column-block offset of the high half
 
     kernel = functools.partial(_kernel, n_g=n_g, out_dtype=x.dtype)
     out_lo, out_hi = pl.pallas_call(
@@ -145,7 +147,7 @@ def _matmul_int4_2d(x, packed, scales, block_m: int, block_n: int):
             pl.BlockSpec((block_m, GROUP), lambda mi, ni, g: (mi, g)),
             pl.BlockSpec((GROUP, block_n), lambda mi, ni, g: (g, ni)),
             pl.BlockSpec((1, 1, block_n), lambda mi, ni, g: (g, 0, ni)),
-            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g, _n_g=n_g: (_n_g + g, 0, ni)),
+            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g, _nb=nb_hi: (g, 0, _nb + ni)),
         ],
         out_specs=(pl.BlockSpec((block_m, block_n), lambda mi, ni, g: (mi, ni)),) * 2,
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)] * 2,
@@ -165,9 +167,9 @@ def _matmul_int4_a8_2d(q, packed, scales, block_m: int, block_n: int):
     n2 = packed.shape[1]
     n_g = k // GROUP
     grid = (m // block_m, n2 // block_n, n_g)
-    scales3 = jnp.concatenate(
-        [scales[:, :n2], scales[:, n2:]], axis=0
-    ).reshape(2 * n_g, 1, n2)
+    # free [G, 1, N] view; lo/hi halves picked by index maps (see _matmul_int4_2d)
+    scales3 = scales.reshape(n_g, 1, 2 * n2)
+    nb_hi = n2 // block_n
 
     kernel = functools.partial(_kernel_a8, n_g=n_g)
     out_lo, out_hi = pl.pallas_call(
@@ -178,7 +180,7 @@ def _matmul_int4_a8_2d(q, packed, scales, block_m: int, block_n: int):
             pl.BlockSpec((block_m, GROUP), lambda mi, ni, g: (mi, g)),
             pl.BlockSpec((GROUP, block_n), lambda mi, ni, g: (g, ni)),
             pl.BlockSpec((1, 1, block_n), lambda mi, ni, g: (g, 0, ni)),
-            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g, _n_g=n_g: (_n_g + g, 0, ni)),
+            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g, _nb=nb_hi: (g, 0, _nb + ni)),
         ],
         out_specs=(pl.BlockSpec((block_m, block_n), lambda mi, ni, g: (mi, ni)),) * 2,
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)] * 2,
