@@ -51,6 +51,7 @@ class VerifyConfig:
     tokenizer_path: Optional[str] = None
     calls: int = 100
     quantize_int8: bool = True
+    quantize_int4: bool = False  # w4a8 speed/capacity mode; overrides int8
     parallel_decode: bool = False
     golden: Optional[str] = None  # replay a golden .npz -> bit-parity verdict
     golden_record: Optional[str] = None  # record a golden .npz from this model
@@ -185,7 +186,9 @@ def _build_model(cfg: VerifyConfig):
         from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
         from bridgelang_tpu.models.load import load_vla
 
-        model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8)
+        model, params = load_vla(cfg.checkpoint,
+                                 quantize_int8=cfg.quantize_int8 and not cfg.quantize_int4,
+                                 quantize_int4=cfg.quantize_int4)
         model.tokenizer = get_tokenizer(cfg.tokenizer_path)
         return model, params
     print("[verify] no checkpoint; random-init DEPTH-TRIMMED flagship "
