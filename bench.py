@@ -41,6 +41,37 @@ TRAIN_BENCH_TIMEOUT_S = 900  # cold dots-remat compile alone is ~250s on this ba
 LORA_BENCH_TIMEOUT_S = 1800  # 32-layer train graph through the remote compile service
 
 
+def _wait_for_tpu(budget_s: float = 1500.0) -> bool:
+    """Block until the relay-tunneled TPU backend answers, up to budget_s.
+
+    The relay drops for stretches of minutes-to-hours (observed); a bench
+    launched into an outage would otherwise produce an empty artifact. Probes
+    in a SUBPROCESS: a failed in-process backend init can wedge this process's
+    jax permanently (no in-process retry — same reason the train benches run
+    in subprocesses)."""
+    import subprocess
+
+    t0 = time.time()
+    attempt = 0
+    while time.time() - t0 < budget_s:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=75, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"[bench] TPU relay up after {time.time()-t0:.0f}s", file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] TPU relay unreachable (attempt {attempt}, "
+              f"{time.time()-t0:.0f}s elapsed) — retrying", file=sys.stderr)
+        time.sleep(30)
+    print(f"[bench] TPU relay still down after {budget_s:.0f}s — giving up", file=sys.stderr)
+    return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -99,6 +130,7 @@ def main():
     # need a fresh chip (params+grads+Adam cannot share 16 GB with the 8.3 GB
     # serving model) and an OOM must never wedge the serving headline. Runs
     # BEFORE the parent touches any device so each child has the chip alone. ---
+    _wait_for_tpu()
     _run_train_bench_subprocess("train", TRAIN_BENCH_TIMEOUT_S)
     # Full-depth evidence: the ONLY 32-layer train measurement a 16 GB chip
     # can host is the reference's most-used workflow, LoRA fine-tuning
@@ -878,6 +910,7 @@ BENCH_NORM_STATS = {
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] in ("train", "lora", "lora13b", "13b4", "7b4"):
+        _wait_for_tpu()
         from bridgelang_tpu.util.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
