@@ -22,11 +22,28 @@ _FORMAT = "%(asctime)s | %(levelname)-7s | %(name)s >> %(message)s"
 _DATEFMT = "%m/%d %H:%M:%S"
 
 
+def _backend_ready() -> bool:
+    """True only if a jax backend is ALREADY initialized. Querying rank must
+    never TRIGGER initialization: overwatch is created at script import time,
+    and backend init that early (a) hangs for the whole relay outage when the
+    TPU tunnel is down and (b) defeats any later jax.config platform override
+    (scripts/deploy.py --force_cpu)."""
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is None:
+        return False
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge._backends)
+    except Exception:
+        return False
+
+
 def _process_index() -> int:
     # Cheap path first: honor env before jax is imported/initialized.
     if "JAX_PROCESS_INDEX" in os.environ:
         return int(os.environ["JAX_PROCESS_INDEX"])
-    if "jax" in sys.modules:
+    if _backend_ready():
         try:
             return sys.modules["jax"].process_index()
         except Exception:
@@ -37,7 +54,7 @@ def _process_index() -> int:
 def _process_count() -> int:
     if "JAX_PROCESS_COUNT" in os.environ:
         return int(os.environ["JAX_PROCESS_COUNT"])
-    if "jax" in sys.modules:
+    if _backend_ready():
         try:
             return sys.modules["jax"].process_count()
         except Exception:
@@ -55,7 +72,13 @@ class Overwatch:
             handler.setFormatter(logging.Formatter(_FORMAT, datefmt=_DATEFMT))
             self.logger.addHandler(handler)
             self.logger.propagate = False
-        self.logger.setLevel(logging.INFO if self.is_rank_zero() else logging.ERROR)
+        self.logger.setLevel(logging.INFO)
+        # Rank gating is a per-record FILTER, not a frozen level: overwatch is
+        # built at import time, before jax.distributed (or any backend)
+        # exists, and asking for the rank then would initialize a backend —
+        # see _backend_ready. Once distributed init lands, non-zero ranks
+        # drop below ERROR automatically.
+        self.logger.addFilter(lambda rec: _process_index() == 0 or rec.levelno >= logging.ERROR)
 
         for lvl in ("debug", "info", "warning", "error", "critical"):
             setattr(self, lvl, getattr(self.logger, lvl))

@@ -35,6 +35,10 @@ class DeployConfig:
     tokenizer_path: Optional[str] = None
     quantize_int8: bool = True
     random_init_for_smoke: bool = False  # serve a random tiny model (dev)
+    # Dev/CI: pin the host CPU backend (conftest.py's trick — config.update
+    # beats the sitecustomize axon preload as long as no device was touched).
+    # Makes the REST smoke drivable when the TPU relay tunnel is down.
+    force_cpu: bool = False
     warmup: bool = True  # compile/cache-load the predict program before listening
     max_batch: int = 1  # >1 enables micro-batching of concurrent requests
     batch_window_ms: float = 6.0
@@ -61,6 +65,9 @@ class DeployConfig:
 
 def main(cfg: DeployConfig) -> None:
     import jax
+
+    if cfg.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
