@@ -472,3 +472,25 @@ def test_verify_speculative_stream(tmp_path):
     acc_prod, _ = verify.speculative_stream(model, params, frames, "push", "bridge_orig",
                                             margin_threshold=0.25)
     assert ((acc_prod >= 1) & (acc_prod <= 7)).all()
+
+
+def test_script_import_initializes_no_jax_backend():
+    """Importing an entry-point script must not initialize a jax backend:
+    initialize_overwatch runs at module import, and an eager rank query
+    there hangs server startup for the whole duration of a TPU relay outage
+    and defeats --force_cpu (overwatch.py::_backend_ready rationale)."""
+    import subprocess
+
+    code = (
+        "import importlib.util, sys; sys.argv = ['deploy.py']; "
+        f"spec = importlib.util.spec_from_file_location('deploy_mod', {str(ROOT / 'scripts' / 'deploy.py')!r}); "
+        "m = importlib.util.module_from_spec(spec); sys.modules['deploy_mod'] = m; "
+        "spec.loader.exec_module(m); "
+        "from jax._src import xla_bridge; "
+        "assert not xla_bridge._backends, f'backend initialized at import: {list(xla_bridge._backends)}'; "
+        "print('no-backend-ok')"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                       timeout=120, cwd=str(ROOT))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "no-backend-ok" in r.stdout
