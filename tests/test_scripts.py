@@ -481,16 +481,20 @@ def test_script_import_initializes_no_jax_backend():
     and defeats --force_cpu (overwatch.py::_backend_ready rationale)."""
     import subprocess
 
+    scripts = ["deploy", "train", "finetune", "pretrain", "verify", "generate",
+               "demo", "profile_serving", "inspect_checkpoint", "preprocess"]
+    loads = "; ".join(
+        f"spec = importlib.util.spec_from_file_location('mod_{s}', {str(ROOT / 'scripts' / (s + '.py'))!r}); "
+        f"m = importlib.util.module_from_spec(spec); sys.modules['mod_{s}'] = m; spec.loader.exec_module(m)"
+        for s in scripts)
     code = (
-        "import importlib.util, sys; sys.argv = ['deploy.py']; "
-        f"spec = importlib.util.spec_from_file_location('deploy_mod', {str(ROOT / 'scripts' / 'deploy.py')!r}); "
-        "m = importlib.util.module_from_spec(spec); sys.modules['deploy_mod'] = m; "
-        "spec.loader.exec_module(m); "
+        "import importlib.util, sys; sys.argv = ['x.py']; "
+        + loads + "; "
         "from jax._src import xla_bridge; "
         "assert not xla_bridge._backends, f'backend initialized at import: {list(xla_bridge._backends)}'; "
         "print('no-backend-ok')"
     )
     r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
-                       timeout=120, cwd=str(ROOT))
+                       timeout=180, cwd=str(ROOT))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "no-backend-ok" in r.stdout
