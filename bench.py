@@ -142,6 +142,10 @@ def main():
     _run_train_bench_subprocess("lora13b", LORA_BENCH_TIMEOUT_S)
     # Capacity proof: 13B serving on one chip through the packed-int4 mode.
     _run_train_bench_subprocess("13b4", LORA_BENCH_TIMEOUT_S)
+    # Speed probe: the same packed-int4 path at 7B geometry — the w4a8 fused
+    # kernel halves decode's weight stream vs int8 (precision tradeoff; the
+    # int8 headline below stays the quality-default mode).
+    _run_train_bench_subprocess("7b4", LORA_BENCH_TIMEOUT_S)
 
     print(f"[bench] backend={jax.default_backend()} device={jax.devices()[0].device_kind}", file=sys.stderr)
     serving = _serving_bench(build, norm_stats)
