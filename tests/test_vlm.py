@@ -289,3 +289,33 @@ def test_speculative_decode_batched_and_jittable(tiny_vlm):
                                                                    cache_dtype=jnp.float32))
     out = np.asarray(fn(params, ids, mask, pix, jnp.asarray(drafts)))
     np.testing.assert_array_equal(out, greedy)
+
+
+def test_speculative_bit_exact_over_int4_a8():
+    """The server's default mode (speculative) over the int4 w4a8 path:
+    greedy-equivalence must survive the a8 kernel — per-token activation
+    quant is row-independent and the nibble recovery is exact int32, so the
+    T=1 decode steps and the T=7 verify chunk see identical logits."""
+    from bridgelang_tpu.ops.quant import quantize_llm_int4
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(
+            VLMConfig(), llm=dataclasses.replace(TINY_LLM, w8a8=True))
+        model = PrismaticVLM(cfg, dtype=jnp.float32)
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+    params = dict(params, llm=quantize_llm_int4(params["llm"], group=32))
+
+    pix = _pixels()
+    ids, mask = _prompt(model, t=9, pad_to=12)
+    greedy = np.asarray(model.generate_greedy(params, ids, mask, pix, max_new_tokens=7,
+                                              cache_dtype=jnp.float32))
+    for draft in (jnp.asarray(greedy),                       # perfect
+                  jnp.full_like(jnp.asarray(greedy), 3)):   # garbage
+        out = model.generate_speculative(params, ids, mask, pix, draft,
+                                         cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out), greedy)
