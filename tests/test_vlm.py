@@ -319,3 +319,32 @@ def test_speculative_bit_exact_over_int4_a8():
         out = model.generate_speculative(params, ids, mask, pix, draft,
                                          cache_dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(out), greedy)
+
+
+def test_int4_a8_batched_rows_match_unbatched():
+    """Micro-batched serving contract over w4a8: each batch row's greedy
+    tokens equal its single-example run. a8 quantizes activations PER TOKEN
+    ROW (absmax/127), so batching must not couple examples."""
+    from bridgelang_tpu.ops.quant import quantize_llm_int4
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(
+            VLMConfig(), llm=dataclasses.replace(TINY_LLM, w8a8=True))
+        model = PrismaticVLM(cfg, dtype=jnp.float32)
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+    params = dict(params, llm=quantize_llm_int4(params["llm"], group=32))
+
+    ids, mask = _prompt(model, b=3, t=9, seed=5)
+    pix = _pixels(3)
+    batched = np.asarray(model.generate_greedy(params, ids, mask, pix, max_new_tokens=5,
+                                               cache_dtype=jnp.float32))
+    for r in range(3):
+        single = np.asarray(model.generate_greedy(
+            params, ids[r:r + 1], mask[r:r + 1], pix[r:r + 1], max_new_tokens=5,
+            cache_dtype=jnp.float32))
+        np.testing.assert_array_equal(single[0], batched[r])
