@@ -482,7 +482,8 @@ def test_script_import_initializes_no_jax_backend():
     import subprocess
 
     scripts = ["deploy", "train", "finetune", "pretrain", "verify", "generate",
-               "demo", "profile_serving", "inspect_checkpoint", "preprocess"]
+               "demo", "profile_serving", "inspect_checkpoint", "preprocess",
+               "bench_quant_matmul"]
     loads = "; ".join(
         f"spec = importlib.util.spec_from_file_location('mod_{s}', {str(ROOT / 'scripts' / (s + '.py'))!r}); "
         f"m = importlib.util.module_from_spec(spec); sys.modules['mod_{s}'] = m; spec.loader.exec_module(m)"
