@@ -130,7 +130,12 @@ def main():
     # need a fresh chip (params+grads+Adam cannot share 16 GB with the 8.3 GB
     # serving model) and an OOM must never wedge the serving headline. Runs
     # BEFORE the parent touches any device so each child has the chip alone. ---
-    _wait_for_tpu()
+    if not _wait_for_tpu():
+        # Running the benches anyway would burn each child's full timeout
+        # (~2 more hours) to produce the same empty artifact. Fail loudly.
+        print('{"metric": "bench_skipped_tpu_unreachable", "value": 0, '
+              '"unit": "relay outage outlasted the wait budget", "vs_baseline": 0}')
+        raise SystemExit(1)
     _run_train_bench_subprocess("train", TRAIN_BENCH_TIMEOUT_S)
     # Full-depth evidence: the ONLY 32-layer train measurement a 16 GB chip
     # can host is the reference's most-used workflow, LoRA fine-tuning
@@ -527,10 +532,16 @@ def _accept_histogram(tok_stream: np.ndarray, strategy: str) -> dict:
 def _run_train_bench_subprocess(mode: str, timeout_s: float) -> None:
     import subprocess
 
+    import os
+
     try:
+        # The parent just confirmed the relay is up, so cap the child's own
+        # wait low: a 1500s child wait inside a 900s subprocess timeout would
+        # otherwise eat the whole budget and die having benched nothing.
         proc = subprocess.run(
             [sys.executable, __file__, mode],
             capture_output=True, text=True, timeout=timeout_s,
+            env={**os.environ, "BRIDGELANG_TPU_WAIT_S": "120"},
         )
     except subprocess.TimeoutExpired as e:
         # salvage any metric line the child printed before the kill (the 13b4
@@ -914,7 +925,10 @@ BENCH_NORM_STATS = {
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] in ("train", "lora", "lora13b", "13b4", "7b4"):
-        _wait_for_tpu()
+        import os
+
+        if not _wait_for_tpu(budget_s=float(os.environ.get("BRIDGELANG_TPU_WAIT_S", "1500"))):
+            raise SystemExit(1)
         from bridgelang_tpu.util.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()

@@ -377,9 +377,9 @@ def _block(
 
             y = matmul_int4_a8(inp, w, s4) if cfg.w8a8 else matmul_int4(inp, w, s4)
         elif w.dtype == jnp.int8 and cfg.w8a8 and T >= W8A8_MIN_CHUNK:
-            absmax = jnp.max(jnp.abs(inp.astype(jnp.float32)), axis=-1, keepdims=True)
-            xs = jnp.where(absmax == 0, 1.0, absmax / 127.0)
-            q = jnp.round(inp.astype(jnp.float32) / xs).astype(jnp.int8)
+            from bridgelang_tpu.ops.quant import quantize_activations_per_token
+
+            q, xs = quantize_activations_per_token(inp)
             acc = jax.lax.dot_general(q, w, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32)
             y = (acc.astype(jnp.float32) * xs * lp[name + "_scale"].astype(jnp.float32)).astype(inp.dtype)
         elif w.dtype == jnp.int8:

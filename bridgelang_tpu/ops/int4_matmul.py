@@ -125,8 +125,11 @@ def _pick_tile(n: int, cap: int, multiple: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
-def _matmul_int4_2d(x, packed, scales, block_m: int, block_n: int):
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "a8"))
+def _int4_2d(x, packed, scales, block_m: int, block_n: int, a8: bool):
+    """Shared pallas_call plumbing for both kernels. a8=False: bf16 dots,
+    output in x.dtype. a8=True: x is pre-quantized int8, int8 MXU dots,
+    f32 output with the per-token scale applied by the caller."""
     m, k = x.shape
     n2 = packed.shape[1]  # = N // 2
     n_g = k // GROUP
@@ -138,10 +141,12 @@ def _matmul_int4_2d(x, packed, scales, block_m: int, block_n: int):
     scales3 = scales.reshape(n_g, 1, 2 * n2)
     nb_hi = n2 // block_n  # column-block offset of the high half
 
-    kernel = functools.partial(_kernel, n_g=n_g, out_dtype=x.dtype)
+    out_dtype = jnp.float32 if a8 else x.dtype
+    kernel = (functools.partial(_kernel_a8, n_g=n_g) if a8
+              else functools.partial(_kernel, n_g=n_g, out_dtype=out_dtype))
     out_lo, out_hi = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((m, n2), x.dtype),) * 2,
+        out_shape=(jax.ShapeDtypeStruct((m, n2), out_dtype),) * 2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, GROUP), lambda mi, ni, g: (mi, g)),
@@ -161,37 +166,6 @@ def _matmul_int4_2d(x, packed, scales, block_m: int, block_n: int):
     return jnp.concatenate([out_lo, out_hi], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
-def _matmul_int4_a8_2d(q, packed, scales, block_m: int, block_n: int):
-    m, k = q.shape
-    n2 = packed.shape[1]
-    n_g = k // GROUP
-    grid = (m // block_m, n2 // block_n, n_g)
-    # free [G, 1, N] view; lo/hi halves picked by index maps (see _matmul_int4_2d)
-    scales3 = scales.reshape(n_g, 1, 2 * n2)
-    nb_hi = n2 // block_n
-
-    kernel = functools.partial(_kernel_a8, n_g=n_g)
-    out_lo, out_hi = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((m, n2), jnp.float32),) * 2,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, GROUP), lambda mi, ni, g: (mi, g)),
-            pl.BlockSpec((GROUP, block_n), lambda mi, ni, g: (g, ni)),
-            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g: (g, 0, ni)),
-            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g, _nb=nb_hi: (g, 0, _nb + ni)),
-        ],
-        out_specs=(pl.BlockSpec((block_m, block_n), lambda mi, ni, g: (mi, ni)),) * 2,
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)] * 2,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=_interpret(),
-    )(q, packed, scales3, scales3)
-    return jnp.concatenate([out_lo, out_hi], axis=1)
-
-
 def int4_kernel_eligible(k: int, n: int, n_groups: int) -> bool:
     """The kernel requires 128-row scale groups and lane-tileable halves."""
     return (
@@ -201,68 +175,54 @@ def int4_kernel_eligible(k: int, n: int, n_groups: int) -> bool:
     )
 
 
-def _matmul_int4_route(x3, packed, scales):
-    """[B, T, K] @ packed — the shape-dispatch body. Also the per-shard
-    lowering under SPMD (shard-local shapes re-run the tile selection)."""
+def _int4_route(x3, packed, scales, a8: bool):
+    """[B, T, K] @ packed — the shape-dispatch body for both kernel modes.
+    Also the per-shard lowering under SPMD (shard-local shapes re-run the
+    tile selection). a8=True takes int8 activations and returns f32 with the
+    per-token scale applied by the caller (a rank-broadcast multiply XLA
+    fuses into the consumer); its fallback keeps the kernel's exact integer
+    semantics."""
     B, T, k = x3.shape
     n = 2 * packed.shape[-1]
-    if not int4_kernel_eligible(k, n, scales.shape[-2]):
+
+    def fallback():
         from bridgelang_tpu.ops.quant import dequant_int4
 
+        if a8:
+            return x3.astype(jnp.float32) @ dequant_int4(packed, scales, dtype=jnp.float32)
         return x3 @ dequant_int4(packed, scales, dtype=x3.dtype)
+
+    if not int4_kernel_eligible(k, n, scales.shape[-2]):
+        return fallback()
 
     x2 = x3.reshape(-1, k)
     m = x2.shape[0]
-    if m < 16:  # decode/verify chunks: pad to one bf16 sublane tile
-        x2 = jnp.pad(x2, ((0, 16 - m), (0, 0)))
+    # decode/verify chunks: pad to one native sublane tile (int8: 32 rows)
+    min_sublane = 32 if a8 else 16
+    if m < min_sublane:
+        x2 = jnp.pad(x2, ((0, min_sublane - m), (0, 0)))
     m_pad = x2.shape[0]
     block_m = m_pad if m_pad <= 256 else _pick_tile(m_pad, 256, 8)
-    if block_m == 0 or m_pad * n * x3.dtype.itemsize > 64 * 1024 * 1024:
+    out_itemsize = 4 if a8 else x3.dtype.itemsize
+    if block_m == 0 or m_pad * n * out_itemsize > 64 * 1024 * 1024:
         # awkward M (large prime) or an output too big to be a serving shape
-        from bridgelang_tpu.ops.quant import dequant_int4
-
-        return x3 @ dequant_int4(packed, scales, dtype=x3.dtype)
+        return fallback()
     # Largest out-tile whose TWO f32 accumulators fit a VMEM budget: fewer
     # grid steps pipelined deeper — full half-row at 13B decode dims.
     block_n_cap = max(512, (3 * 1024 * 1024) // (8 * block_m))
     block_n = _pick_tile(packed.shape[-1], min(packed.shape[-1], block_n_cap), 128)
     if block_n == 0:  # half-row not 128-divisible despite n % 256 == 0: impossible, but guard
-        from bridgelang_tpu.ops.quant import dequant_int4
-
-        return x3 @ dequant_int4(packed, scales, dtype=x3.dtype)
-    out = _matmul_int4_2d(x2, packed, scales, block_m, block_n)
+        return fallback()
+    out = _int4_2d(x2, packed, scales, block_m, block_n, a8)
     return out[:m].reshape(B, T, n)
+
+
+def _matmul_int4_route(x3, packed, scales):
+    return _int4_route(x3, packed, scales, a8=False)
 
 
 def _matmul_int4_a8_route(q3, packed, scales):
-    """[B, T, K] int8 activations @ packed -> f32 [B, T, N]. Per-token scale
-    is applied by the caller (it's a rank-broadcast multiply XLA fuses into
-    the consumer). Fallback keeps the kernel's exact integer semantics."""
-    B, T, k = q3.shape
-    n = 2 * packed.shape[-1]
-    if not int4_kernel_eligible(k, n, scales.shape[-2]):
-        from bridgelang_tpu.ops.quant import dequant_int4
-
-        return q3.astype(jnp.float32) @ dequant_int4(packed, scales, dtype=jnp.float32)
-
-    q2 = q3.reshape(-1, k)
-    m = q2.shape[0]
-    if m < 32:  # int8 native sublane tile is 32 rows
-        q2 = jnp.pad(q2, ((0, 32 - m), (0, 0)))
-    m_pad = q2.shape[0]
-    block_m = m_pad if m_pad <= 256 else _pick_tile(m_pad, 256, 8)
-    if block_m == 0 or m_pad * n * 4 > 64 * 1024 * 1024:
-        from bridgelang_tpu.ops.quant import dequant_int4
-
-        return q3.astype(jnp.float32) @ dequant_int4(packed, scales, dtype=jnp.float32)
-    block_n_cap = max(512, (3 * 1024 * 1024) // (8 * block_m))
-    block_n = _pick_tile(packed.shape[-1], min(packed.shape[-1], block_n_cap), 128)
-    if block_n == 0:
-        from bridgelang_tpu.ops.quant import dequant_int4
-
-        return q3.astype(jnp.float32) @ dequant_int4(packed, scales, dtype=jnp.float32)
-    out = _matmul_int4_a8_2d(q2, packed, scales, block_m, block_n)
-    return out[:m].reshape(B, T, n)
+    return _int4_route(q3, packed, scales, a8=True)
 
 
 # --- SPMD partitioning --------------------------------------------------------
@@ -408,13 +368,12 @@ def matmul_int4_a8(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> 
 
 
 def _matmul_int4_a8_impl(x, packed, scales):
+    from bridgelang_tpu.ops.quant import quantize_activations_per_token
+
     *lead, k = x.shape
     n = 2 * packed.shape[-1]
     x3 = x.reshape(lead[0] if lead else 1, -1, k)
-    xf = x3.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.where(absmax == 0, 1.0, absmax / 127.0)
-    q3 = jnp.round(xf / xs).astype(jnp.int8)
+    q3, xs = quantize_activations_per_token(x3)
     out = _matmul_int4_a8_spmd(q3, packed, scales)  # f32, per-token scale off
     return (out * xs).astype(x.dtype).reshape(*lead, n)
 

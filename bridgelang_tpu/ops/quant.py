@@ -25,6 +25,18 @@ Params = Dict[str, Any]
 QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
+def quantize_activations_per_token(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token symmetric absmax/127 int8 activation quantization — THE
+    activation-side numerics of every w8a8-family path (int8-weight prefill
+    in models/llm/llama.py::proj and the w4a8 kernel's wrapper in
+    ops/int4_matmul.py share this helper so they cannot drift). Returns
+    (q int8 [..., K], scale f32 [..., 1]); dequant is `acc * scale`."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    return jnp.round(xf / scale).astype(jnp.int8), scale
+
+
 def _quantize_2d(w32: jnp.ndarray, axis: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     absmax = jnp.max(jnp.abs(w32), axis=axis, keepdims=True)
     scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)

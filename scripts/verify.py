@@ -101,11 +101,31 @@ def _golden_predict(model, params, rec) -> tuple:
     return tokens.astype(np.int32), actions
 
 
+def _numerics_tag(model, params) -> str:
+    """Serving-numerics fingerprint: decoder weight dtype + activation mode.
+    Recorded into golden bundles so a replay under a different mode (e.g. a
+    bundle recorded pre-w8a8 replayed on a w8a8 load) fails with an
+    explanation instead of a bare token mismatch."""
+    import jax
+
+    leaves = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(params["llm"])}
+    kind = ("int4" if any(k.endswith("_scale4']") for k in leaves)
+            else "int8" if any(k.endswith("_scale']") for k in leaves) else "bf16")
+    return f"{kind}+w8a8" if getattr(model.cfg.llm, "w8a8", False) else kind
+
+
 def replay_golden(model, params, golden_path, atol: float = 1e-5):
     """Replay a golden bundle; returns (n_pass, n_total, failure messages)."""
     import numpy as np
 
     rec = np.load(golden_path, allow_pickle=False)
+    if "numerics" in rec:
+        recorded, live = str(rec["numerics"]), _numerics_tag(model, params)
+        if recorded != live:
+            print(f"[verify] WARNING: golden bundle was recorded under numerics "
+                  f"{recorded!r} but this model runs {live!r} — token mismatches "
+                  f"below are expected; re-record or match --quantize_* flags "
+                  f"(load_vla defaults quantized serving loads to w8a8)")
     tokens, actions = _golden_predict(model, params, rec)
     exp_tokens = np.asarray(rec["expected_tokens"], np.int32)
     exp_actions = np.asarray(rec["expected_actions"], np.float32)
@@ -134,7 +154,8 @@ def record_golden(model, params, out_path, calls: int, unnorm_key: Optional[str]
     key = unnorm_key or next(iter(model.norm_stats))
     rec = {"frames": frames, "instructions": instructions, "unnorm_key": np.asarray(key)}
     tokens, actions = _golden_predict(model, params, rec)
-    np.savez(out_path, **rec, expected_tokens=tokens, expected_actions=actions)
+    np.savez(out_path, **rec, expected_tokens=tokens, expected_actions=actions,
+             numerics=np.asarray(_numerics_tag(model, params)))
     return out_path
 
 
@@ -199,7 +220,22 @@ def _build_model(cfg: VerifyConfig):
     graft = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(graft)
     model = graft._flagship_model(llm_layers=8, vit_depth=8)
+    if cfg.quantize_int8 or cfg.quantize_int4:
+        # Honor the quant flags on the random-init path too, mirroring
+        # load_vla's serving posture (int4/int8 decoder + w8a8 activations) —
+        # otherwise a --quantize_int4 smoke silently times the bf16 model.
+        import dataclasses
+
+        model.cfg = dataclasses.replace(model.cfg, llm=dataclasses.replace(model.cfg.llm, w8a8=True))
     params = model.init_params(jax.random.key(0), param_dtype=jnp.bfloat16)
+    if cfg.quantize_int4:
+        from bridgelang_tpu.ops.quant import quantize_llm_int4
+
+        params["llm"] = quantize_llm_int4(params["llm"])
+    elif cfg.quantize_int8:
+        from bridgelang_tpu.ops.quant import quantize_llm_int8
+
+        params["llm"] = quantize_llm_int8(params["llm"])
     return model, params
 
 
