@@ -317,3 +317,27 @@ def test_speculative_with_int8_cache_matches_greedy():
         spec = model.generate_speculative(params, jnp.asarray(ids), jnp.asarray(m), px,
                                           jnp.asarray(draft, jnp.int32))
         np.testing.assert_array_equal(np.asarray(spec), np.asarray(greedy))
+
+
+def test_quantize_activations_per_token_contract():
+    """The shared w8a8/w4a8 activation quantizer (ops/quant.py): exact
+    dequant bound, zero-row guard, int8 range."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bridgelang_tpu.ops.quant import quantize_activations_per_token
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 64)) * 3.0, jnp.float32)
+    q, s = quantize_activations_per_token(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 5, 1)
+    # absmax maps to ±127 exactly; everything dequantizes within half a bin
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    bin_half = np.asarray(s)[..., 0] / 2
+    assert (np.abs(deq - np.asarray(x)).max(axis=-1) <= bin_half + 1e-6).all()
+    assert int(np.abs(np.asarray(q)).max()) == 127
+
+    zero_row = jnp.zeros((1, 1, 64), jnp.float32)
+    q0, s0 = quantize_activations_per_token(zero_row)
+    assert float(np.asarray(s0)[0, 0, 0]) == 1.0
+    assert not np.asarray(q0).any()

@@ -341,6 +341,49 @@ def test_golden_record_replay_roundtrip(tmp_path):
     verify.record_golden(model, params, golden, calls=3, unnorm_key="bridge_orig")
     n_pass, n_total, failures = verify.replay_golden(model, params, golden)
     assert (n_pass, n_total) == (3, 3), failures
+    # The bundle pins the serving numerics it was recorded under, so a
+    # replay on a differently-quantized load explains itself.
+    assert str(np.load(golden)["numerics"]) == "bf16"
+
+
+def test_golden_replay_warns_on_numerics_mismatch(tmp_path, capsys):
+    """A golden bundle recorded under one quantization mode replayed under
+    another prints the mode mismatch (the token diff alone is unexplainable)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import bridgelang_tpu.models.vlm as vlm_mod
+    from bridgelang_tpu.models.vision.vit import ViT
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.models.vlm import VLMConfig
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from tests.helpers import TINY_LLM, TINY_NORM_STATS, TINY_VIT, StubTokenizer
+
+    verify = _load("verify")
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    golden = tmp_path / "g.npz"
+    verify.record_golden(model, params, golden, calls=2, unnorm_key="bridge_orig")
+    # Same weights under a different declared activation mode: on this bf16
+    # (non-quantized) model w8a8 is inert, so tokens still match — the test
+    # isolates the warning itself.
+    model.cfg = dataclasses.replace(model.cfg, llm=dataclasses.replace(model.cfg.llm, w8a8=True))
+    n_pass, n_total, _ = verify.replay_golden(model, params, golden)
+    out = capsys.readouterr().out
+    assert "recorded under numerics 'bf16'" in out and "'bf16+w8a8'" in out
+    assert (n_pass, n_total) == (2, 2)
 
 
 def test_server_speculative_default_mode(tmp_path):
