@@ -446,6 +446,20 @@ class PrismaticVLM:
             return (token0, jnp.ones((b,), jnp.int32)) if return_accept_count else token0
 
         # --- verification pass: [token0, draft[1:]] as ONE chunk ---
+        # Decode-consistent numerics: the int8-weight w8a8 branch gates on
+        # chunk length (llama.py W8A8_MIN_CHUNK), so sequential decode (T=1)
+        # always runs the bf16-dequant matmuls. A verify chunk of
+        # n >= W8A8_MIN_CHUNK must NOT cross onto the int8-activation path —
+        # its logits would differ from decode by activation-quant error far
+        # beyond the bf16 tiling noise margin_threshold is sized for, breaking
+        # the greedy-equivalence contract for action_dim >= 8 models (e.g.
+        # bimanual). int4 (w4a8) weights have no chunk gate — decode and
+        # verify both quantize — so they keep cfg as-is.
+        from bridgelang_tpu.models.llm.llama import W8A8_MIN_CHUNK
+
+        has_int4 = any(k.endswith("_scale4") for k in params["llm"]["layers"])
+        if cfg.w8a8 and n >= W8A8_MIN_CHUNK and not has_int4:
+            cfg = dataclasses.replace(cfg, w8a8=False)
         ver_in = jnp.concatenate([token0, draft_tokens[:, 1:].astype(jnp.int32)], axis=1)  # [B, n]
         pos_chunk = true_len[:, None] + jnp.arange(n)[None, :]  # token i sits at true_len + i
         k_idx = jnp.arange(s_len)[None, None, None, :]

@@ -47,7 +47,7 @@ def encode_array(arr: np.ndarray) -> Any:
 
 
 def draft_from_history(prev2: Optional[np.ndarray], prev1: np.ndarray, vocab_size: int,
-                       step_thresh: int = 2, clamp: int = 8) -> np.ndarray:
+                       step_thresh: int = 2, clamp: int = 8, n_bins: int = 256) -> np.ndarray:
     """Hybrid token-space draft from the last two ticks' action tokens:
     per-dim, extrapolate the last step (clamped to +-`clamp` bins) only where
     it was >= `step_thresh` bins — tracks moving dims without letting
@@ -62,20 +62,44 @@ def draft_from_history(prev2: Optional[np.ndarray], prev1: np.ndarray, vocab_siz
     # Clip only the dims we extrapolated: a static dim's draft must be prev1
     # VERBATIM even if it lies outside the action-token range (random-weight
     # models emit such tokens; any int is a legal draft).
-    ex = np.clip(prev1 + step, vocab_size - 256, vocab_size - 1)
+    ex = np.clip(prev1 + step, vocab_size - n_bins, vocab_size - 1)
     return np.where(step != 0, ex, prev1).astype(np.int32)
+
+
+# Horizon bound: each value is its own jitted program shape (7*H decode
+# positions); requests beyond any sane control-chunk length are rejected
+# rather than traced (eval harnesses use H<=8).
+MAX_HORIZON = 32
+
+
+def batch_buckets(max_batch: int) -> List[int]:
+    """The padded batch sizes the server executes: powers of two up to
+    max_batch, plus max_batch itself when it is not one. The SINGLE source
+    of truth shared with compile_cache.warmup_predict — any bucket the
+    worker can hit is warmed, so no live request stalls behind a 7B compile."""
+    buckets, b = [1], 2
+    while b < max_batch:
+        buckets.append(b)
+        b *= 2
+    if max_batch > 1:
+        buckets.append(max_batch)
+    return buckets
 
 
 class _Pending:
     """One queued request awaiting a batch slot."""
 
-    __slots__ = ("image", "instruction", "unnorm_key", "event", "result", "error")
+    __slots__ = ("image", "instruction", "unnorm_key", "event", "result", "error", "abandoned")
 
     def __init__(self, image, instruction, unnorm_key):
         self.image, self.instruction, self.unnorm_key = image, instruction, unnorm_key
         self.event = threading.Event()
         self.result = None
         self.error: Optional[BaseException] = None
+        # Set when the submitting thread gave up (request_timeout_s): the
+        # worker drops abandoned entries instead of burning a TPU pass on
+        # results nobody will read.
+        self.abandoned = False
 
 
 class VLAServer:
@@ -180,17 +204,32 @@ class VLAServer:
             # current + horizon-1 future actions — ONLY meaningful for models
             # fine-tuned with `finetune.py --parallel_decode --action_chunk`.
             # Bypasses micro-batching and drafting (no decode loop to skip).
+            horizon = int(request["horizon"])
+            if not getattr(self.model, "parallel_decode", False):
+                # Without the parallel-objective fine-tune, generate_parallel
+                # emits untrained positions — garbage with a 200. Refuse.
+                raise ValueError(
+                    "horizon requires a parallel-objective model "
+                    "(deploy.py --parallel_decode on a --parallel_decode fine-tune)")
+            if not 1 <= horizon <= MAX_HORIZON:
+                # Each horizon is its own jitted program shape; an unbounded
+                # value lets one request pin the chip on a fresh trace.
+                raise ValueError(f"horizon must be in [1, {MAX_HORIZON}], got {horizon}")
             chunk = self.model.predict_action_chunk(
-                self.params, image, instruction, horizon=int(request["horizon"]),
+                self.params, image, instruction, horizon=horizon,
                 unnorm_key=unnorm_key,
             )
             return {"action": encode_array(chunk)}
-        if "draft_tokens" in request and request["draft_tokens"] is not None:
+        if (request.get("draft_tokens") is not None
+                and not getattr(self.model, "parallel_decode", False)):
             # Speculative serving (stateless): the client sends back the
             # `tokens` from its previous response as the draft; smooth robot
             # trajectories get a mostly-accepted draft -> ~1.8x faster while
             # staying greedy-equivalent. Bypasses micro-batching (a control
-            # loop is latency-, not throughput-, bound).
+            # loop is latency-, not throughput-, bound). On a parallel-
+            # objective model the draft is IGNORED (falls through to the
+            # parallel program below): the sequential speculative path would
+            # emit teacher-forced tokens that fine-tune never trained.
             action, tokens = self.model.predict_action_speculative(
                 self.params, image, instruction,
                 draft_tokens=np.asarray(request["draft_tokens"], np.int32),
@@ -205,7 +244,8 @@ class VLAServer:
                 if hist[1] is None:
                     draft = np.zeros(self.model.get_action_dim(unnorm_key), np.int32)
                 else:
-                    draft = draft_from_history(hist[0], hist[1], self.model.cfg.llm.vocab_size)
+                    draft = draft_from_history(hist[0], hist[1], self.model.cfg.llm.vocab_size,
+                                               n_bins=getattr(self.model, "n_action_bins", 256))
                 action, tokens = self.model.predict_action_speculative(
                     self.params, image, instruction, draft_tokens=draft, unnorm_key=unnorm_key
                 )
@@ -220,6 +260,7 @@ class VLAServer:
         pending = _Pending(image, instruction, unnorm_key)
         self._queue.put(pending)
         if not pending.event.wait(timeout=self.request_timeout_s):
+            pending.abandoned = True
             raise TimeoutError("batched predict timed out")
         if pending.error is not None:
             raise pending.error
@@ -239,7 +280,8 @@ class VLAServer:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            for group in self._group_compatible(batch):
+            live = [p for p in batch if not p.abandoned]
+            for group in self._group_compatible(live):
                 self._run_group(group)
 
     @staticmethod
@@ -251,13 +293,16 @@ class VLAServer:
 
     def _run_group(self, group: List[_Pending]) -> None:
         try:
+            group = [p for p in group if not p.abandoned]
+            if not group:
+                return
             n = len(group)
-            # Pad to a power-of-two bucket: a handful of compiled batch sizes
-            # instead of one executable per arrival count.
-            bucket = 1
-            while bucket < n:
-                bucket *= 2
-            bucket = min(bucket, self.max_batch)
+            # Pad to the next warmed bucket: a handful of compiled batch
+            # sizes instead of one executable per arrival count, and only
+            # sizes warmup_predict has already compiled (batch_buckets is
+            # the shared list — a non-power-of-two max_batch is a bucket
+            # too, so it never triggers a mid-serving compile stall).
+            bucket = next(b for b in batch_buckets(self.max_batch) if b >= n)
             images = [p.image for p in group] + [group[0].image] * (bucket - n)
             instructions = [p.instruction for p in group] + [group[0].instruction] * (bucket - n)
             actions = self.model.predict_action_batch(
@@ -301,13 +346,23 @@ class VLAServer:
                     length = int(self.headers.get("Content-Length", "0"))
                     request = json.loads(self.rfile.read(length))
                     out = server_self.predict(request)
-                    server_self._record(time.perf_counter() - t0, error=False)
-                    self._send(200, out)
                 except Exception:
                     # per-request error containment (reference deploy.py:110-118)
                     server_self._record(time.perf_counter() - t0, error=True)
                     traceback.print_exc()
-                    self._send(500, {"error": "error", "detail": traceback.format_exc(limit=3)})
+                    try:
+                        self._send(500, {"error": "error", "detail": traceback.format_exc(limit=3)})
+                    except OSError:
+                        pass  # client already gone
+                    return
+                # The prediction succeeded — record it exactly once, even if
+                # the client hung up before the response write (a send failure
+                # must not re-enter the except above and double-count).
+                server_self._record(time.perf_counter() - t0, error=False)
+                try:
+                    self._send(200, out)
+                except OSError:
+                    pass  # client timed out/closed; the result is simply lost
 
         return Handler
 

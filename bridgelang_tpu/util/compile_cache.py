@@ -37,22 +37,21 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
 def warmup_predict(model, params, max_batch: int = 1, unnorm_key: str | None = None,
                    speculative: bool = False) -> float:
     """Compile (or cache-load) the jitted predict program for every batch
-    bucket the server can hit — batch 1 plus each power of two up to
-    `max_batch` — so no live request ever stalls behind a 7B compile. Uses
-    the model's own transform resolution. With `speculative`, also warms the
-    batch-1 speculative program (the server's default serving mode). Returns
-    seconds spent."""
+    bucket the server can hit (serving.server.batch_buckets — the shared
+    list, so a non-power-of-two max_batch is warmed too) — no live request
+    ever stalls behind a 7B compile. Uses the model's own transform
+    resolution. With `speculative`, also warms the batch-1 speculative
+    program (the server's default serving mode). Returns seconds spent."""
     import numpy as np
+
+    from bridgelang_tpu.serving.server import batch_buckets
 
     if unnorm_key is None:
         unnorm_key = next(iter(model.norm_stats))
     size = model.image_transform.towers[0].size
     frame = np.zeros((size, size, 3), np.uint8)
 
-    buckets, b = [1], 2
-    while b <= max_batch:
-        buckets.append(b)
-        b *= 2
+    buckets = batch_buckets(max_batch)
     t0 = time.time()
     for n in buckets:
         model.predict_action_batch(params, [frame] * n, ["warmup"] * n, unnorm_key=unnorm_key)

@@ -186,7 +186,8 @@ def speculative_stream(model, params, frames, instruction: str, unnorm_key: Opti
     accepts, lat = [], []
     for i, frame in enumerate(frames):
         draft = (np.zeros(action_dim, np.int32) if prev1 is None
-                 else draft_from_history(prev2, prev1, vocab))
+                 else draft_from_history(prev2, prev1, vocab,
+                                         n_bins=getattr(model, "n_action_bins", 256)))
         t0 = time.perf_counter()
         acts, toks, acc = fn(params, ids_d, mask_d, jnp.asarray(np.asarray(frame)[None]),
                              q01, q99, smask, jnp.asarray(draft[None]))

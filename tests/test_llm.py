@@ -341,3 +341,70 @@ def test_quantize_activations_per_token_contract():
     q0, s0 = quantize_activations_per_token(zero_row)
     assert float(np.asarray(s0)[0, 0, 0]) == 1.0
     assert not np.asarray(q0).any()
+
+
+def test_speculative_verify_chunk_stays_greedy_equivalent_past_w8a8_gate():
+    """action_dim >= W8A8_MIN_CHUNK regression: an int8+w8a8 model's
+    speculative VERIFY chunk (T = n >= 8) must not cross onto the
+    int8-activation matmul path while sequential decode (T=1) runs the
+    bf16-dequant branch — the activation-quant logit shift exceeds what the
+    margin gate is sized for, silently breaking greedy-equivalence for
+    long-action (e.g. bimanual 14-DoF) models."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bridgelang_tpu.models.llm.llama import W8A8_MIN_CHUNK
+    from bridgelang_tpu.models.vlm import PrismaticVLM, VLMConfig
+    from bridgelang_tpu.ops.quant import quantize_llm_int8
+    from tests.helpers import TINY_LLM, TINY_VIT
+
+    n = W8A8_MIN_CHUNK  # verify chunk length that crosses the gate
+    cfg = dataclasses.replace(VLMConfig(), llm=dataclasses.replace(TINY_LLM, w8a8=True),
+                              vision_override=TINY_VIT)
+    model = PrismaticVLM(cfg, dtype=jnp.float32)
+    params = model.init_params(jax.random.key(3))
+    params["llm"] = quantize_llm_int8(params["llm"])
+    rng = np.random.default_rng(1)
+    b, t = 2, 12
+    ids = np.full((b, t), TINY_LLM.pad_token_id, np.int32)
+    m = np.zeros((b, t), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1:9] = rng.integers(3, 500, size=(b, 8))
+    m[:, :9] = 1
+    px = jnp.asarray(rng.normal(size=(b, 3, 32, 32)), jnp.float32)
+
+    greedy = model.generate_greedy(params, jnp.asarray(ids), jnp.asarray(m), px, max_new_tokens=n)
+    for draft in (np.zeros((b, n), np.int32), np.asarray(greedy)):
+        # margin_threshold=0 accepts every positive-margin position, so any
+        # verify-vs-decode numerics mismatch shows up as a token diff here.
+        spec = model.generate_speculative(params, jnp.asarray(ids), jnp.asarray(m), px,
+                                          jnp.asarray(draft, jnp.int32), margin_threshold=0.0)
+        np.testing.assert_array_equal(np.asarray(spec), np.asarray(greedy))
+
+    # Tiny weights may not flip an argmax, so also pin the MECHANISM: count
+    # activation-quant calls — speculative must quantize exactly as often as
+    # greedy (prefill only; the verify chunk and fix-up loop stay bf16).
+    import bridgelang_tpu.ops.quant as quant_mod
+
+    real = quant_mod.quantize_activations_per_token
+    calls = {"n": 0}
+
+    def counting(x):
+        calls["n"] += 1
+        return real(x)
+
+    quant_mod.quantize_activations_per_token = counting
+    try:
+        model.generate_greedy(params, jnp.asarray(ids), jnp.asarray(m), px, max_new_tokens=n)
+        greedy_calls = calls["n"]
+        calls["n"] = 0
+        model.generate_speculative(params, jnp.asarray(ids), jnp.asarray(m), px,
+                                   jnp.asarray(np.asarray(greedy), jnp.int32), margin_threshold=0.0)
+        assert calls["n"] == greedy_calls > 0, (
+            f"speculative quantized activations {calls['n']}x vs greedy {greedy_calls}x — "
+            "the verify chunk crossed the W8A8_MIN_CHUNK gate")
+    finally:
+        quant_mod.quantize_activations_per_token = real

@@ -542,3 +542,72 @@ def test_script_import_initializes_no_jax_backend():
                        timeout=180, cwd=str(ROOT))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "no-backend-ok" in r.stdout
+
+
+def test_server_request_guards_and_buckets():
+    """Serving guard rails: horizon is rejected on a non-parallel model and
+    bounded on a parallel one; a client draft on a parallel-objective model is
+    ignored (served through the parallel program, not sequential speculative);
+    batch_buckets includes a non-power-of-two max_batch so every executable
+    the worker can hit is warmed."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import bridgelang_tpu.models.vlm as vlm_mod
+    from bridgelang_tpu.models.vision.vit import ViT
+    from bridgelang_tpu.models.vla import OpenVLA
+    from bridgelang_tpu.models.vlm import VLMConfig
+    from bridgelang_tpu.ops.image_ops import ImageTowerSpec, ImageTransformConfig
+    from bridgelang_tpu.serving.server import MAX_HORIZON, VLAServer, batch_buckets, client_act
+    from tests.helpers import TINY_LLM, TINY_NORM_STATS, TINY_VIT, StubTokenizer
+
+    assert batch_buckets(1) == [1]
+    assert batch_buckets(8) == [1, 2, 4, 8]
+    assert batch_buckets(6) == [1, 2, 4, 6]
+
+    orig = vlm_mod.build_vision_backbone
+    vlm_mod.build_vision_backbone = lambda bid, dtype=jnp.float32: (
+        ViT(TINY_VIT, dtype=dtype), TINY_VIT.width, TINY_VIT.num_patches)
+    try:
+        cfg = dataclasses.replace(VLMConfig(), llm=TINY_LLM)
+        model = OpenVLA(cfg, TINY_NORM_STATS, tokenizer=StubTokenizer(), dtype=jnp.float32, prompt_bucket=32)
+        model.image_transform = ImageTransformConfig("resize-naive", (ImageTowerSpec(size=32),))
+        params = model.init_params(jax.random.key(0))
+    finally:
+        vlm_mod.build_vision_backbone = orig
+
+    img = np.random.default_rng(0).integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+
+    # Greedy (non-parallel) server: horizon must be refused, not served as
+    # garbage — generate_parallel positions are untrained here.
+    server = VLAServer(model, params, default_unnorm_key="bridge_orig")
+    httpd = server.serve_background(port=0)
+    port = httpd.server_address[1]
+    try:
+        with pytest.raises(RuntimeError, match="server error"):
+            client_act("127.0.0.1", port, img, "push", horizon=2)
+    finally:
+        httpd.shutdown()
+
+    # Parallel-objective server: bounded horizon works, absurd horizon is
+    # refused (each value is a fresh program trace), and a client draft is
+    # IGNORED — served via the parallel program (no tokens in the response),
+    # never via sequential speculative decode the fine-tune did not train.
+    model.parallel_decode = True
+    server = VLAServer(model, params, default_unnorm_key="bridge_orig")
+    assert not server.speculative_default
+    httpd = server.serve_background(port=0)
+    port = httpd.server_address[1]
+    try:
+        chunk = client_act("127.0.0.1", port, img, "push", horizon=2)
+        assert chunk.shape == (2, 7)
+        with pytest.raises(RuntimeError, match="server error"):
+            client_act("127.0.0.1", port, img, "push", horizon=MAX_HORIZON + 1)
+        action, tokens = client_act("127.0.0.1", port, img, "push",
+                                    draft_tokens=np.zeros(7, np.int32), return_tokens=True)
+        assert action.shape == (7,) and tokens is None
+    finally:
+        httpd.shutdown()
+        model.parallel_decode = False
