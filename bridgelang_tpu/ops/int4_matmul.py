@@ -48,9 +48,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_g: int, out_dtype):
-    # Scales arrive as a free [G, 1, N] view with the group row AND column
-    # half selected by the BlockSpec index maps — block (1, 1, block_n)
+def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_go: int, kg: int, out_dtype):
+    # Scales arrive as a free [G, 1, N] view with the group rows AND column
+    # half selected by the BlockSpec index maps — block (kg, 1, block_n)
     # satisfies Mosaic tiling (middle dim equals the overall dim), and an
     # in-kernel dynamic sublane load of bf16 rows would not ("index in
     # dimension 0 is a multiple of 4" failure).
@@ -69,21 +69,33 @@ def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, ac
     all_bf = p32.astype(jnp.bfloat16)          # 16*hi + (lo + 8)
     lo_bf = (p32 & 0xF).astype(jnp.bfloat16)   # lo + 8
     x = x_ref[:]
-    y_all = jnp.dot(x, all_bf, preferred_element_type=jnp.float32)
-    y_lo_b = jnp.dot(x, lo_bf, preferred_element_type=jnp.float32)
-    s = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # per-group rowsum
-    y_hi = (y_all - y_lo_b) * (1.0 / 16.0)
-    y_lo = y_lo_b - 8.0 * s
-    acc_lo_ref[:] += y_lo * s_lo_ref[0].astype(jnp.float32)
-    acc_hi_ref[:] += y_hi * s_hi_ref[0].astype(jnp.float32)
+    # kg quantization groups per grid step (static unroll): one step streams
+    # a (kg*GROUP, block_n) byte tile so the per-step DMA is big enough to
+    # amortize grid overhead — 128-row tiles measured DMA-latency-bound at
+    # 7B decode widths. Scales differ per group, so each group still gets
+    # its own dot pair + scale-accumulate.
+    acc_lo = jnp.zeros(acc_lo_ref.shape, jnp.float32)
+    acc_hi = jnp.zeros(acc_hi_ref.shape, jnp.float32)
+    for gi in range(kg):
+        rows = slice(gi * GROUP, (gi + 1) * GROUP)
+        xg = x[:, rows]
+        y_all = jnp.dot(xg, all_bf[rows], preferred_element_type=jnp.float32)
+        y_lo_b = jnp.dot(xg, lo_bf[rows], preferred_element_type=jnp.float32)
+        s = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # per-group rowsum
+        y_hi = (y_all - y_lo_b) * (1.0 / 16.0)
+        y_lo = y_lo_b - 8.0 * s
+        acc_lo = acc_lo + y_lo * s_lo_ref[gi].astype(jnp.float32)
+        acc_hi = acc_hi + y_hi * s_hi_ref[gi].astype(jnp.float32)
+    acc_lo_ref[:] += acc_lo
+    acc_hi_ref[:] += acc_hi
 
-    @pl.when(g == n_g - 1)
+    @pl.when(g == n_go - 1)
     def _emit():
         o_lo_ref[:] = acc_lo_ref[:].astype(out_dtype)
         o_hi_ref[:] = acc_hi_ref[:].astype(out_dtype)
 
 
-def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_g: int):
+def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_go: int, kg: int):
     """w4a8 variant: activations arrive pre-quantized to int8 (per-token
     scale applied OUTSIDE the kernel), so both dots ride the MXU's int8 path
     (394 TOPS on v5e, 2x the bf16 rate) and the nibble-recovery fixups are
@@ -102,38 +114,107 @@ def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref,
     p = p_ref[:]
     # mask in int32 (Mosaic legalizes no i8 vector bitwise), narrow for the dot
     p_lo = (p.astype(jnp.int32) & 0xF).astype(jnp.int8)
-    y_all = jnp.dot(q, p, preferred_element_type=jnp.int32)    # 16*y_hi + y_lo_b
-    y_lo_b = jnp.dot(q, p_lo, preferred_element_type=jnp.int32)
-    s = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)    # per-group rowsum
-    y_hi = (y_all - y_lo_b) >> 4        # exact: the difference is 16*y_hi
-    y_lo = y_lo_b - 8 * s
-    acc_lo_ref[:] += y_lo.astype(jnp.float32) * s_lo_ref[0].astype(jnp.float32)
-    acc_hi_ref[:] += y_hi.astype(jnp.float32) * s_hi_ref[0].astype(jnp.float32)
+    acc_lo = jnp.zeros(acc_lo_ref.shape, jnp.float32)
+    acc_hi = jnp.zeros(acc_hi_ref.shape, jnp.float32)
+    for gi in range(kg):  # static unroll — see _kernel
+        rows = slice(gi * GROUP, (gi + 1) * GROUP)
+        qg = q[:, rows]
+        y_all = jnp.dot(qg, p[rows], preferred_element_type=jnp.int32)    # 16*y_hi + y_lo_b
+        y_lo_b = jnp.dot(qg, p_lo[rows], preferred_element_type=jnp.int32)
+        s = jnp.sum(qg.astype(jnp.int32), axis=1, keepdims=True)    # per-group rowsum
+        y_hi = (y_all - y_lo_b) >> 4        # exact: the difference is 16*y_hi
+        y_lo = y_lo_b - 8 * s
+        acc_lo = acc_lo + y_lo.astype(jnp.float32) * s_lo_ref[gi].astype(jnp.float32)
+        acc_hi = acc_hi + y_hi.astype(jnp.float32) * s_hi_ref[gi].astype(jnp.float32)
+    acc_lo_ref[:] += acc_lo
+    acc_hi_ref[:] += acc_hi
 
-    @pl.when(g == n_g - 1)
+    @pl.when(g == n_go - 1)
     def _emit():
         o_lo_ref[:] = acc_lo_ref[:]
         o_hi_ref[:] = acc_hi_ref[:]
 
 
-def _pick_tile(n: int, cap: int, multiple: int) -> int:
-    """Largest divisor of `n` that is a multiple of `multiple` and <= cap."""
-    best = 0
-    for t in range(multiple, min(n, cap) + 1, multiple):
-        if n % t == 0:
-            best = t
+def _divisors(n: int, multiple: int) -> list:
+    """Divisors of `n` that are multiples of `multiple`, ascending."""
+    return [t for t in range(multiple, n + 1, multiple) if n % t == 0]
+
+
+# Tile-chooser cost-model constants (v5e). Crude on purpose: the model only
+# has to rank divisor choices, not predict wall time. Validated against the
+# measured pathologies it exists to avoid (see _choose_tiles).
+_HBM_BPS = 8.2e11          # paper peak HBM stream
+_MXU_INT8_OPS = 3.94e14    # int8 MACs/s
+_MXU_BF16_OPS = 1.97e14
+_VPU_OPS = 7e12            # f32 elementwise
+_STEP_OVERHEAD_S = 1.0e-6  # per-grid-step fixed cost (DMA issue, semaphores)
+_VMEM_BUDGET = 12 * 1024 * 1024  # of ~16 MB/core: leave room for double-buffering slack
+
+
+def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_itemsize: int, a8: bool):
+    """Search the divisor space for (block_m, block_n, kg) minimizing modeled
+    step cost under a VMEM budget. Returns (block_m, block_n, kg, m_padded).
+
+    Why a search instead of the previous fix-block_m-then-cap-block_n rule:
+    7B's MLP half-width is 5504 = 128*43, whose ONLY tileable sizes are 128
+    and 5504 — at prefill M the old rule's VMEM cap forced block_n=128, a
+    (2, 43, 32) grid of 16 KB DMA steps measured at +49 ms per predict call
+    vs int8. And at decode M the one-group-per-step reduction made 256 KB
+    steps that were DMA-latency-bound (11.5 ms/step vs int8's 10.2 despite
+    streaming HALF the bytes). The search weighs DMA size, MXU occupancy
+    (128-row systolic granularity), VPU accumulate traffic, and per-step
+    overhead jointly; `kg` (quantization groups per step) is the new lever
+    that fattens the reduction dimension without changing scale math.
+
+    block_m need not divide m: the caller pads rows (padding cost is modeled
+    via the rounded-up block count)."""
+    mxu = _MXU_INT8_OPS if a8 else _MXU_BF16_OPS
+    best, best_cost = None, None
+    for block_n in _divisors(packed_w, 128):
+        for kg in _divisors(n_g, 1):
+            # block_m: largest sublane multiple under the f32-accumulator
+            # budget (two halves, 8 bytes/element combined), capped at 256.
+            acc_budget = 4 * 1024 * 1024
+            bm = min(256, (acc_budget // (8 * block_n)) // min_sublane * min_sublane)
+            if bm == 0:
+                continue
+            if m_pad <= bm:
+                block_m, m_blocks = m_pad, 1
+            else:
+                m_blocks = -(-m_pad // bm)
+                rows = -(-m_pad // m_blocks)
+                block_m = -(-rows // min_sublane) * min_sublane
+            m_eff = m_blocks * block_m
+            tile_b = kg * GROUP * block_n          # packed bytes per step
+            x_tile_b = block_m * kg * GROUP * (1 if a8 else 2)
+            vmem = (2 * tile_b + 2 * x_tile_b                    # double-buffered ins
+                    + 8 * block_m * block_n                      # f32 accumulators
+                    + 2 * 2 * out_itemsize * block_m * block_n)  # two out halves, buffered
+            if vmem > _VMEM_BUDGET:
+                continue
+            steps = m_blocks * (packed_w // block_n) * (n_g // kg)
+            dma_s = (tile_b + x_tile_b) / _HBM_BPS
+            # MXU: two dots/group over 128-row systolic passes (row padding wasted)
+            mxu_s = 2 * (-(-block_m // 128) * 128) * kg * GROUP * block_n / mxu
+            # VPU: nibble mask + two widen-converts on the byte tile, plus
+            # per-group scale-multiply-accumulate on the f32 accumulators
+            vpu_s = (3 * tile_b + 4 * kg * block_m * block_n) / _VPU_OPS
+            cost = steps * (max(dma_s, mxu_s + vpu_s) + _STEP_OVERHEAD_S)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (block_m, block_n, kg, m_eff), cost
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "a8"))
-def _int4_2d(x, packed, scales, block_m: int, block_n: int, a8: bool):
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "kg", "a8"))
+def _int4_2d(x, packed, scales, block_m: int, block_n: int, kg: int, a8: bool):
     """Shared pallas_call plumbing for both kernels. a8=False: bf16 dots,
     output in x.dtype. a8=True: x is pre-quantized int8, int8 MXU dots,
     f32 output with the per-token scale applied by the caller."""
     m, k = x.shape
     n2 = packed.shape[1]  # = N // 2
     n_g = k // GROUP
-    grid = (m // block_m, n2 // block_n, n_g)
+    n_go = n_g // kg  # grid steps along the reduction (kg groups per step)
+    grid = (m // block_m, n2 // block_n, n_go)
     # [G, 1, N] view (free reshape — no copy): the lo/hi column halves are
     # selected by the two BlockSpec index maps below. An earlier version
     # materialized a [2G, 1, N//2] concat here — inside the decoder's layer
@@ -142,17 +223,17 @@ def _int4_2d(x, packed, scales, block_m: int, block_n: int, a8: bool):
     nb_hi = n2 // block_n  # column-block offset of the high half
 
     out_dtype = jnp.float32 if a8 else x.dtype
-    kernel = (functools.partial(_kernel_a8, n_g=n_g) if a8
-              else functools.partial(_kernel, n_g=n_g, out_dtype=out_dtype))
+    kernel = (functools.partial(_kernel_a8, n_go=n_go, kg=kg) if a8
+              else functools.partial(_kernel, n_go=n_go, kg=kg, out_dtype=out_dtype))
     out_lo, out_hi = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((m, n2), out_dtype),) * 2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, GROUP), lambda mi, ni, g: (mi, g)),
-            pl.BlockSpec((GROUP, block_n), lambda mi, ni, g: (g, ni)),
-            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g: (g, 0, ni)),
-            pl.BlockSpec((1, 1, block_n), lambda mi, ni, g, _nb=nb_hi: (g, 0, _nb + ni)),
+            pl.BlockSpec((block_m, kg * GROUP), lambda mi, ni, g: (mi, g)),
+            pl.BlockSpec((kg * GROUP, block_n), lambda mi, ni, g: (g, ni)),
+            pl.BlockSpec((kg, 1, block_n), lambda mi, ni, g: (g, 0, ni)),
+            pl.BlockSpec((kg, 1, block_n), lambda mi, ni, g, _nb=nb_hi: (g, 0, _nb + ni)),
         ],
         out_specs=(pl.BlockSpec((block_m, block_n), lambda mi, ni, g: (mi, ni)),) * 2,
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)] * 2,
@@ -202,18 +283,17 @@ def _int4_route(x3, packed, scales, a8: bool):
     if m < min_sublane:
         x2 = jnp.pad(x2, ((0, min_sublane - m), (0, 0)))
     m_pad = x2.shape[0]
-    block_m = m_pad if m_pad <= 256 else _pick_tile(m_pad, 256, 8)
     out_itemsize = 4 if a8 else x3.dtype.itemsize
-    if block_m == 0 or m_pad * n * out_itemsize > 64 * 1024 * 1024:
-        # awkward M (large prime) or an output too big to be a serving shape
+    if m_pad * n * out_itemsize > 64 * 1024 * 1024:
+        # an output too big to be a serving shape
         return fallback()
-    # Largest out-tile whose TWO f32 accumulators fit a VMEM budget: fewer
-    # grid steps pipelined deeper — full half-row at 13B decode dims.
-    block_n_cap = max(512, (3 * 1024 * 1024) // (8 * block_m))
-    block_n = _pick_tile(packed.shape[-1], min(packed.shape[-1], block_n_cap), 128)
-    if block_n == 0:  # half-row not 128-divisible despite n % 256 == 0: impossible, but guard
+    tiles = _choose_tiles(m_pad, packed.shape[-1], scales.shape[-2], min_sublane, out_itemsize, a8)
+    if tiles is None:  # no tiling fits VMEM (enormous N) — not a serving shape
         return fallback()
-    out = _int4_2d(x2, packed, scales, block_m, block_n, a8)
+    block_m, block_n, kg, m_eff = tiles
+    if m_eff > m_pad:  # prefill M rarely divides the chosen block_m: pad rows
+        x2 = jnp.pad(x2, ((0, m_eff - m_pad), (0, 0)))
+    out = _int4_2d(x2, packed, scales, block_m, block_n, kg, a8)
     return out[:m].reshape(B, T, n)
 
 

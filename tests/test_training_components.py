@@ -499,6 +499,35 @@ def test_int4_pallas_matmul_matches_dequant_reference():
     assert out_s.shape == (2, 32)
 
 
+def test_int4_prefill_shape_pads_rows_and_tiles_groups():
+    """Prefill-sized M routes through the multi-block path: the tile chooser
+    may pick a block_m that does NOT divide M (rows are padded, then sliced
+    off) and a kg > 1 (several 128-row quantization groups per grid step —
+    the DMA-amortization lever added after 7B decode measured grid-overhead-
+    bound at one group/step). Both paths must stay numerically equivalent to
+    the dequant reference."""
+    from bridgelang_tpu.ops.int4_matmul import GROUP, _choose_tiles, matmul_int4, matmul_int4_a8
+    from bridgelang_tpu.ops.quant import _quantize4_2d, dequant_int4
+
+    rng = np.random.default_rng(7)
+    K, N, M = 256, 512, 300  # n_g=2, packed_w=256; M=300 forces multi-block + row padding
+    tiles = _choose_tiles(M, N // 2, K // GROUP, 32, 4, True)
+    assert tiles is not None
+    block_m, _block_n, kg, m_eff = tiles
+    assert m_eff >= M and m_eff % block_m == 0
+    assert M % block_m != 0 or kg > 1  # the test exercises at least one new path
+
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    q4, s4 = _quantize4_2d(jnp.asarray(w), group=GROUP)
+    ref_w = np.asarray(dequant_int4(q4, s4, dtype=jnp.float32))
+    x = jnp.asarray(rng.normal(size=(1, M, K)), dtype=jnp.bfloat16)
+    ref = np.asarray(x, np.float32).reshape(M, K) @ ref_w
+    out = np.asarray(matmul_int4(x, q4, s4), np.float32).reshape(M, N)
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2 * np.abs(ref).max())
+    out8 = np.asarray(matmul_int4_a8(x, q4, s4), np.float32).reshape(M, N)
+    np.testing.assert_allclose(out8, ref, rtol=5e-2, atol=5e-2 * np.abs(ref).max())
+
+
 def test_int4_a8_matmul_matches_integer_reference():
     """The w4a8 kernel (int8 MXU dots + exact int32 nibble recovery) must
     match an XLA emulation of the same math: quantize x per-token to int8,
