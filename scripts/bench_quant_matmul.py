@@ -12,12 +12,18 @@ bandwidth per mode:
 
 This is the decision tool behind the int8-vs-int4 serving-mode choice
 (README "Measured performance"; reference analogue: the load_in_8bit /
-load_in_4bit trade at vla-scripts/extern/verify_openvla.py:49,60). Each
-mode runs a 100-deep dependent chain inside one jit so the relay round trip
-(~27 ms, measured in bench.py) amortizes to noise; the per-matmul time
-subtracts it explicitly.
+load_in_4bit trade at vla-scripts/extern/verify_openvla.py:49,60).
 
-  python scripts/bench_quant_matmul.py [--m 16] [--chain 100] [--rtt_s 0.027]
+Methodology: each mode scans over ``--layers`` DISTINCT stacked weights
+(exactly the decode workload — every step streams a different layer's
+weights from HBM), repeated ``--repeats`` times inside one jitted program so
+the relay round trip (~27 ms, measured in bench.py) amortizes; the reported
+time is the median of ``--samples`` fetch-timed runs. An earlier version
+chained one weight 100x — reuse let the measurement float above the 820 GB/s
+physical peak (5.7 TB/s "measured"), so reuse-chain numbers are not
+trustworthy and were replaced by this design.
+
+  python scripts/bench_quant_matmul.py [--m 16] [--layers 40] [--repeats 8]
 """
 
 from __future__ import annotations
@@ -37,7 +43,9 @@ from bridgelang_tpu.conf import parse_cli
 @dataclass
 class QuantBenchConfig:
     m: int = 16  # decode-rows per matmul (B * new-token count)
-    chain: int = 100  # dependent matmuls per jitted program
+    layers: int = 40  # distinct stacked weights scanned per repeat
+    repeats: int = 8  # scan passes per jitted program
+    samples: int = 5  # fetch-timed runs; median reported
     rtt_s: float = 0.027  # relay round trip to subtract (bench.py measures it)
     group: int = 128  # int4 quantization group size
 
@@ -46,6 +54,7 @@ SHAPES = {
     "7b wq/wk/wv/wo": (4096, 4096),
     "7b w_gate/w_up": (4096, 11008),
     "7b w_down": (11008, 4096),
+    "13b wq/wk/wv/wo": (5120, 5120),
     "13b w_gate/w_up": (5120, 13824),
     "13b w_down": (13824, 5120),
 }
@@ -61,23 +70,32 @@ def main(cfg: QuantBenchConfig) -> None:
     from bridgelang_tpu.ops.int4_matmul import matmul_int4, matmul_int4_a8
     from bridgelang_tpu.ops.quant import _quantize4_2d, dequant_int4
 
+    n_mm = cfg.layers * cfg.repeats
+
     def timed(fn, *args):
         np.asarray(fn(*args))  # compile + warm
-        t0 = time.perf_counter()
-        np.asarray(fn(*args))
-        t1 = time.perf_counter()
-        return (t1 - t0 - cfg.rtt_s) / cfg.chain
+        times = []
+        for _ in range(cfg.samples):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args))
+            times.append(time.perf_counter() - t0)
+        return (float(np.median(times)) - cfg.rtt_s) / n_mm
 
-    def chained(one_matmul):
-        # A dependent chain: each step feeds a scalar of the output back into
-        # the activations so XLA cannot parallelize or elide iterations.
+    def scanned(one_matmul):
+        # Scan over DISTINCT stacked weights (the decode workload: every step
+        # streams a different layer from HBM — no reuse to hide behind), with
+        # a scalar feedback so XLA cannot parallelize or elide iterations.
         @jax.jit
-        def run(x, *wargs):
-            y = x
-            for _ in range(cfg.chain):
+        def run(x, *stacked):
+            def body(y, wargs):
                 out = one_matmul(y, *wargs)
-                y = (y + out[:1, :1] * 1e-6).astype(jnp.bfloat16)
-            return y
+                return (y + out[:1, :1] * 1e-6).astype(jnp.bfloat16), None
+
+            def rep(_, y):
+                y, _unused = jax.lax.scan(body, y, stacked)
+                return y
+
+            return jax.lax.fori_loop(0, cfg.repeats, rep, x)
 
         return run
 
@@ -86,19 +104,32 @@ def main(cfg: QuantBenchConfig) -> None:
         w = rng.normal(size=(K, N)).astype(np.float32) * 0.02
         q4, s4 = _quantize4_2d(jnp.asarray(w), group=cfg.group)
         scale8 = np.abs(w).max(0) / 127.0
-        w8 = jnp.asarray(np.clip(np.round(w / scale8), -127, 127).astype(np.int8))
-        s8 = jnp.asarray(scale8.astype(np.float32))
+        w8 = np.clip(np.round(w / scale8), -127, 127).astype(np.int8)
         x0 = jnp.asarray(rng.normal(size=(cfg.m, K)), jnp.bfloat16)
 
         ref = np.asarray(x0, np.float32) @ np.asarray(dequant_int4(q4, s4, jnp.float32))
         got = np.asarray(matmul_int4(x0, q4, s4), np.float32)
         rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
 
-        dt4 = timed(chained(matmul_int4), x0, q4, s4)
-        dta8 = timed(chained(matmul_int4_a8), x0, q4, s4)
+        # L distinct layers: same quantized values, per-layer jittered scales
+        # (cheap to build; the bytes streamed are what the timing measures).
+        def stack(a):
+            a = np.asarray(a)
+            jit_s = (1.0 + 1e-3 * np.arange(cfg.layers, dtype=np.float32))
+            out = np.broadcast_to(a, (cfg.layers,) + a.shape).copy()
+            if a.dtype in (np.float32, np.float16):
+                out *= jit_s.reshape((-1,) + (1,) * a.ndim)
+            return jnp.asarray(out)
+
+        q4_l, s4_l = stack(q4), stack(s4)
+        w8_l = stack(w8)
+        s8_l = stack(scale8.astype(np.float32))
+
+        dt4 = timed(scanned(matmul_int4), x0, q4_l, s4_l)
+        dta8 = timed(scanned(matmul_int4_a8), x0, q4_l, s4_l)
         dt8 = timed(
-            chained(lambda y, w_, s_: jnp.dot(y, w_.astype(jnp.bfloat16)) * s_.astype(jnp.bfloat16)),
-            x0, w8, s8,
+            scanned(lambda y, w_, s_: jnp.dot(y, w_.astype(jnp.bfloat16)) * s_.astype(jnp.bfloat16)),
+            x0, w8_l, s8_l,
         )
         bw4 = (K * N / 2) / dt4 / 1e9
         bwa8 = (K * N / 2) / dta8 / 1e9

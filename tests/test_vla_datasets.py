@@ -304,6 +304,16 @@ def test_rest_chunked_action_request():
     httpd = srv.serve_background(port=0)
     try:
         img = np.random.default_rng(4).integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        # Without the parallel-objective fine-tune the server must REFUSE
+        # horizon requests (generate_parallel would emit untrained positions).
+        try:
+            client_act("127.0.0.1", httpd.server_address[1], img, "push", horizon=3)
+            raise AssertionError("horizon on a non-parallel model must be refused")
+        except RuntimeError as e:
+            assert "parallel-objective" in str(e)
+        # Marked parallel-objective (what deploy.py --parallel_decode sets),
+        # the chunk flows through the wire: [H, action_dim].
+        model.parallel_decode = True
         chunk = client_act("127.0.0.1", httpd.server_address[1], img, "push", horizon=3)
         assert chunk.shape == (3, 7)
         assert np.isfinite(chunk).all()
