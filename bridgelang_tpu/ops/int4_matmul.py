@@ -48,7 +48,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_go: int, kg: int, out_dtype):
+def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_go: int, kg: int, out_dtype, fullx: bool):
     # Scales arrive as a free [G, 1, N] view with the group rows AND column
     # half selected by the BlockSpec index maps — block (kg, 1, block_n)
     # satisfies Mosaic tiling (middle dim equals the overall dim), and an
@@ -61,14 +61,21 @@ def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, ac
         acc_lo_ref[:] = jnp.zeros_like(acc_lo_ref)
         acc_hi_ref[:] = jnp.zeros_like(acc_hi_ref)
 
-    # Byte math in int32 — Mosaic does not legalize i8 vector ops (the VPU
-    # is a 32-bit machine); the widening convert sign-extends, preserving
-    # the signed byte value 16*hi + lo_b. bf16 holds these integers
-    # (|v| <= 255) exactly.
-    p32 = p_ref[:].astype(jnp.int32)
-    all_bf = p32.astype(jnp.bfloat16)          # 16*hi + (lo + 8)
-    lo_bf = (p32 & 0xF).astype(jnp.bfloat16)   # lo + 8
-    x = x_ref[:]
+    # bf16 holds the byte values (|v| <= 255) exactly. The low-nibble mask
+    # uses the i32-word bitcast trick (see _kernel_a8) — Mosaic legalizes no
+    # i8 vector bitwise ops, and the widen(i32)->mask->narrow alternative
+    # measured as a VPU cap on the whole kernel.
+    p8 = p_ref[:]
+    if _interpret():
+        p8_lo = (p8.astype(jnp.int32) & 0xF).astype(jnp.int8)
+    else:
+        p8_lo = pltpu.bitcast(pltpu.bitcast(p8, jnp.int32) & 0x0F0F0F0F, jnp.int8)
+    all_bf = p8.astype(jnp.bfloat16)           # 16*hi + (lo + 8)
+    lo_bf = p8_lo.astype(jnp.bfloat16)         # lo + 8
+    # fullx: x is RESIDENT in VMEM ([block_m, K], index map pinned to 0) so
+    # only the weight bytes DMA per grid step — the per-step x re-fetch
+    # measured as a pipeline break at decode shapes (probe: 430 -> 553 GB/s).
+    x = x_ref[:, pl.dslice(g * kg * GROUP, kg * GROUP)] if fullx else x_ref[:]
     # kg quantization groups per grid step (static unroll): one step streams
     # a (kg*GROUP, block_n) byte tile so the per-step DMA is big enough to
     # amortize grid overhead — 128-row tiles measured DMA-latency-bound at
@@ -95,7 +102,7 @@ def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, ac
         o_hi_ref[:] = acc_hi_ref[:].astype(out_dtype)
 
 
-def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_go: int, kg: int):
+def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_go: int, kg: int, fullx: bool):
     """w4a8 variant: activations arrive pre-quantized to int8 (per-token
     scale applied OUTSIDE the kernel), so both dots ride the MXU's int8 path
     (394 TOPS on v5e, 2x the bf16 rate) and the nibble-recovery fixups are
@@ -110,15 +117,28 @@ def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref,
         acc_lo_ref[:] = jnp.zeros_like(acc_lo_ref)
         acc_hi_ref[:] = jnp.zeros_like(acc_hi_ref)
 
-    q = q_ref[:]
+    q = None if fullx else q_ref[:]  # fullx: slice the resident ref per group
     p = p_ref[:]
-    # mask in int32 (Mosaic legalizes no i8 vector bitwise), narrow for the dot
-    p_lo = (p.astype(jnp.int32) & 0xF).astype(jnp.int8)
+    # Low-nibble extraction. Mosaic legalizes no i8 vector bitwise ops, and
+    # the obvious widen(i32) -> mask -> narrow costs ~3 full-tile VPU passes
+    # per streamed byte — measured as a hard ~330 GB/s-of-packed-bytes cap on
+    # the whole kernel at every tile shape (scripts/sweep_int4_tiles.py),
+    # while the DMA could do ~800. Instead, BITCAST the byte tile to i32
+    # words (4 bytes/lane, rows pack 4-to-1 — pure reinterpretation, no data
+    # movement) and mask all four bytes with ONE i32 AND: 0x0F clears each
+    # byte's high bits regardless of byte order within the word, and the
+    # masked bytes are their own unsigned low nibbles ([0, 15] fits int8).
+    # ~12x less VPU work; the kernel becomes DMA-bound. Interpret mode (CPU
+    # tests) keeps the portable widen path — bitcast_p is TPU-only.
+    if _interpret():
+        p_lo = (p.astype(jnp.int32) & 0xF).astype(jnp.int8)
+    else:
+        p_lo = pltpu.bitcast(pltpu.bitcast(p, jnp.int32) & 0x0F0F0F0F, jnp.int8)
     acc_lo = jnp.zeros(acc_lo_ref.shape, jnp.float32)
     acc_hi = jnp.zeros(acc_hi_ref.shape, jnp.float32)
     for gi in range(kg):  # static unroll — see _kernel
         rows = slice(gi * GROUP, (gi + 1) * GROUP)
-        qg = q[:, rows]
+        qg = q_ref[:, pl.dslice(g * kg * GROUP + gi * GROUP, GROUP)] if fullx else q[:, rows]
         y_all = jnp.dot(qg, p[rows], preferred_element_type=jnp.int32)    # 16*y_hi + y_lo_b
         y_lo_b = jnp.dot(qg, p_lo[rows], preferred_element_type=jnp.int32)
         s = jnp.sum(qg.astype(jnp.int32), axis=1, keepdims=True)    # per-group rowsum
@@ -151,6 +171,21 @@ _STEP_OVERHEAD_S = 1.0e-6  # per-grid-step fixed cost (DMA issue, semaphores)
 _VMEM_BUDGET = 12 * 1024 * 1024  # of ~16 MB/core: leave room for double-buffering slack
 
 
+# Measured-best decode tiles (v5e, block_m=8, a8): keyed by (n_g, packed_w).
+# From scripts/sweep_int4_tiles.py's honest scan-over-distinct-weights run —
+# the cost model ranks the rest of the space, but at the flagship shapes the
+# measured winner beats the modeled one by 10-40% (the model cannot see
+# Mosaic's pipeline behavior), so serving uses the table directly.
+_TUNED_DECODE_TILES = {
+    (40, 2560): (2560, 5),    # 13B wq/wk/wv/wo [5120x5120] — 720 GB/s packed
+    (40, 6912): (2304, 20),   # 13B w_gate/w_up [5120x13824] — 477
+    (108, 2560): (2560, 18),  # 13B w_down [13824x5120] — 462
+    (32, 2048): (2048, 16),   # 7B wq/wk/wv/wo [4096x4096]
+    (32, 5504): (5504, 8),    # 7B w_gate/w_up [4096x11008] — 654
+    (86, 2048): (2048, 2),    # 7B w_down [11008x4096] — 580
+}
+
+
 def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_itemsize: int, a8: bool):
     """Search the divisor space for (block_m, block_n, kg) minimizing modeled
     step cost under a VMEM budget. Returns (block_m, block_n, kg, m_padded).
@@ -168,18 +203,24 @@ def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_ite
 
     block_m need not divide m: the caller pads rows (padding cost is modeled
     via the rounded-up block count)."""
+    if a8 and m_pad <= 8:
+        tuned = _TUNED_DECODE_TILES.get((n_g, packed_w))
+        if tuned is not None:
+            return (m_pad, tuned[0], tuned[1], m_pad)
     mxu = _MXU_INT8_OPS if a8 else _MXU_BF16_OPS
     best, best_cost = None, None
-    for block_n in _divisors(packed_w, 128):
+    # descending block_n: ties (same tile size => same modeled cost) resolve
+    # to the widest tile, which the honest sweep consistently favors
+    bm_cands = sorted({bm for bm in (8, 16, 32, 64, 128, 256) if bm >= min_sublane} | {max(min_sublane, m_pad if m_pad <= 256 else 256)})
+    for block_n in reversed(_divisors(packed_w, 128)):
         for kg in _divisors(n_g, 1):
-            # block_m: largest sublane multiple under the f32-accumulator
-            # budget (two halves, 8 bytes/element combined), capped at 256.
-            acc_budget = 4 * 1024 * 1024
-            bm = min(256, (acc_budget // (8 * block_n)) // min_sublane * min_sublane)
-            if bm == 0:
-                continue
+          for bm in bm_cands:
+            # block_m is searched too: at prefill M a wide block_n only fits
+            # VMEM with a SHORT row block (the f32 intermediates scale with
+            # block_m*block_n), and a narrow-bn tall-bm tile measured much
+            # worse than wide-bn short-bm at the same VMEM.
             if m_pad <= bm:
-                block_m, m_blocks = m_pad, 1
+                block_m, m_blocks = -(-m_pad // min_sublane) * min_sublane, 1
             else:
                 m_blocks = -(-m_pad // bm)
                 rows = -(-m_pad // m_blocks)
@@ -187,13 +228,23 @@ def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_ite
             m_eff = m_blocks * block_m
             tile_b = kg * GROUP * block_n          # packed bytes per step
             x_tile_b = block_m * kg * GROUP * (1 if a8 else 2)
+            # In-kernel stack: the byte tile materializes as bf16 twice in
+            # the bf16 kernel (all_bf + lo_bf = 4x tile) or as one masked i8
+            # copy in a8 (1x), plus the per-group f32 dot outputs/fixups
+            # (~4 tiles of [block_m, block_n] f32 live at once). Omitting
+            # these made the chooser pick tiles Mosaic rejects with a scoped
+            # vmem OOM at prefill M (measured: 16.39M actual vs 12M modeled).
+            stack_b = tile_b * (1 if a8 else 4) + 4 * 4 * block_m * block_n
             vmem = (2 * tile_b + 2 * x_tile_b                    # double-buffered ins
                     + 8 * block_m * block_n                      # f32 accumulators
-                    + 2 * 2 * out_itemsize * block_m * block_n)  # two out halves, buffered
+                    + 2 * 2 * out_itemsize * block_m * block_n   # two out halves, buffered
+                    + stack_b)
             if vmem > _VMEM_BUDGET:
                 continue
             steps = m_blocks * (packed_w // block_n) * (n_g // kg)
-            dma_s = (tile_b + x_tile_b) / _HBM_BPS
+            # resident-x blocks (see _int4_2d fullx) stream no x per step
+            x_stream_b = 0 if block_m * n_g * GROUP * (1 if a8 else 2) <= 512 * 1024 else x_tile_b
+            dma_s = (tile_b + x_stream_b) / _HBM_BPS
             # MXU: two dots/group over 128-row systolic passes (row padding wasted)
             mxu_s = 2 * (-(-block_m // 128) * 128) * kg * GROUP * block_n / mxu
             # VPU: nibble mask + two widen-converts on the byte tile, plus
@@ -215,6 +266,10 @@ def _int4_2d(x, packed, scales, block_m: int, block_n: int, kg: int, a8: bool):
     n_g = k // GROUP
     n_go = n_g // kg  # grid steps along the reduction (kg groups per step)
     grid = (m // block_m, n2 // block_n, n_go)
+    # Small-M (decode) blocks keep the WHOLE x row-block resident in VMEM so
+    # only weight bytes DMA per grid step: the per-step x re-fetch broke the
+    # DMA pipeline (probe: one-dot 430 -> 553 GB/s at 13B gate/up dims).
+    fullx = block_m * k * x.dtype.itemsize <= 512 * 1024
     # [G, 1, N] view (free reshape — no copy): the lo/hi column halves are
     # selected by the two BlockSpec index maps below. An earlier version
     # materialized a [2G, 1, N//2] concat here — inside the decoder's layer
@@ -223,14 +278,16 @@ def _int4_2d(x, packed, scales, block_m: int, block_n: int, kg: int, a8: bool):
     nb_hi = n2 // block_n  # column-block offset of the high half
 
     out_dtype = jnp.float32 if a8 else x.dtype
-    kernel = (functools.partial(_kernel_a8, n_go=n_go, kg=kg) if a8
-              else functools.partial(_kernel, n_go=n_go, kg=kg, out_dtype=out_dtype))
+    kernel = (functools.partial(_kernel_a8, n_go=n_go, kg=kg, fullx=fullx) if a8
+              else functools.partial(_kernel, n_go=n_go, kg=kg, out_dtype=out_dtype, fullx=fullx))
+    x_spec = (pl.BlockSpec((block_m, k), lambda mi, ni, g: (mi, 0)) if fullx
+              else pl.BlockSpec((block_m, kg * GROUP), lambda mi, ni, g: (mi, g)))
     out_lo, out_hi = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((m, n2), out_dtype),) * 2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, kg * GROUP), lambda mi, ni, g: (mi, g)),
+            x_spec,
             pl.BlockSpec((kg * GROUP, block_n), lambda mi, ni, g: (g, ni)),
             pl.BlockSpec((kg, 1, block_n), lambda mi, ni, g: (g, 0, ni)),
             pl.BlockSpec((kg, 1, block_n), lambda mi, ni, g, _nb=nb_hi: (g, 0, _nb + ni)),
@@ -278,8 +335,13 @@ def _int4_route(x3, packed, scales, a8: bool):
 
     x2 = x3.reshape(-1, k)
     m = x2.shape[0]
-    # decode/verify chunks: pad to one native sublane tile (int8: 32 rows)
-    min_sublane = 32 if a8 else 16
+    # decode/verify chunks: pad to the Pallas block minimum (8 rows). An
+    # earlier version padded to the NATIVE sublane tile (int8: 32) — but
+    # Mosaic accepts 8-row blocks for both dtypes, and every per-output-tile
+    # cost (f32 fixups, accumulator traffic, dot row-padding) scales with
+    # block_m: the production kernel measured 333 -> 474 GB/s of packed
+    # bytes at 13B gate/up dims from this change alone (M=32 -> 8).
+    min_sublane = 8
     if m < min_sublane:
         x2 = jnp.pad(x2, ((0, min_sublane - m), (0, 0)))
     m_pad = x2.shape[0]

@@ -87,7 +87,7 @@ def main(cfg: SweepConfig) -> None:
         q4_l = jnp.asarray(np.broadcast_to(np.asarray(q4), (cfg.layers,) + q4.shape).copy())
         s4_l = jnp.asarray(np.broadcast_to(np.asarray(s4), (cfg.layers,) + s4.shape).copy())
 
-        min_sub = 32 if cfg.a8 else 16
+        min_sub = 8  # matches _int4_route's block minimum
         m_pad = max(cfg.m, min_sub)
         if cfg.a8:
             x0 = jnp.asarray(rng.integers(-127, 128, size=(m_pad, K)), jnp.int8)
