@@ -23,10 +23,16 @@ skip per-element unpacking entirely: the byte value as a signed int8 IS
 
 — two MXU dots of raw/masked bytes plus two cheap linear fixups replace the
 shift-heavy VPU unpack of the previous split-half layout. The bytes convert
-to bf16 exactly (|values| <= 255 < 2^8 mantissa). Measured 3x faster at 13B
-MLP dims, M=16 (0.081 vs 0.243 ms/matmul on v5e): the old kernel was
-VPU-bound at ~8.7 us/grid-step against 2.2 us of DMA; the dots ride the
-otherwise-idle MXU. Scales are per (128-input-row group, out-channel);
+to bf16 exactly (|values| <= 255 < 2^8 mantissa). Honest streaming rates
+(scan over DISTINCT stacked weights, scripts/sweep_int4_tiles.py; reuse-
+chain microbenches overstate by >2x and are not trusted here): 460-720 GB/s
+of packed bytes at the tuned 13B decode tiles vs int8's ~650-770 of full
+bytes — int4 decode moves half the bytes at a somewhat lower rate, which is
+why it is a CAPACITY mode (13B runs at all), not a speed mode (7B end-to-end
+measured 7.87 a/s int4 vs 8.8 int8, bench.py 7b4). At prefill M the w4a8
+path is bound by the per-group scale fixups (~10 VPU ops per group x output
+element — inherent to group-128 quantization, not tiling).
+Scales are per (128-input-row group, out-channel);
 since a grid step's reduction tile is exactly one group, scales apply to
 the f32 PARTIAL sums (exact reassociation: x @ (c * s) == (x @ c) * s when
 s is constant over the tile's rows).
@@ -106,10 +112,8 @@ def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref,
     """w4a8 variant: activations arrive pre-quantized to int8 (per-token
     scale applied OUTSIDE the kernel), so both dots ride the MXU's int8 path
     (394 TOPS on v5e, 2x the bf16 rate) and the nibble-recovery fixups are
-    EXACT int32 arithmetic. Why it matters: at decode M (padded 32 rows), the
-    bf16-dot kernel is MXU-pass-bound — every 128x128 byte tile costs a full
-    systolic pass at 25% row-occupancy, capping the stream at ~437 GB/s of
-    packed bytes. Halving the pass cost makes the kernel DMA-bound."""
+    EXACT int32 arithmetic. At decode M the int8 dots also skip the two
+    full-tile int8->bf16 converts the bf16 kernel pays per streamed byte."""
     g = pl.program_id(2)
 
     @pl.when(g == 0)

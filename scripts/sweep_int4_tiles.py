@@ -33,6 +33,7 @@ class SweepConfig:
     shape: str = "all"  # a key of SHAPES, or "all"
     a8: bool = True
     m: int = 1  # pre-pad decode rows (the kernel pads to its sublane minimum)
+    block_m: int = 0  # 0 = one m-block of the padded m; else tile rows by this
     layers: int = 40
     repeats: int = 8
     samples: int = 5
@@ -89,12 +90,14 @@ def main(cfg: SweepConfig) -> None:
 
         min_sub = 8  # matches _int4_route's block minimum
         m_pad = max(cfg.m, min_sub)
+        bm_tile = cfg.block_m or m_pad
+        m_pad = -(-m_pad // bm_tile) * bm_tile  # block_m must divide the grid rows
         if cfg.a8:
             x0 = jnp.asarray(rng.integers(-127, 128, size=(m_pad, K)), jnp.int8)
         else:
             x0 = jnp.asarray(rng.normal(size=(m_pad, K)), jnp.bfloat16)
 
-        def harness(block_n, kg, block_m=m_pad):
+        def harness(block_n, kg, block_m=bm_tile):
             @jax.jit
             def run(x, pl_, sl_):
                 def body(y, args):
@@ -119,9 +122,9 @@ def main(cfg: SweepConfig) -> None:
         for bn in _divisors(N // 2, 128):
             for kg in _divisors(n_g, 1):
                 tile_b = kg * GROUP * bn
-                x_tile = m_pad * kg * GROUP * (1 if cfg.a8 else 2)
+                x_tile = bm_tile * kg * GROUP * (1 if cfg.a8 else 2)
                 out_item = 4 if cfg.a8 else 2
-                vmem = 2 * tile_b + 2 * x_tile + 8 * m_pad * bn + 4 * out_item * m_pad * bn
+                vmem = 2 * tile_b + 2 * x_tile + 8 * bm_tile * bn + 4 * out_item * bm_tile * bn + tile_b * (1 if cfg.a8 else 4) + 16 * bm_tile * bn
                 if vmem > _VMEM_BUDGET or tile_b < 64 * 1024:
                     continue
                 combos.append((bn, kg, tile_b))
