@@ -911,6 +911,38 @@ def _int4_serving_bench(norm_stats, size="13b"):
     except Exception as e:  # never let the extra curve kill the capacity line
         print(f"[bench] {size} speculative endpoints skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    if size == "13b":
+        # Batched 13B on ONE chip: one packed-weight stream serves the whole
+        # batch per decode step, and at B=8 the decode rows exactly fill the
+        # kernel's 8-row block (no pad waste). int8 KV keeps the cache off
+        # the weight budget (bf16 B=8 cache ~1.05 GB -> 0.53).
+        try:
+            model.cache_dtype = jnp.int8
+            fn_b = model._jitted_predict_frames(7)
+            B = 8
+            ids_b = jnp.asarray(np.repeat(ids, B, axis=0))
+            mask_b = jnp.asarray(np.repeat(mask, B, axis=0))
+            frames_b = jnp.asarray(rng.integers(0, 255, size=(B, 224, 224, 3), dtype=np.uint8))
+            np.asarray(fn_b(params, ids_b, mask_b, frames_b, q01, q99, smask))
+            lat_b = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                np.asarray(fn_b(params, ids_b, mask_b, frames_b, q01, q99, smask))
+                lat_b.append(time.perf_counter() - t0)
+            p50_b = float(np.percentile(lat_b, 50))
+            print(f"[bench] 13b-int4 batched B={B} (int8 KV): p50={p50_b*1e3:.1f}ms -> "
+                  f"{B/p50_b:.1f} actions/s aggregate", file=sys.stderr)
+            print(json.dumps({
+                "metric": "openvla13b-int4_batched8_throughput",
+                "value": round(B / p50_b, 2),
+                "unit": "actions/sec aggregate (13B, B=8, one 16GB chip)",
+                "vs_baseline": round(B / p50_b / REFERENCE_ACTIONS_PER_SEC, 3),
+            }), flush=True)
+        except Exception as e:
+            print(f"[bench] 13b-int4 batched mode failed: {type(e).__name__}: {e}", file=sys.stderr)
+        finally:
+            model.cache_dtype = jnp.bfloat16
+
     return None  # JSON already printed above (pre-speculative)
 
 
