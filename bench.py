@@ -547,17 +547,18 @@ def _run_train_bench_subprocess(mode: str, timeout_s: float) -> None:
         # salvage any metric line the child printed before the kill (the 13b4
         # bench prints its capacity line before the optional speculative curve)
         partial = e.stdout if isinstance(e.stdout, str) else (e.stdout or b"").decode(errors="replace")
-        line = next((ln for ln in partial.splitlines() if ln.startswith('{"metric"')), None)
-        if line:
-            print(line)
-            print(f"[bench] {mode}-step bench timed out AFTER its metric line; kept it", file=sys.stderr)
+        lines = [ln for ln in partial.splitlines() if ln.startswith('{"metric"')]
+        if lines:
+            print("\n".join(lines))
+            print(f"[bench] {mode}-step bench timed out AFTER its metric line(s); kept them", file=sys.stderr)
         else:
             print(f"[bench] {mode}-step bench timed out; skipping", file=sys.stderr)
         return
     sys.stderr.write(proc.stderr[-2000:])
-    line = next((ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')), None)
-    if proc.returncode == 0 and line:
-        print(line)
+    # a mode can print several metric lines (13b4: capacity + batched-8)
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')]
+    if proc.returncode == 0 and lines:
+        print("\n".join(lines))
     else:
         print(f"[bench] {mode}-step bench failed (rc={proc.returncode})", file=sys.stderr)
 
