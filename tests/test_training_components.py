@@ -528,6 +528,32 @@ def test_int4_prefill_shape_pads_rows_and_tiles_groups():
     np.testing.assert_allclose(out8, ref, rtol=5e-2, atol=5e-2 * np.abs(ref).max())
 
 
+def test_int4_tuned_decode_tiles_are_valid():
+    """The measured-best decode tile table (_TUNED_DECODE_TILES, from
+    scripts/sweep_int4_tiles.py on the real chip) must stay consistent with
+    the kernel's tiling contract as the kernel evolves: every entry's block_n
+    must tile the packed half-width, kg must tile the group count, the tile
+    must fit the VMEM budget, and the chooser must actually return it for
+    decode-M a8 calls. Catches table drift (e.g. a GROUP change) at CPU-test
+    time instead of as a Mosaic compile error on the chip."""
+    from bridgelang_tpu.ops.int4_matmul import (
+        GROUP,
+        _TUNED_DECODE_TILES,
+        _VMEM_BUDGET,
+        _choose_tiles,
+    )
+
+    flagship = {(40, 2560), (40, 6912), (108, 2560), (32, 2048), (32, 5504), (86, 2048)}
+    assert flagship <= set(_TUNED_DECODE_TILES), "flagship decode shapes must stay tuned"
+    for (n_g, packed_w), (bn, kg) in _TUNED_DECODE_TILES.items():
+        assert packed_w % bn == 0, (n_g, packed_w)
+        assert n_g % kg == 0, (n_g, packed_w)
+        tile_b = kg * GROUP * bn
+        assert 2 * tile_b + 8 * 8 * bn <= _VMEM_BUDGET, (n_g, packed_w)
+        picked = _choose_tiles(8, packed_w, n_g, 8, 4, True)
+        assert picked == (8, bn, kg, 8), (n_g, packed_w, picked)
+
+
 def test_int4_a8_matmul_matches_integer_reference():
     """The w4a8 kernel (int8 MXU dots + exact int32 nibble recovery) must
     match an XLA emulation of the same math: quantize x per-token to int8,
