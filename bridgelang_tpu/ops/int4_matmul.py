@@ -190,6 +190,26 @@ _TUNED_DECODE_TILES = {
 }
 
 
+def _tile_vmem_bytes(block_m: int, block_n: int, kg: int, out_itemsize: int, a8: bool) -> int:
+    """Modeled VMEM bytes for one kernel step: double-buffered inputs, f32
+    accumulators, buffered output halves, and the in-kernel stack (the byte
+    tile materializes as bf16 twice in the bf16 kernel, once masked-i8 in a8,
+    plus ~4 live [block_m, block_n] f32 intermediates — omitting these made
+    the chooser pick tiles Mosaic rejects with a scoped-vmem OOM at prefill M;
+    measured 16.39M actual vs 12M modeled).
+
+    Shared with scripts/sweep_int4_tiles.py so the sweep enumerates EXACTLY
+    the space the chooser searches — an inlined copy would silently drift the
+    next time the kernel's stack accounting changes."""
+    tile_b = kg * GROUP * block_n              # packed weight bytes per step
+    x_tile_b = block_m * kg * GROUP * (1 if a8 else 2)
+    stack_b = tile_b * (1 if a8 else 4) + 4 * 4 * block_m * block_n
+    return (2 * tile_b + 2 * x_tile_b                    # double-buffered ins
+            + 8 * block_m * block_n                      # f32 accumulators
+            + 2 * 2 * out_itemsize * block_m * block_n   # two out halves, buffered
+            + stack_b)
+
+
 def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_itemsize: int, a8: bool):
     """Search the divisor space for (block_m, block_n, kg) minimizing modeled
     step cost under a VMEM budget. Returns (block_m, block_n, kg, m_padded).
@@ -232,18 +252,7 @@ def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_ite
             m_eff = m_blocks * block_m
             tile_b = kg * GROUP * block_n          # packed bytes per step
             x_tile_b = block_m * kg * GROUP * (1 if a8 else 2)
-            # In-kernel stack: the byte tile materializes as bf16 twice in
-            # the bf16 kernel (all_bf + lo_bf = 4x tile) or as one masked i8
-            # copy in a8 (1x), plus the per-group f32 dot outputs/fixups
-            # (~4 tiles of [block_m, block_n] f32 live at once). Omitting
-            # these made the chooser pick tiles Mosaic rejects with a scoped
-            # vmem OOM at prefill M (measured: 16.39M actual vs 12M modeled).
-            stack_b = tile_b * (1 if a8 else 4) + 4 * 4 * block_m * block_n
-            vmem = (2 * tile_b + 2 * x_tile_b                    # double-buffered ins
-                    + 8 * block_m * block_n                      # f32 accumulators
-                    + 2 * 2 * out_itemsize * block_m * block_n   # two out halves, buffered
-                    + stack_b)
-            if vmem > _VMEM_BUDGET:
+            if _tile_vmem_bytes(block_m, block_n, kg, out_itemsize, a8) > _VMEM_BUDGET:
                 continue
             steps = m_blocks * (packed_w // block_n) * (n_g // kg)
             # resident-x blocks (see _int4_2d fullx) stream no x per step

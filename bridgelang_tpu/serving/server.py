@@ -199,7 +199,10 @@ class VLAServer:
         # Clients may send an explicit null (client_act always includes the
         # field), so `or` — not .get's default — resolves to the server key.
         unnorm_key = request.get("unnorm_key") or self.default_unnorm_key
-        if request.get("horizon"):
+        if request.get("horizon") is not None:
+            # `is not None`, not truthiness: horizon=0 must reach the range
+            # check below and 500, not silently fall through to the
+            # single-action path with an unexpected shape.
             # Chunked control (OFT-style): one parallel forward emits the
             # current + horizon-1 future actions — ONLY meaningful for models
             # fine-tuned with `finetune.py --parallel_decode --action_chunk`.

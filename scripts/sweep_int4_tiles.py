@@ -62,6 +62,7 @@ def main(cfg: SweepConfig) -> None:
         _choose_tiles,
         _divisors,
         _int4_2d,
+        _tile_vmem_bytes,
     )
     from bridgelang_tpu.ops.quant import _quantize4_2d
     from bridgelang_tpu.util.compile_cache import enable_persistent_cache
@@ -102,7 +103,7 @@ def main(cfg: SweepConfig) -> None:
             def run(x, pl_, sl_):
                 def body(y, args):
                     p_i, s_i = args
-                    out = _int4_2d(y if not cfg.a8 else y, p_i, s_i, block_m, block_n, kg, cfg.a8)
+                    out = _int4_2d(y, p_i, s_i, block_m, block_n, kg, cfg.a8)
                     # scalar feedback keeps the chain dependent without
                     # changing y's values (out * 0 cannot be const-folded:
                     # out is data-dependent)
@@ -119,13 +120,14 @@ def main(cfg: SweepConfig) -> None:
 
         # enumerate the same space the chooser searches
         combos = []
+        out_item = 4 if cfg.a8 else 2
         for bn in _divisors(N // 2, 128):
             for kg in _divisors(n_g, 1):
                 tile_b = kg * GROUP * bn
-                x_tile = bm_tile * kg * GROUP * (1 if cfg.a8 else 2)
-                out_item = 4 if cfg.a8 else 2
-                vmem = 2 * tile_b + 2 * x_tile + 8 * bm_tile * bn + 4 * out_item * bm_tile * bn + tile_b * (1 if cfg.a8 else 4) + 16 * bm_tile * bn
-                if vmem > _VMEM_BUDGET or tile_b < 64 * 1024:
+                # the chooser's own VMEM model — sharing it keeps the sweep
+                # enumerating exactly the space production can pick from
+                if (_tile_vmem_bytes(bm_tile, bn, kg, out_item, cfg.a8) > _VMEM_BUDGET
+                        or tile_b < 64 * 1024):
                     continue
                 combos.append((bn, kg, tile_b))
         combos.sort(key=lambda c: c[2])
@@ -167,7 +169,10 @@ def main(cfg: SweepConfig) -> None:
                     out = jax.lax.dot_general(
                         y, w4, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
-                    return y + (out[:1, :1] * 0).astype(y.dtype), None
+                    # int32 output: `* 0` would be algebraically folded and
+                    # the whole dot DCEd (ints have no NaN semantics) — the
+                    # sign shift keeps the chain data-dependent.
+                    return y + (out[:1, :1] >> 31).astype(y.dtype), None
 
                 def rep(_, y):
                     y, _unused = jax.lax.scan(body, y, wl)

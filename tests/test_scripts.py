@@ -605,6 +605,11 @@ def test_server_request_guards_and_buckets():
         assert chunk.shape == (2, 7)
         with pytest.raises(RuntimeError, match="server error"):
             client_act("127.0.0.1", port, img, "push", horizon=MAX_HORIZON + 1)
+        # horizon=0 is falsy: it must still reach the range check and be
+        # refused, not silently served as a single (7,) action where the
+        # caller expects an [H, 7] chunk.
+        with pytest.raises(RuntimeError, match="server error"):
+            client_act("127.0.0.1", port, img, "push", horizon=0)
         action, tokens = client_act("127.0.0.1", port, img, "push",
                                     draft_tokens=np.zeros(7, np.int32), return_tokens=True)
         assert action.shape == (7,) and tokens is None
