@@ -318,6 +318,7 @@ def load_vla(
     dtype=None,
     quantize_int8: bool = False,
     quantize_int4: bool = False,
+    int4_group: Optional[int] = None,
     w8a8: Optional[bool] = None,
     cache_dir=None,
 ):
@@ -385,9 +386,12 @@ def load_vla(
         vit_depths = {"featurizer": VIT_CONFIGS[cfg.vision_backbone_id].depth}
     params = convert_hf_state_dict(tensors, cfg.llm.n_layers, vit_depths, target_dtype=dt)
     if quantize_int4:
-        from bridgelang_tpu.ops.quant import quantize_llm_int4
+        from bridgelang_tpu.ops.quant import INT4_GROUP, quantize_llm_int4
 
-        params["llm"] = quantize_llm_int4(params["llm"])
+        # int4_group: scale-group size (input rows per scale). 128 is the
+        # quality default; 256/512 shrink the w4a8 prefill per-group fixup
+        # cost at a measured quantization-error cost (docs/int4.md table).
+        params["llm"] = quantize_llm_int4(params["llm"], group=int4_group or INT4_GROUP)
     elif quantize_int8:
         from bridgelang_tpu.ops.quant import quantize_llm_int8
 

@@ -101,6 +101,24 @@ VIT_CONFIGS: Dict[str, ViTConfig] = {
         image_size=224, patch_size=16, width=1024, depth=24, num_heads=16, mlp_dim=4096,
         use_cls_token=True,
     ),
+    # vit_base_patch16_clip_224.openai (reference clip_vit.py:10; ablation tier)
+    "clip-vit-b": ViTConfig(
+        image_size=224, patch_size=16, width=768, depth=12, num_heads=12, mlp_dim=3072,
+        use_cls_token=True, act="quick_gelu", pre_norm=True, ln_eps=1e-5,
+    ),
+    # vit_base_patch16_siglip_{224,256,384} (reference siglip_vit.py:9-11)
+    "siglip-vit-b16-224px": ViTConfig(
+        image_size=224, patch_size=16, width=768, depth=12, num_heads=12, mlp_dim=3072,
+        use_cls_token=False, act="gelu_tanh",
+    ),
+    "siglip-vit-b16-256px": ViTConfig(
+        image_size=256, patch_size=16, width=768, depth=12, num_heads=12, mlp_dim=3072,
+        use_cls_token=False, act="gelu_tanh",
+    ),
+    "siglip-vit-b16-384px": ViTConfig(
+        image_size=384, patch_size=16, width=768, depth=12, num_heads=12, mlp_dim=3072,
+        use_cls_token=False, act="gelu_tanh",
+    ),
 }
 
 

@@ -174,6 +174,11 @@ def transform_config_for_backbone(vision_backbone_id: str, image_resize_strategy
         "siglip-vit-so400m-384px": (TOWER_SPECS["siglip-384"],),
         "dinov2-vit-l": (TOWER_SPECS["dinov2"],),
         "in1k-vit-l": (TOWER_SPECS["in1k"],),
+        # Base-size ablation towers (reference materialize.py:38-44)
+        "clip-vit-b": (TOWER_SPECS["clip"],),
+        "siglip-vit-b16-224px": (TOWER_SPECS["siglip"],),
+        "siglip-vit-b16-256px": (dataclasses.replace(TOWER_SPECS["siglip"], size=256),),
+        "siglip-vit-b16-384px": (TOWER_SPECS["siglip-384"],),
         "dinoclip-vit-l-336px": (
             dataclasses.replace(TOWER_SPECS["dinov2"], size=336),
             TOWER_SPECS["clip-336"],

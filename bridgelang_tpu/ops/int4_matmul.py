@@ -47,14 +47,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GROUP = 128  # input rows per scale group; kernel reduction tile is one group
+GROUP = 128  # default input rows per scale group (pack-time default; the
+# kernel derives the actual group size from the scales shape, so pack-time
+# group=256/512 — the only lever on the per-group w4a8 prefill fixup cost,
+# see docs/int4.md — runs through the same kernel)
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_go: int, kg: int, out_dtype, fullx: bool):
+def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_go: int, kg: int, out_dtype, fullx: bool, group: int = GROUP):
     # Scales arrive as a free [G, 1, N] view with the group rows AND column
     # half selected by the BlockSpec index maps — block (kg, 1, block_n)
     # satisfies Mosaic tiling (middle dim equals the overall dim), and an
@@ -81,7 +84,7 @@ def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, ac
     # fullx: x is RESIDENT in VMEM ([block_m, K], index map pinned to 0) so
     # only the weight bytes DMA per grid step — the per-step x re-fetch
     # measured as a pipeline break at decode shapes (probe: 430 -> 553 GB/s).
-    x = x_ref[:, pl.dslice(g * kg * GROUP, kg * GROUP)] if fullx else x_ref[:]
+    x = x_ref[:, pl.dslice(g * kg * group, kg * group)] if fullx else x_ref[:]
     # kg quantization groups per grid step (static unroll): one step streams
     # a (kg*GROUP, block_n) byte tile so the per-step DMA is big enough to
     # amortize grid overhead — 128-row tiles measured DMA-latency-bound at
@@ -90,7 +93,7 @@ def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, ac
     acc_lo = jnp.zeros(acc_lo_ref.shape, jnp.float32)
     acc_hi = jnp.zeros(acc_hi_ref.shape, jnp.float32)
     for gi in range(kg):
-        rows = slice(gi * GROUP, (gi + 1) * GROUP)
+        rows = slice(gi * group, (gi + 1) * group)
         xg = x[:, rows]
         y_all = jnp.dot(xg, all_bf[rows], preferred_element_type=jnp.float32)
         y_lo_b = jnp.dot(xg, lo_bf[rows], preferred_element_type=jnp.float32)
@@ -108,7 +111,7 @@ def _kernel(x_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, ac
         o_hi_ref[:] = acc_hi_ref[:].astype(out_dtype)
 
 
-def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_go: int, kg: int, fullx: bool):
+def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref, acc_hi_ref, *, n_go: int, kg: int, fullx: bool, group: int = GROUP):
     """w4a8 variant: activations arrive pre-quantized to int8 (per-token
     scale applied OUTSIDE the kernel), so both dots ride the MXU's int8 path
     (394 TOPS on v5e, 2x the bf16 rate) and the nibble-recovery fixups are
@@ -141,8 +144,8 @@ def _kernel_a8(q_ref, p_ref, s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref, acc_lo_ref,
     acc_lo = jnp.zeros(acc_lo_ref.shape, jnp.float32)
     acc_hi = jnp.zeros(acc_hi_ref.shape, jnp.float32)
     for gi in range(kg):  # static unroll — see _kernel
-        rows = slice(gi * GROUP, (gi + 1) * GROUP)
-        qg = q_ref[:, pl.dslice(g * kg * GROUP + gi * GROUP, GROUP)] if fullx else q[:, rows]
+        rows = slice(gi * group, (gi + 1) * group)
+        qg = q_ref[:, pl.dslice(g * kg * group + gi * group, group)] if fullx else q[:, rows]
         y_all = jnp.dot(qg, p[rows], preferred_element_type=jnp.int32)    # 16*y_hi + y_lo_b
         y_lo_b = jnp.dot(qg, p_lo[rows], preferred_element_type=jnp.int32)
         s = jnp.sum(qg.astype(jnp.int32), axis=1, keepdims=True)    # per-group rowsum
@@ -190,7 +193,7 @@ _TUNED_DECODE_TILES = {
 }
 
 
-def _tile_vmem_bytes(block_m: int, block_n: int, kg: int, out_itemsize: int, a8: bool) -> int:
+def _tile_vmem_bytes(block_m: int, block_n: int, kg: int, out_itemsize: int, a8: bool, group: int = GROUP) -> int:
     """Modeled VMEM bytes for one kernel step: double-buffered inputs, f32
     accumulators, buffered output halves, and the in-kernel stack (the byte
     tile materializes as bf16 twice in the bf16 kernel, once masked-i8 in a8,
@@ -201,8 +204,8 @@ def _tile_vmem_bytes(block_m: int, block_n: int, kg: int, out_itemsize: int, a8:
     Shared with scripts/sweep_int4_tiles.py so the sweep enumerates EXACTLY
     the space the chooser searches — an inlined copy would silently drift the
     next time the kernel's stack accounting changes."""
-    tile_b = kg * GROUP * block_n              # packed weight bytes per step
-    x_tile_b = block_m * kg * GROUP * (1 if a8 else 2)
+    tile_b = kg * group * block_n              # packed weight bytes per step
+    x_tile_b = block_m * kg * group * (1 if a8 else 2)
     stack_b = tile_b * (1 if a8 else 4) + 4 * 4 * block_m * block_n
     return (2 * tile_b + 2 * x_tile_b                    # double-buffered ins
             + 8 * block_m * block_n                      # f32 accumulators
@@ -210,7 +213,7 @@ def _tile_vmem_bytes(block_m: int, block_n: int, kg: int, out_itemsize: int, a8:
             + stack_b)
 
 
-def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_itemsize: int, a8: bool):
+def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_itemsize: int, a8: bool, group: int = GROUP):
     """Search the divisor space for (block_m, block_n, kg) minimizing modeled
     step cost under a VMEM budget. Returns (block_m, block_n, kg, m_padded).
 
@@ -227,7 +230,7 @@ def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_ite
 
     block_m need not divide m: the caller pads rows (padding cost is modeled
     via the rounded-up block count)."""
-    if a8 and m_pad <= 8:
+    if a8 and m_pad <= 8 and group == GROUP:  # table measured at group=128
         tuned = _TUNED_DECODE_TILES.get((n_g, packed_w))
         if tuned is not None:
             return (m_pad, tuned[0], tuned[1], m_pad)
@@ -250,16 +253,16 @@ def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_ite
                 rows = -(-m_pad // m_blocks)
                 block_m = -(-rows // min_sublane) * min_sublane
             m_eff = m_blocks * block_m
-            tile_b = kg * GROUP * block_n          # packed bytes per step
-            x_tile_b = block_m * kg * GROUP * (1 if a8 else 2)
-            if _tile_vmem_bytes(block_m, block_n, kg, out_itemsize, a8) > _VMEM_BUDGET:
+            tile_b = kg * group * block_n          # packed bytes per step
+            x_tile_b = block_m * kg * group * (1 if a8 else 2)
+            if _tile_vmem_bytes(block_m, block_n, kg, out_itemsize, a8, group) > _VMEM_BUDGET:
                 continue
             steps = m_blocks * (packed_w // block_n) * (n_g // kg)
             # resident-x blocks (see _int4_2d fullx) stream no x per step
-            x_stream_b = 0 if block_m * n_g * GROUP * (1 if a8 else 2) <= 512 * 1024 else x_tile_b
+            x_stream_b = 0 if block_m * n_g * group * (1 if a8 else 2) <= 512 * 1024 else x_tile_b
             dma_s = (tile_b + x_stream_b) / _HBM_BPS
             # MXU: two dots/group over 128-row systolic passes (row padding wasted)
-            mxu_s = 2 * (-(-block_m // 128) * 128) * kg * GROUP * block_n / mxu
+            mxu_s = 2 * (-(-block_m // 128) * 128) * kg * group * block_n / mxu
             # VPU: nibble mask + two widen-converts on the byte tile, plus
             # per-group scale-multiply-accumulate on the f32 accumulators
             vpu_s = (3 * tile_b + 4 * kg * block_m * block_n) / _VPU_OPS
@@ -269,14 +272,14 @@ def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_ite
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "kg", "a8"))
-def _int4_2d(x, packed, scales, block_m: int, block_n: int, kg: int, a8: bool):
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "kg", "a8", "group"))
+def _int4_2d(x, packed, scales, block_m: int, block_n: int, kg: int, a8: bool, group: int = GROUP):
     """Shared pallas_call plumbing for both kernels. a8=False: bf16 dots,
     output in x.dtype. a8=True: x is pre-quantized int8, int8 MXU dots,
     f32 output with the per-token scale applied by the caller."""
     m, k = x.shape
     n2 = packed.shape[1]  # = N // 2
-    n_g = k // GROUP
+    n_g = k // group
     n_go = n_g // kg  # grid steps along the reduction (kg groups per step)
     grid = (m // block_m, n2 // block_n, n_go)
     # Small-M (decode) blocks keep the WHOLE x row-block resident in VMEM so
@@ -291,17 +294,17 @@ def _int4_2d(x, packed, scales, block_m: int, block_n: int, kg: int, a8: bool):
     nb_hi = n2 // block_n  # column-block offset of the high half
 
     out_dtype = jnp.float32 if a8 else x.dtype
-    kernel = (functools.partial(_kernel_a8, n_go=n_go, kg=kg, fullx=fullx) if a8
-              else functools.partial(_kernel, n_go=n_go, kg=kg, out_dtype=out_dtype, fullx=fullx))
+    kernel = (functools.partial(_kernel_a8, n_go=n_go, kg=kg, fullx=fullx, group=group) if a8
+              else functools.partial(_kernel, n_go=n_go, kg=kg, out_dtype=out_dtype, fullx=fullx, group=group))
     x_spec = (pl.BlockSpec((block_m, k), lambda mi, ni, g: (mi, 0)) if fullx
-              else pl.BlockSpec((block_m, kg * GROUP), lambda mi, ni, g: (mi, g)))
+              else pl.BlockSpec((block_m, kg * group), lambda mi, ni, g: (mi, g)))
     out_lo, out_hi = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((m, n2), out_dtype),) * 2,
         grid=grid,
         in_specs=[
             x_spec,
-            pl.BlockSpec((kg * GROUP, block_n), lambda mi, ni, g: (g, ni)),
+            pl.BlockSpec((kg * group, block_n), lambda mi, ni, g: (g, ni)),
             pl.BlockSpec((kg, 1, block_n), lambda mi, ni, g: (g, 0, ni)),
             pl.BlockSpec((kg, 1, block_n), lambda mi, ni, g, _nb=nb_hi: (g, 0, _nb + ni)),
         ],
@@ -318,12 +321,14 @@ def _int4_2d(x, packed, scales, block_m: int, block_n: int, kg: int, a8: bool):
 
 
 def int4_kernel_eligible(k: int, n: int, n_groups: int) -> bool:
-    """The kernel requires 128-row scale groups and lane-tileable halves."""
-    return (
-        k % GROUP == 0
-        and n % 256 == 0
-        and n_groups * GROUP == k
-    )
+    """The kernel requires scale groups that are a multiple of 128 input
+    rows (MXU-aligned reduction tiles) and lane-tileable column halves.
+    Pack-time group sizes 128/256/512 (quantize_llm_int4(group=...)) all
+    qualify; the kernel derives the group from the scales shape."""
+    if n % 256 != 0 or n_groups <= 0 or k % n_groups != 0:
+        return False
+    group = k // n_groups
+    return group % GROUP == 0
 
 
 def _int4_route(x3, packed, scales, a8: bool):
@@ -346,6 +351,7 @@ def _int4_route(x3, packed, scales, a8: bool):
     if not int4_kernel_eligible(k, n, scales.shape[-2]):
         return fallback()
 
+    group = k // scales.shape[-2]
     x2 = x3.reshape(-1, k)
     m = x2.shape[0]
     # decode/verify chunks: pad to the Pallas block minimum (8 rows). An
@@ -362,13 +368,13 @@ def _int4_route(x3, packed, scales, a8: bool):
     if m_pad * n * out_itemsize > 64 * 1024 * 1024:
         # an output too big to be a serving shape
         return fallback()
-    tiles = _choose_tiles(m_pad, packed.shape[-1], scales.shape[-2], min_sublane, out_itemsize, a8)
+    tiles = _choose_tiles(m_pad, packed.shape[-1], scales.shape[-2], min_sublane, out_itemsize, a8, group)
     if tiles is None:  # no tiling fits VMEM (enormous N) — not a serving shape
         return fallback()
     block_m, block_n, kg, m_eff = tiles
     if m_eff > m_pad:  # prefill M rarely divides the chosen block_m: pad rows
         x2 = jnp.pad(x2, ((0, m_eff - m_pad), (0, 0)))
-    out = _int4_2d(x2, packed, scales, block_m, block_n, kg, a8)
+    out = _int4_2d(x2, packed, scales, block_m, block_n, kg, a8, group)
     return out[:m].reshape(B, T, n)
 
 

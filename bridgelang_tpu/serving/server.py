@@ -188,6 +188,7 @@ class VLAServer:
             payload["latency_ms"] = {
                 "p50": round(float(_np.percentile(recent, 50)), 1),
                 "p90": round(float(_np.percentile(recent, 90)), 1),
+                "p99": round(float(_np.percentile(recent, 99)), 1),
                 "last": round(recent[-1], 1),
                 "window": len(recent),
             }

@@ -51,6 +51,10 @@ class DeployConfig:
     # traffic vs int8 — a speed/precision tradeoff for 7B too. Overrides
     # quantize_int8.
     quantize_int4: bool = False
+    # int4 scale-group size (input rows per scale): 128 quality default;
+    # 256/512 cut the w4a8 prefill per-group fixup cost for a measured
+    # quantization-error cost (docs/int4.md).
+    int4_group: int = 128
     # Batch-1 default: decode speculatively, drafting from the server-side
     # previous tokens per (instruction, unnorm_key) — greedy-equivalent
     # (margin-gated), ~40% faster on smooth control loops, no client changes.
@@ -100,7 +104,8 @@ def main(cfg: DeployConfig) -> None:
         from bridgelang_tpu.models.load import load_vla
 
         model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8,
-                                 quantize_int4=cfg.quantize_int4)
+                                 quantize_int4=cfg.quantize_int4,
+                                 int4_group=cfg.int4_group)
         model.tokenizer = get_tokenizer(cfg.tokenizer_path)
 
     if cfg.kv_cache_int8:

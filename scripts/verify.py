@@ -52,6 +52,7 @@ class VerifyConfig:
     calls: int = 100
     quantize_int8: bool = True
     quantize_int4: bool = False  # w4a8 speed/capacity mode; overrides int8
+    int4_group: int = 128  # scale-group rows: 128 quality default, 256/512 faster prefill (docs/int4.md)
     parallel_decode: bool = False
     golden: Optional[str] = None  # replay a golden .npz -> bit-parity verdict
     golden_record: Optional[str] = None  # record a golden .npz from this model
@@ -210,7 +211,8 @@ def _build_model(cfg: VerifyConfig):
 
         model, params = load_vla(cfg.checkpoint,
                                  quantize_int8=cfg.quantize_int8 and not cfg.quantize_int4,
-                                 quantize_int4=cfg.quantize_int4)
+                                 quantize_int4=cfg.quantize_int4,
+                                 int4_group=cfg.int4_group)
         model.tokenizer = get_tokenizer(cfg.tokenizer_path)
         return model, params
     print("[verify] no checkpoint; random-init DEPTH-TRIMMED flagship "
@@ -232,7 +234,7 @@ def _build_model(cfg: VerifyConfig):
     if cfg.quantize_int4:
         from bridgelang_tpu.ops.quant import quantize_llm_int4
 
-        params["llm"] = quantize_llm_int4(params["llm"])
+        params["llm"] = quantize_llm_int4(params["llm"], group=cfg.int4_group)
     elif cfg.quantize_int8:
         from bridgelang_tpu.ops.quant import quantize_llm_int8
 

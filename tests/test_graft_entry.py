@@ -19,6 +19,7 @@ def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)  # raises on non-finite loss / sharding errors
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_invocation():
     """Reproduce the driver's EXACT invocation: a fresh process with NO
     conftest platform forcing (round 1 failed here: the sitecustomize axon

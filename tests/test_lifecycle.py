@@ -137,6 +137,7 @@ def test_resolve_checkpoint_dir_contract(tmp_path):
 
 
 @pytest.mark.parametrize("qbits", [8, 4])
+@pytest.mark.slow
 def test_finetune_script_main_end_to_end(tmp_path, monkeypatch, qbits):
     """scripts/finetune.py main() on a tiny checkpoint + injected dataset:
     load -> quantized base (int8 and packed-int4 QLoRA) + LoRA adapters ->
@@ -215,6 +216,7 @@ def test_finetune_script_main_end_to_end(tmp_path, monkeypatch, qbits):
     assert any("train/loss" in l for l in lines)
 
 
+@pytest.mark.slow
 def test_train_script_main_end_to_end(tmp_path, monkeypatch):
     """scripts/train.py main() (the reference's primary entry point) on the
     debug VLA config with a tiny registry + injected dataset: mesh + sharded

@@ -286,6 +286,7 @@ def test_generation_with_int8_cache_runs():
     np.testing.assert_array_equal(np.asarray(toks_q), np.asarray(toks_bf))
 
 
+@pytest.mark.slow
 def test_speculative_with_int8_cache_matches_greedy():
     """generate_speculative with the int8 KV cache: the while_loop carries the
     4-leaf quantized cache, and outputs still match generate_greedy under the
@@ -343,6 +344,7 @@ def test_quantize_activations_per_token_contract():
     assert not np.asarray(q0).any()
 
 
+@pytest.mark.slow
 def test_speculative_verify_chunk_stays_greedy_equivalent_past_w8a8_gate():
     """action_dim >= W8A8_MIN_CHUNK regression: an int8+w8a8 model's
     speculative VERIFY chunk (T = n >= 8) must not cross onto the

@@ -67,6 +67,7 @@ print(f"WORKER_OK {pid} mean={m}")
 """
 
 
+@pytest.mark.slow
 def test_two_process_distributed(tmp_path):
     port = _free_port()
     addr = f"127.0.0.1:{port}"

@@ -6,6 +6,7 @@ the same geometry (query token, positions, prefix-only attention). Reference
 cites this as an external 25-50x recipe it does not implement
 (reference README.md:16-17)."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -94,6 +95,7 @@ def test_parallel_objective_no_teacher_forcing_leak():
     assert loss_seq(ids) != loss_seq(ids2)
 
 
+@pytest.mark.slow
 def test_parallel_objective_overfit_then_parallel_decode_serves_it():
     """Fine-tune with parallel_decode_objective on a fixed batch, then
     generate_parallel on the PROMPT-ONLY inputs must emit the trained action
@@ -155,6 +157,7 @@ def test_parallel_objective_unlabeled_eos_not_attendable():
     assert loss(ids, mask) == loss(ids_no_eos, mask_no_eos)
 
 
+@pytest.mark.slow
 def test_chunk_objective_overfit_then_predict_action_chunk():
     """Train a 2-step action chunk (14 supervised tokens) with the parallel
     objective, then the HOST serving API predict_action_chunk must return the

@@ -149,6 +149,7 @@ def test_frozen_params_stay_fixed(eight_device_mesh):
     assert not np.allclose(before_proj, after_proj)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_mesh_runs():
     devices = jax.devices()
     mesh = make_mesh("replica=1,fsdp=4,tensor=2", devices=devices)
@@ -162,6 +163,7 @@ def test_tensor_parallel_mesh_runs():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_sharded_inference_generate(eight_device_mesh):
     """Batched greedy generation with FSDP+TP-sharded params — multi-chip
     serving (a capability absent in the reference; generation there is
@@ -191,6 +193,7 @@ def test_sharded_inference_generate(eight_device_mesh):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(local))
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_large_batch(eight_device_mesh):
     """optax.MultiSteps with k=2 on half-batches == one step on the full batch
     (the VLM loop's accumulation contract, reference base_strategy.py:208-221)."""
@@ -224,6 +227,7 @@ def test_strategy_spec_builds_mesh():
     assert dict(mesh.shape) == {"replica": 2, "fsdp": 4, "tensor": 1}
 
 
+@pytest.mark.slow
 def test_training_is_seed_deterministic(eight_device_mesh):
     mesh = eight_device_mesh
     losses = []
@@ -239,6 +243,7 @@ def test_training_is_seed_deterministic(eight_device_mesh):
     assert losses[0] == losses[1]
 
 
+@pytest.mark.slow
 def test_checkpoint_cross_topology_restore(tmp_path):
     """The pod-resize scenario behind README's "re-shardable on restore": save
     a TrainState sharded on a replica=2,fsdp=2,tensor=2 mesh, restore it onto

@@ -54,6 +54,7 @@ def test_ring_is_actually_sharded(sp_mesh):
     assert out.sharding.spec == P(None, "sp", None, None) or len(out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_ring_attention_trainer_integration():
     """Ring attention is reachable from the config surface, not just the op:
     VLMConfig(attention_impl="ring") routes decoder attention through the

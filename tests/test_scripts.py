@@ -309,6 +309,7 @@ def test_inspect_checkpoint_both_formats(tmp_path):
     mod.main(mod.InspectConfig(path=str(run_dir)))
 
 
+@pytest.mark.slow
 def test_golden_record_replay_roundtrip(tmp_path):
     """scripts/verify.py golden kit, frames form: record from a tiny model,
     replay against the same weights -> every record bit-exact."""
@@ -346,6 +347,7 @@ def test_golden_record_replay_roundtrip(tmp_path):
     assert str(np.load(golden)["numerics"]) == "bf16"
 
 
+@pytest.mark.slow
 def test_golden_replay_warns_on_numerics_mismatch(tmp_path, capsys):
     """A golden bundle recorded under one quantization mode replayed under
     another prints the mode mismatch (the token diff alone is unexplainable)."""
@@ -586,7 +588,7 @@ def test_server_request_guards_and_buckets():
     httpd = server.serve_background(port=0)
     port = httpd.server_address[1]
     try:
-        with pytest.raises(RuntimeError, match="server error"):
+        with pytest.raises(RuntimeError, match="requires a parallel-objective model"):
             client_act("127.0.0.1", port, img, "push", horizon=2)
     finally:
         httpd.shutdown()
@@ -603,12 +605,15 @@ def test_server_request_guards_and_buckets():
     try:
         chunk = client_act("127.0.0.1", port, img, "push", horizon=2)
         assert chunk.shape == (2, 7)
-        with pytest.raises(RuntimeError, match="server error"):
+        # Match the range-check text, not the generic "server error" prefix:
+        # any 500 carries that prefix, so the generic match would also pass
+        # on an unrelated failure (e.g. a type error before the range check).
+        with pytest.raises(RuntimeError, match=r"must be in \[1,"):
             client_act("127.0.0.1", port, img, "push", horizon=MAX_HORIZON + 1)
         # horizon=0 is falsy: it must still reach the range check and be
         # refused, not silently served as a single (7,) action where the
         # caller expects an [H, 7] chunk.
-        with pytest.raises(RuntimeError, match="server error"):
+        with pytest.raises(RuntimeError, match=r"must be in \[1,"):
             client_act("127.0.0.1", port, img, "push", horizon=0)
         action, tokens = client_act("127.0.0.1", port, img, "push",
                                     draft_tokens=np.zeros(7, np.int32), return_tokens=True)

@@ -10,6 +10,7 @@ reproduce the single-device actions. The reference's inference stack is
 single-GPU, batch-1 only (reference: modeling_prismatic.py:460-463).
 """
 
+import pytest
 import dataclasses
 
 import jax
@@ -55,6 +56,7 @@ def test_tp_serving_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_serving_int8_matches_single_device():
     """The production serving mode: int8 weight-only decoder, TP-sharded
     (int8 codes and their sibling *_scale leaves shard together)."""
@@ -73,6 +75,7 @@ def test_tp_serving_int8_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_serving_pallas_prefill_matches_single_device():
     """The real TPU-pod serving configuration: pallas flash prefill (keys
     longer than queries — the KV-cache case) under tensor-parallel sharding;
@@ -95,6 +98,7 @@ def test_tp_serving_pallas_prefill_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_speculative_matches_single_device():
     model = _tiny_model()
     params = model.init_params(jax.random.key(1))
@@ -129,6 +133,7 @@ def test_serving_rules_cover_int8_scales():
     assert all(x is None for x in spec_for_path("llm/embed", 2, SERVING_RULES))
 
 
+@pytest.mark.slow
 def test_tp_serving_13b_geometry_matches_single_device():
     """13B is the multi-chip serving customer: int8 params load on one 16 GB
     chip but execution OOMs (README measured), so it serves with
@@ -162,6 +167,7 @@ def test_tp_serving_13b_geometry_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_int4_serving_on_mesh_matches_single_device():
     """Packed-int4 (the 13B capacity mode) under a mesh: SERVING_RULES
     replicate the packed leaves + their *_scale4 siblings (the out-paired

@@ -1,5 +1,6 @@
 """LoRA / metrics / checkpointing component tests."""
 
+import pytest
 import json
 
 import jax
@@ -348,6 +349,7 @@ def test_remat_policy_matches_full_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_qlora_train_step_int8_base_full_remat():
     """The QLoRA analogue at the bench/finetune wiring: int8 frozen base +
     LoRA adapters as the ONLY trainable leaves, full-remat activations, bf16
@@ -632,6 +634,7 @@ def test_int4_matmul_custom_vjp_matches_dequant_grad():
         np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lora_over_int4_base_trains_and_merges():
     """QLoRA over a packed-int4 frozen base (scripts/finetune.py
     --quantization_bits 4): adapters get FULL input dims despite the packed
@@ -756,3 +759,29 @@ def test_int4_kernel_eligible_at_flagship_geometry():
         (5120, 5120), (5120, 13824), (13824, 5120),   # 13B attn + MLP
     ]:
         assert int4_kernel_eligible(k, n, k // GROUP), (k, n)
+
+
+def test_int4_kernel_supports_pack_time_group_256_and_512():
+    """The kernel derives the scale-group size from the scales shape, so the
+    pack-time group knob (quantize_llm_int4(group=...) — the only lever on
+    the w4a8 prefill per-group fixup cost, docs/int4.md) runs through the
+    same fused path. group=256/512 must stay eligible and numerically
+    equivalent to the dequant reference at both decode and prefill M."""
+    from bridgelang_tpu.ops.int4_matmul import int4_kernel_eligible, matmul_int4, matmul_int4_a8
+    from bridgelang_tpu.ops.quant import _quantize4_2d, dequant_int4
+
+    rng = np.random.default_rng(11)
+    K, N = 512, 256
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    for group in (256, 512):
+        q4, s4 = _quantize4_2d(jnp.asarray(w), group=group)
+        assert s4.shape == (K // group, N)
+        assert int4_kernel_eligible(K, N, s4.shape[0])
+        ref_w = np.asarray(dequant_int4(q4, s4, dtype=jnp.float32))
+        for M in (1, 48):
+            x = jnp.asarray(rng.normal(size=(M, K)), dtype=jnp.bfloat16)
+            ref = np.asarray(x, np.float32) @ ref_w
+            out = np.asarray(matmul_int4(x, q4, s4), np.float32)
+            np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2 * np.abs(ref).max())
+            out8 = np.asarray(matmul_int4_a8(x, q4, s4), np.float32)
+            np.testing.assert_allclose(out8, ref, rtol=5e-2, atol=5e-2 * np.abs(ref).max())

@@ -69,3 +69,37 @@ def test_registry_configs_match_published_dims():
 def test_build_vision_backbone_fused():
     module, dim, patches = build_vision_backbone("dinosiglip-vit-so-224px")
     assert dim == 1024 + 1152 and patches == 256
+
+
+def test_vision_registry_parity_with_reference():
+    """The id set must cover the reference's VISION_BACKBONES registry exactly
+    (reference materialize.py:29-53: 11 single + 2 fused = 13 ids), and every
+    id must resolve to a module + transform config and abstractly initialize
+    with consistent shapes."""
+    import jax
+
+    from bridgelang_tpu.models.vision.vit import FUSED_BACKBONES
+    from bridgelang_tpu.ops.image_ops import transform_config_for_backbone
+
+    reference_ids = {
+        "clip-vit-l", "siglip-vit-so400m", "dinov2-vit-l", "in1k-vit-l",
+        "dinosiglip-vit-so-224px",
+        "clip-vit-b", "clip-vit-l-336px",
+        "siglip-vit-b16-224px", "siglip-vit-b16-256px", "siglip-vit-b16-384px",
+        "siglip-vit-so400m-384px",
+        "dinoclip-vit-l-336px", "dinosiglip-vit-so-384px",
+    }
+    assert set(VIT_CONFIGS) | set(FUSED_BACKBONES) == reference_ids
+
+    for backbone_id in sorted(reference_ids):
+        module, dim, patches = build_vision_backbone(backbone_id)
+        tc = transform_config_for_backbone(backbone_id, "resize-naive")
+        size = tc.towers[0].size
+        assert all(t.size == size for t in tc.towers)
+        dummy = jnp.zeros((1, 3 * tc.num_towers, size, size), jnp.float32)
+        # Abstract init: validates param/output shapes without running compute
+        # (full-size towers would take minutes each on this 1-core box).
+        variables = jax.eval_shape(module.init, jax.random.key(0), dummy)
+        out = jax.eval_shape(
+            lambda v, x: module.apply(v, x), variables, dummy)
+        assert out.shape == (1, patches, dim)

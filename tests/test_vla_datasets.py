@@ -3,6 +3,7 @@
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,6 +64,7 @@ def test_collator_pads_to_fixed_bucket():
     assert (batch["labels"][0, n_real:] == IGNORE_INDEX).all()
 
 
+@pytest.mark.slow
 def test_dummy_dataset_end_to_end_training_improves():
     """The reference has NO end-to-end train test at all (SURVEY.md §4); this
     is the tiny-config smoke: DummyDataset -> collator -> jitted SPMD step."""

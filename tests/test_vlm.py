@@ -93,6 +93,7 @@ def test_forward_train_shapes_and_grad_flow(tiny_vlm):
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
 
 
+@pytest.mark.slow
 def test_generate_padding_invariance(tiny_vlm):
     """Same prompt padded to different bucket lengths must emit identical tokens."""
     model, params = tiny_vlm
@@ -104,6 +105,7 @@ def test_generate_padding_invariance(tiny_vlm):
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
 
 
+@pytest.mark.slow
 def test_generate_matches_naive_argmax_rollout(tiny_vlm):
     """Greedy decode via cache == naive 'recompute full forward each step' rollout."""
     model, params = tiny_vlm
@@ -128,6 +130,7 @@ def test_batched_generation(tiny_vlm):
     assert out.shape == (3, 4)
 
 
+@pytest.mark.slow
 def test_generate_pallas_prefill_long_cache(tiny_vlm):
     """The TPU serving path prefills through the Pallas kernel with a cache
     longer than the prompt (f_len + max_new_tokens). Round 1 crashed here with
@@ -224,6 +227,7 @@ def test_parallel_decode_shape_and_independence():
     assert out7[0, 0] == seq[0, 0]
 
 
+@pytest.mark.slow
 def test_temperature_sampling(tiny_vlm):
     model, params = tiny_vlm
     pix = _pixels()
@@ -241,6 +245,7 @@ def test_temperature_sampling(tiny_vlm):
     assert not np.array_equal(np.asarray(s1), np.asarray(s2))
 
 
+@pytest.mark.slow
 def test_speculative_decode_bit_exact(tiny_vlm):
     """generate_speculative must equal generate_greedy REGARDLESS of draft
     quality: perfect draft (1 verify pass), garbage draft (full sequential
@@ -291,6 +296,7 @@ def test_speculative_decode_batched_and_jittable(tiny_vlm):
     np.testing.assert_array_equal(out, greedy)
 
 
+@pytest.mark.slow
 def test_speculative_bit_exact_over_int4_a8():
     """The server's default mode (speculative) over the int4 w4a8 path:
     greedy-equivalence must survive the a8 kernel — per-token activation
@@ -321,6 +327,7 @@ def test_speculative_bit_exact_over_int4_a8():
         np.testing.assert_array_equal(np.asarray(out), greedy)
 
 
+@pytest.mark.slow
 def test_int4_a8_batched_rows_match_unbatched():
     """Micro-batched serving contract over w4a8: each batch row's greedy
     tokens equal its single-example run. a8 quantizes activations PER TOKEN

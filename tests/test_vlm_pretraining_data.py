@@ -132,6 +132,7 @@ def test_align_stage_training_smoke(llava_data):
     assert float(m["loss"]) < float(m0["loss"])
 
 
+@pytest.mark.slow
 def test_pretrain_script_main_end_to_end(tmp_path, monkeypatch):
     """scripts/pretrain.py main() (align stage) end to end: registry model
     with tiny overrides, injected LLaVA-style data, modality-split batching,
