@@ -740,7 +740,8 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full", size: str = "7
         image_resize_strategy="resize-naive",
     )
     model = OpenVLA(cfg, norm_stats, dtype=jnp.bfloat16)
-    k_vis, k_proj, k_llm, k_lora = jax.random.split(jax.random.key(0), 4)
+    k_vis, k_proj, k_llm, k_lora = jax.random.split(
+        jax.random.key(int(os.environ.get("BENCH_LORA_SEED", "0"))), 4)
     dummy = jnp.zeros((1, 6, 224, 224), dtype=jnp.bfloat16)
     vision = jax.tree.map(lambda x: x.astype(jnp.bfloat16), model.vision_module.init(k_vis, dummy)["params"])
     projector = init_projector_params(k_proj, cfg.arch_specifier, model.vision_dim, cfg.llm.dim, dtype=jnp.bfloat16)
@@ -762,7 +763,12 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full", size: str = "7
                                           grad_dtype=jnp.bfloat16, remat_policy=remat),
                       donate_argnums=0)
 
-    rng = np.random.default_rng(0)
+    # Spike diagnosis knobs (VERDICT r03 item 3): BENCH_LORA_SEED varies the
+    # data/init seed, BENCH_LORA_STEPS lengthens the fixed-batch trajectory
+    # past the bench's default 6 (the r03 spike landed at step 5).
+    seed = int(os.environ.get("BENCH_LORA_SEED", "0"))
+    n_steps = int(os.environ.get("BENCH_LORA_STEPS", "6"))
+    rng = np.random.default_rng(seed)
     t = 48
     # b16 is the reference finetune.py per-GPU default. Without donation this
     # OOMed at ANY batch size (two copies of the 9.2 GB state); with the
@@ -789,7 +795,7 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full", size: str = "7
           file=sys.stderr)
 
     steps, losses = [], [loss0]
-    for _ in range(6):
+    for _ in range(n_steps):
         t0 = time.perf_counter()
         state, m = step_fn(state, batch)
         losses.append(float(m["loss"]))  # sync

@@ -59,6 +59,11 @@ class LLMConfig:
     # Opt-in: per-token symmetric quant has no outlier handling, so validate
     # accuracy on real weights before enabling (w8-only stays the default).
     w8a8: bool = False
+    # Tensor-parallel int4 deploys: the packed-int4 column-parallel leaves
+    # were shard-block packed (ops/quant.py::pack_int4 n_shards) for a mesh
+    # tensor axis of this size; 1 = single-chip/global pairing. Set by
+    # load_vla(int4_shards=) via deploy.py --mesh_spec tensor=N.
+    int4_shards: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -362,6 +367,16 @@ def _block(
         w = lp[name]
         s4 = lp.get(name + "_scale4")
         if s4 is not None:
+            from bridgelang_tpu.ops.quant import INT4_COLUMN_PARALLEL
+
+            # Tensor-parallel int4 (cfg.int4_shards > 1): column-parallel
+            # leaves carry shard-blocked packing and shard on their output
+            # dim; row-parallel ones (wo/w_down) keep global pairing, shard
+            # on the contraction dim, and psum shard-local partials — both
+            # via the matmul's custom_partitioning (ops/int4_matmul.py).
+            col = name in INT4_COLUMN_PARALLEL
+            n_shards = cfg.int4_shards
+            row = (not col) and cfg.int4_shards > 1
             # Packed int4: fused Pallas matmul streams the packed bytes and
             # recovers both output halves with two dots of the raw bytes
             # (ops/int4_matmul.py) — XLA-level dequant was measured to
@@ -375,7 +390,8 @@ def _block(
             # the forward numerics that the STE backward assumes.
             from bridgelang_tpu.ops.int4_matmul import matmul_int4, matmul_int4_a8
 
-            y = matmul_int4_a8(inp, w, s4) if cfg.w8a8 else matmul_int4(inp, w, s4)
+            y = (matmul_int4_a8(inp, w, s4, n_shards, row) if cfg.w8a8
+                 else matmul_int4(inp, w, s4, n_shards, row))
         elif w.dtype == jnp.int8 and cfg.w8a8 and T >= W8A8_MIN_CHUNK:
             from bridgelang_tpu.ops.quant import quantize_activations_per_token
 

@@ -319,6 +319,7 @@ def load_vla(
     quantize_int8: bool = False,
     quantize_int4: bool = False,
     int4_group: Optional[int] = None,
+    int4_shards: int = 1,
     w8a8: Optional[bool] = None,
     cache_dir=None,
 ):
@@ -364,7 +365,10 @@ def load_vla(
         arch_specifier=hf_cfg["arch_specifier"],
         image_resize_strategy=hf_cfg["image_resize_strategy"],
         llm_max_length=hf_cfg.get("llm_max_length", 2048),
-        llm_overrides={"w8a8": True} if w8a8 else None,
+        llm_overrides=(
+            {"w8a8": bool(w8a8), "int4_shards": int4_shards}
+            if (w8a8 or int4_shards > 1) else None
+        ),
     )
     norm_stats = hf_cfg.get("norm_stats") or {}
     stats_file = path / "dataset_statistics.json"
@@ -391,7 +395,10 @@ def load_vla(
         # int4_group: scale-group size (input rows per scale). 128 is the
         # quality default; 256/512 shrink the w4a8 prefill per-group fixup
         # cost at a measured quantization-error cost (docs/int4.md table).
-        params["llm"] = quantize_llm_int4(params["llm"], group=int4_group or INT4_GROUP)
+        # int4_shards > 1: shard-blocked packing for tensor-parallel serving
+        # (must equal the mesh tensor size; deploy.py validates).
+        params["llm"] = quantize_llm_int4(params["llm"], group=int4_group or INT4_GROUP,
+                                          n_shards=int4_shards)
     elif quantize_int8:
         from bridgelang_tpu.ops.quant import quantize_llm_int8
 

@@ -462,8 +462,204 @@ _matmul_int4_spmd = _make_int4_spmd(_matmul_int4_route)
 _matmul_int4_a8_spmd = _make_int4_spmd(_matmul_int4_a8_route)
 
 
-@jax.custom_vjp
-def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+# --- tensor-parallel int4 (round-4) -------------------------------------------
+#
+# The blanket weight-replication above was round-3's honest rejection: with
+# GLOBAL out-pairing (columns c and N/2+c share a byte) no contiguous column
+# shard of the packed tensor maps to a contiguous result shard. Per-shard
+# packing dissolves it (ops/quant.py::pack_int4 n_shards>1): pairing is
+# applied within each of n_shards contiguous column blocks, so a contiguous
+# 1/n_shards column shard of the packed tensor IS a standard v2-packed
+# matrix over its own output columns, and the fused kernel runs shard-local
+# with zero layout surgery. Column-parallel leaves (wq/wk/wv/w_gate/w_up)
+# use exactly that. Row-parallel leaves (wo/w_down) never needed layout
+# surgery — their sharded dim is the CONTRACTION dim K, pairing is along the
+# un-sharded output — but they need reduction semantics: shard-local partial
+# sums (scale groups are contained per shard when (K/D) % group == 0, so the
+# per-group scale application reassociates exactly) joined by one psum.
+# Together these give full megatron int4 serving (scripts/deploy.py
+# --quantize_int4 --int4_shards N --mesh_spec tensor=N); parity vs single
+# device is pinned in tests/test_int4_spmd.py + test_serving_tp.py.
+
+
+def _int4_route_blocked(x3, packed, scales, a8: bool, n_shards: int):
+    """Unsharded execution of a shard-blocked packing: each of the n_shards
+    contiguous packed column blocks is a standard v2 matrix over its own
+    output columns — run the kernel per block and concat. Used off-mesh
+    (e.g. exporting or smoke-testing a TP-deployed artifact on one chip)."""
+    if n_shards == 1:
+        return _int4_route(x3, packed, scales, a8)
+    w2 = packed.shape[-1] // n_shards
+    ns = scales.shape[-1] // n_shards
+    outs = [
+        _int4_route(x3, packed[:, d * w2:(d + 1) * w2],
+                    scales[:, d * ns:(d + 1) * ns], a8)
+        for d in range(n_shards)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_int4_spmd_colsharded(a8: bool, n_shards: int, p_local: int):
+    """`p_local` = packed columns per shard block (packed_w // n_shards):
+    Shardy requires explicit sizes for factors that only appear inside
+    compound factors, so the cp is cached per (mode, shards, width)."""
+    """custom_partitioning for COLUMN-parallel shard-blocked int4: packed and
+    scales shard together on their last dim over an axis of size n_shards;
+    each device's block is plain v2, so the shard-local lowering is the
+    ordinary route. Off-mesh (or mismatched axis) falls back to the blocked
+    execution — always correct, never silently wrong-layout."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def route(x3, packed, scales):
+        return _int4_route_blocked(x3, packed, scales, a8, n_shards)
+
+    cp = custom_partitioning(route)
+
+    def _pick(mesh, arg_shapes):
+        def spec_of(s):
+            sh = getattr(s, "sharding", None)
+            return sh.spec if isinstance(sh, NamedSharding) else P()
+
+        x_s = arg_shapes[0]
+        xspec = spec_of(x_s)
+        b = xspec[0] if len(xspec) > 0 else None
+        t = xspec[1] if len(xspec) > 1 else None
+        if b is not None and x_s.shape[0] % _axis_size(mesh, b) != 0:
+            b = None
+        if t is not None and x_s.shape[1] % _axis_size(mesh, t) != 0:
+            t = None
+        pspec = spec_of(arg_shapes[1])
+        axis = pspec[1] if len(pspec) > 1 else None
+        if axis is not None and _axis_size(mesh, axis) != n_shards:
+            axis = None  # pack-time shard count must equal the mesh split
+        args = (
+            NamedSharding(mesh, P(b, t, None)),
+            NamedSharding(mesh, P(None, axis)),
+            NamedSharding(mesh, P(None, axis)),
+        )
+        return args, NamedSharding(mesh, P(b, t, axis)), axis
+
+    def _partition(mesh, arg_shapes, result_shape):
+        arg_sh, res_sh, axis = _pick(mesh, arg_shapes)
+        if axis is not None:
+            # one shard block per device -> plain v2 locally
+            local = lambda x3, p, s: _int4_route(x3, p, s, a8)  # noqa: E731
+        else:
+            local = route
+        return mesh, local, res_sh, arg_sh
+
+    def _infer(mesh, arg_shapes, result_shape):
+        return _pick(mesh, arg_shapes)[1]
+
+    cp.def_partition(
+        partition=_partition,
+        infer_sharding_from_operands=_infer,
+        # s is the shard-block factor shared by packed/scales/result
+        sharding_rule="b t k, k (s p), g (s n) -> b t (s n)",
+        need_replication_factors=("k", "p", "g", "n"),
+        s=n_shards, p=p_local, n=2 * p_local,
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _make_int4_spmd_rowsharded(a8: bool, n_shards: int, k_local: int, g_local: int):
+    """`k_local`/`g_local` = rows / scale groups per shard (Shardy needs
+    explicit sizes for compound-only factors; cached per geometry)."""
+    """custom_partitioning for ROW-parallel int4 (wo/w_down under a tensor
+    mesh): x's last dim and packed's first dim shard together on the
+    contraction axis, scale GROUPS shard with the rows ((K/D) % group == 0
+    checked by the caller via int4_row_shardable), and shard-local partial
+    results meet in one psum — the megatron second-matmul contract the int8
+    path gets from GSPMD on plain dots."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def route(x3, packed, scales):
+        return _int4_route(x3, packed, scales, a8)
+
+    cp = custom_partitioning(route)
+
+    def _pick(mesh, arg_shapes):
+        def spec_of(s):
+            sh = getattr(s, "sharding", None)
+            return sh.spec if isinstance(sh, NamedSharding) else P()
+
+        x_s = arg_shapes[0]
+        xspec = spec_of(x_s)
+        b = xspec[0] if len(xspec) > 0 else None
+        if b is not None and x_s.shape[0] % _axis_size(mesh, b) != 0:
+            b = None
+        pspec = spec_of(arg_shapes[1])
+        axis = pspec[0] if len(pspec) > 0 else None
+        if axis is not None:
+            d = _axis_size(mesh, axis)
+            g = arg_shapes[2].shape[-2]
+            k = arg_shapes[1].shape[0]
+            # rows, scale groups, AND kernel reduction tiles must all split
+            # evenly (and match the declared shard count); otherwise
+            # replicate (correct, just not row-parallel)
+            if d != n_shards or not int4_row_shardable(k, g, d):
+                axis = None
+        args = (
+            NamedSharding(mesh, P(b, None, axis)),
+            NamedSharding(mesh, P(axis, None)),
+            NamedSharding(mesh, P(axis, None)),
+        )
+        return args, NamedSharding(mesh, P(b, None, None)), axis
+
+    def _partition(mesh, arg_shapes, result_shape):
+        arg_sh, res_sh, axis = _pick(mesh, arg_shapes)
+        if axis is not None:
+            def local(x3, p, s, _axis=axis):
+                return jax.lax.psum(_int4_route(x3, p, s, a8), _axis)
+        else:
+            local = route
+        return mesh, local, res_sh, arg_sh
+
+    def _infer(mesh, arg_shapes, result_shape):
+        return _pick(mesh, arg_shapes)[1]
+
+    # Shardy rejects size-1 factors inside compound mappings (tiny test
+    # geometries can hit k_local or g_local == 1): collapse those dims to
+    # the bare reduction factor.
+    k_map = "r" if k_local == 1 else "(r k)"
+    g_map = "r" if g_local == 1 else "(r g)"
+    # r's size is inferable (hence must not be given) when it appears as a
+    # whole dimension anywhere
+    sizes = {} if (k_local == 1 or g_local == 1) else {"r": n_shards}
+    if k_local > 1:
+        sizes["k"] = k_local
+    if g_local > 1:
+        sizes["g"] = g_local
+    # need_replication_factors must follow first-appearance order in the rule
+    order = ("t", "k", "p", "g", "n")
+    present = {"t", "p", "n"} | ({"k"} if k_local > 1 else set()) | ({"g"} if g_local > 1 else set())
+    repl = [f for f in order if f in present]
+    cp.def_partition(
+        partition=_partition,
+        infer_sharding_from_operands=_infer,
+        # r: the sharded row/group factor, reduced out of the result
+        sharding_rule=f"b t {k_map}, {k_map} p, {g_map} n -> b t n",
+        reduction_factors=("r",),
+        need_replication_factors=tuple(repl),
+        **sizes,
+    )
+    return cp
+
+
+def int4_row_shardable(k: int, n_groups: int, n_devices: int) -> bool:
+    """True when a [K, N//2] packed weight's rows AND its K//group scale
+    groups split evenly over n_devices with group boundaries intact."""
+    if k % n_devices or n_groups % n_devices:
+        return False
+    group = k // n_groups
+    return (k // n_devices) % group == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
+                n_shards: int = 1, row_parallel: bool = False) -> jnp.ndarray:
     """x [..., K] @ int4-packed weight -> [..., N].
 
     `packed` is [K, N//2] int8 in the out-paired nibble layout, `scales`
@@ -475,30 +671,49 @@ def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp
     plain XLA dot. That materialization is fine in training, where QLoRA over
     a frozen int4 base (scripts/finetune.py --quantization_bits 4) is
     compute-bound and per-layer transients are rematerialized anyway.
+
+    Tensor-parallel deploys (static args): `n_shards>1` declares the weight
+    was packed shard-blocked (ops/quant.py::pack_int4 n_shards) for
+    column-parallel sharding over a size-n_shards mesh axis;
+    `row_parallel=True` declares a contraction-dim (K) sharded weight with
+    shard-local partials + psum. Both degrade gracefully off-mesh.
     """
-    return _matmul_int4_impl(x, packed, scales)
+    return _matmul_int4_impl(x, packed, scales, n_shards, row_parallel)
 
 
-def _matmul_int4_impl(x, packed, scales):
+def _int4_spmd_dispatch(a8: bool, n_shards: int, row_parallel: bool,
+                        packed_shape=None, scales_shape=None):
+    if row_parallel:
+        return _make_int4_spmd_rowsharded(a8, n_shards,
+                                          packed_shape[0] // n_shards,
+                                          scales_shape[-2] // n_shards)
+    if n_shards > 1:
+        return _make_int4_spmd_colsharded(a8, n_shards, packed_shape[-1] // n_shards)
+    return _matmul_int4_a8_spmd if a8 else _matmul_int4_spmd
+
+
+def _matmul_int4_impl(x, packed, scales, n_shards=1, row_parallel=False):
     *lead, k = x.shape
     n = 2 * packed.shape[-1]
     # canonical [B, T, K]: leading-dim sharding survives the (no-op for the
     # serving/training 3-dim case) reshape into the SPMD wrapper
     x3 = x.reshape(lead[0] if lead else 1, -1, k)
-    return _matmul_int4_spmd(x3, packed, scales).reshape(*lead, n)
+    fn = _int4_spmd_dispatch(False, n_shards, row_parallel, packed.shape, scales.shape)
+    return fn(x3, packed, scales).reshape(*lead, n)
 
 
-def _matmul_int4_fwd(x, packed, scales):
-    return _matmul_int4_impl(x, packed, scales), (packed, scales)
+def _matmul_int4_fwd(x, packed, scales, n_shards, row_parallel):
+    return _matmul_int4_impl(x, packed, scales, n_shards, row_parallel), (packed, scales)
 
 
-def _matmul_int4_bwd(res, g):
+def _matmul_int4_bwd(n_shards, row_parallel, res, g):
     import numpy as np
 
     from bridgelang_tpu.ops.quant import dequant_int4
 
     packed, scales = res
-    w = dequant_int4(packed, scales, dtype=g.dtype)  # [K, N] transient
+    shards = 1 if row_parallel else n_shards
+    w = dequant_int4(packed, scales, dtype=g.dtype, n_shards=shards)  # [K, N] transient
     dx = g @ w.T
     # packed is integer (no cotangent); scales are frozen in every consumer
     d_scales = jnp.zeros(scales.shape, scales.dtype)
@@ -508,8 +723,9 @@ def _matmul_int4_bwd(res, g):
 matmul_int4.defvjp(_matmul_int4_fwd, _matmul_int4_bwd)
 
 
-@jax.custom_vjp
-def matmul_int4_a8(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def matmul_int4_a8(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
+                   n_shards: int = 1, row_parallel: bool = False) -> jnp.ndarray:
     """w4a8: x [..., K] @ int4-packed weight -> [..., N], activations
     quantized per-token to int8 so the kernel's dots ride the MXU int8 path.
 
@@ -524,23 +740,29 @@ def matmul_int4_a8(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray) -> 
     Backward (for completeness — serving never differentiates): straight-
     through estimator through the activation quant, dx = g @ W^T via a
     transient dequant, matching matmul_int4's VJP.
+
+    `n_shards` / `row_parallel`: tensor-parallel declarations, see matmul_int4.
     """
-    return _matmul_int4_a8_impl(x, packed, scales)
+    return _matmul_int4_a8_impl(x, packed, scales, n_shards, row_parallel)
 
 
-def _matmul_int4_a8_impl(x, packed, scales):
+def _matmul_int4_a8_impl(x, packed, scales, n_shards=1, row_parallel=False):
     from bridgelang_tpu.ops.quant import quantize_activations_per_token
 
     *lead, k = x.shape
     n = 2 * packed.shape[-1]
     x3 = x.reshape(lead[0] if lead else 1, -1, k)
+    # per-token absmax over the FULL hidden dim: under a row-sharded x this
+    # is a cross-shard max GSPMD handles outside the kernel (a few bytes at
+    # decode), keeping the quantized activations identical to single-chip.
     q3, xs = quantize_activations_per_token(x3)
-    out = _matmul_int4_a8_spmd(q3, packed, scales)  # f32, per-token scale off
+    fn = _int4_spmd_dispatch(True, n_shards, row_parallel, packed.shape, scales.shape)
+    out = fn(q3, packed, scales)  # f32, per-token scale off
     return (out * xs).astype(x.dtype).reshape(*lead, n)
 
 
-def _matmul_int4_a8_fwd(x, packed, scales):
-    return _matmul_int4_a8_impl(x, packed, scales), (packed, scales)
+def _matmul_int4_a8_fwd(x, packed, scales, n_shards, row_parallel):
+    return _matmul_int4_a8_impl(x, packed, scales, n_shards, row_parallel), (packed, scales)
 
 
 matmul_int4_a8.defvjp(_matmul_int4_a8_fwd, _matmul_int4_bwd)

@@ -205,7 +205,7 @@ INT4_GROUP = 128
 INT4_PACK_LAYOUT = "out-paired-lobias/v2"
 
 
-def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
+def pack_int4(codes: jnp.ndarray, n_shards: int = 1) -> jnp.ndarray:
     """[..., in, out] int8 codes in [-8, 7] -> [..., in, out//2] packed int8.
 
     OUT-PAIRED, LOW-BIASED layout: byte [r, c] holds code [r, c] PLUS 8
@@ -217,45 +217,71 @@ def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
     plus one dot of the masked low nibbles recovers both halves with two
     cheap linear fixups. Measured 3x faster than the shift-unpack kernel
     over the previous split-half layout at 13B MLP dims (0.081 vs
-    0.243 ms/matmul, M=16)."""
-    half = codes.shape[-1] // 2
-    lo = (codes[..., :, :half].astype(jnp.int8) + jnp.int8(8)) & jnp.int8(0x0F)
-    hi = codes[..., :, half:].astype(jnp.int8) << 4
-    return (hi | lo).astype(jnp.int8)
+    0.243 ms/matmul, M=16).
+
+    `n_shards > 1` (tensor-parallel serving): the pairing is applied WITHIN
+    each of `n_shards` contiguous column blocks, so a column-parallel shard
+    of the packed tensor (dim -1 split n_shards ways) is itself a standard
+    v2-packed matrix over its own output columns — what lets the fused
+    kernel run shard-local under a tensor mesh (ops/int4_matmul.py SPMD
+    notes). Global pairing (n_shards=1) couples columns c and out//2 + c
+    across the whole matrix, which no contiguous shard can contain — the
+    original reason int4+TP was rejected."""
+    *lead, n_in, n = codes.shape
+    blocks = codes.reshape(*lead, n_in, n_shards, n // n_shards)
+    half = blocks.shape[-1] // 2
+    lo = (blocks[..., :half].astype(jnp.int8) + jnp.int8(8)) & jnp.int8(0x0F)
+    hi = blocks[..., half:].astype(jnp.int8) << 4
+    return ((hi | lo)).astype(jnp.int8).reshape(*lead, n_in, n // 2)
 
 
-def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+def unpack_int4(packed: jnp.ndarray, n_shards: int = 1) -> jnp.ndarray:
     """Inverse of pack_int4: [..., in, out//2] -> [..., in, out] int8 codes.
     Low nibble un-biases (-8); high nibble sign-extends arithmetically."""
-    lo = (packed.astype(jnp.int8) & jnp.int8(0x0F)) - jnp.int8(8)
-    hi = packed.astype(jnp.int8) >> 4
-    return jnp.concatenate([lo, hi], axis=-1)
+    *lead, n_in, n2 = packed.shape
+    blocks = packed.reshape(*lead, n_in, n_shards, n2 // n_shards)
+    lo = (blocks.astype(jnp.int8) & jnp.int8(0x0F)) - jnp.int8(8)
+    hi = blocks.astype(jnp.int8) >> 4
+    return jnp.concatenate([lo, hi], axis=-1).reshape(*lead, n_in, 2 * n2)
 
 
-def dequant_int4(packed: jnp.ndarray, scale4: jnp.ndarray, dtype: jnp.dtype = jnp.bfloat16) -> jnp.ndarray:
-    """[..., in, out//2] packed + [..., in//GROUP, out] scales -> [..., in, out]."""
-    codes = unpack_int4(packed)
+def dequant_int4(packed: jnp.ndarray, scale4: jnp.ndarray, dtype: jnp.dtype = jnp.bfloat16,
+                 n_shards: int = 1) -> jnp.ndarray:
+    """[..., in, out//2] packed + [..., in//GROUP, out] scales -> [..., in, out].
+    Scales are stored in GLOBAL column order regardless of n_shards (only the
+    byte pairing is shard-blocked), so the scale application is unchanged."""
+    codes = unpack_int4(packed, n_shards=n_shards)
     n_in, out = codes.shape[-2], codes.shape[-1]
     g = n_in // scale4.shape[-2]
     grouped = codes.reshape(codes.shape[:-2] + (scale4.shape[-2], g, out)).astype(dtype)
     return (grouped * scale4[..., :, None, :].astype(dtype)).reshape(codes.shape)
 
 
-def _quantize4_2d(w32: jnp.ndarray, group: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _quantize4_2d(w32: jnp.ndarray, group: int, n_shards: int = 1) -> tuple[jnp.ndarray, jnp.ndarray]:
     n_in, out = w32.shape
     group = min(group, n_in)  # tiny test dims: one group per matrix
     assert n_in % group == 0 and out % 2 == 0, (n_in, group, out)
+    assert out % (2 * n_shards) == 0, (out, n_shards)
     grouped = w32.reshape(n_in // group, group, out)
     absmax = jnp.max(jnp.abs(grouped), axis=1, keepdims=True)
     scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
     codes = jnp.clip(jnp.round(grouped / scale), -7, 7).astype(jnp.int8).reshape(n_in, out)
-    return pack_int4(codes), scale[:, 0, :].astype(jnp.bfloat16)
+    return pack_int4(codes, n_shards=n_shards), scale[:, 0, :].astype(jnp.bfloat16)
+
+
+# Column-parallel leaves under the serving mesh (parallel/sharding.py
+# SERVING_RULES): output columns split across the tensor axis, so these are
+# the ones that need shard-blocked packing for int4 TP. wo/w_down are
+# ROW-parallel (input rows split; pairing along their output dim is intact
+# on every shard) and keep the global pairing.
+INT4_COLUMN_PARALLEL = ("wq", "wk", "wv", "w_gate", "w_up")
 
 
 def quantize_llm_int4(
     llm_params: Params,
     targets: Sequence[str] = QUANT_TARGETS,
     group: int = INT4_GROUP,
+    n_shards: int = 1,
 ) -> Params:
     """Quantize decoder layer matrices [L, in, out] to packed int4 with
     per-(layer, input-group, out-channel) scales. Embedding + head stay int8
@@ -277,25 +303,28 @@ def quantize_llm_int4(
     src_layers = llm_params["layers"]
     layers = dict(src_layers)
 
-    @functools.partial(jax.jit, static_argnames=("g",))
-    def _q4_layer(wl, g):
-        return _quantize4_2d(wl.astype(jnp.float32), g)
+    @functools.partial(jax.jit, static_argnames=("g", "s"))
+    def _q4_layer(wl, g, s):
+        return _quantize4_2d(wl.astype(jnp.float32), g, n_shards=s)
 
-    @functools.partial(jax.jit, static_argnames=("g",))
-    def _q4_layer_from_int8(wl, sl, g):
-        return _quantize4_2d(wl.astype(jnp.float32) * sl.astype(jnp.float32), g)
+    @functools.partial(jax.jit, static_argnames=("g", "s"))
+    def _q4_layer_from_int8(wl, sl, g, s):
+        return _quantize4_2d(wl.astype(jnp.float32) * sl.astype(jnp.float32), g, n_shards=s)
 
     for name in targets:
         if name not in src_layers:
             continue
+        # n_shards > 1 (tensor-parallel deploy): shard-blocked packing for the
+        # column-parallel matrices only; row-parallel ones keep global pairing.
+        shards = n_shards if name in INT4_COLUMN_PARALLEL else 1
         w = src_layers[name]
         int8_scale = layers.get(name + "_scale") if w.dtype == jnp.int8 else None
         per_layer = []
         for l in range(w.shape[0]):  # layer at a time: bounded transients
             if int8_scale is not None:
-                per_layer.append(_q4_layer_from_int8(w[l], int8_scale[l], g=group))
+                per_layer.append(_q4_layer_from_int8(w[l], int8_scale[l], g=group, s=shards))
             else:
-                per_layer.append(_q4_layer(w[l], g=group))
+                per_layer.append(_q4_layer(w[l], g=group, s=shards))
         layers[name] = jnp.stack([q for q, _ in per_layer])
         layers[name + "_scale4"] = jnp.stack([s for _, s in per_layer])
         del per_layer

@@ -83,35 +83,59 @@ SERVING_RULES: List[Tuple[str, P]] = [
 ]
 
 
-def serving_param_shardings(mesh: Mesh, params: Any) -> Any:
+def serving_param_shardings(mesh: Mesh, params: Any, int4_shards: int = 1) -> Any:
     sh = param_shardings(mesh, params, rules=SERVING_RULES)
-    # Packed-int4 leaves (capacity mode, ops/quant.py::pack_int4): the
-    # out-paired byte layout couples output columns c and N/2+c inside one
-    # byte, so neither the megatron column-parallel specs above (shard the
-    # out dim) nor the row-parallel ones map a contiguous weight shard to a
-    # contiguous result shard — and the `*_scale4` siblings have no rule at
-    # all. int4 weights therefore REPLICATE under a mesh (13B int4 is
-    # ~8.7 GB — fits per-chip); multi-chip int4 parallelism comes from the
-    # replica (batch) axis, and matmul_int4's custom_partitioning keeps
-    # batch-sharded activations shard-local. For tensor-parallel 13B use
-    # int8 instead (fits at tensor >= 2; tested at 13B geometry in
-    # tests/test_serving_tp.py).
+    # Packed-int4 leaves (capacity mode, ops/quant.py::pack_int4).
+    #
+    # int4_shards == 1 (the round-3 state, still the single-chip default):
+    # global out-pairing couples output columns c and N/2+c inside one byte,
+    # so no contiguous column shard of the packed tensor maps to a
+    # contiguous result shard — weights REPLICATE under a mesh (13B int4 is
+    # ~8.7 GB, fits per-chip); multi-chip int4 parallelism comes from the
+    # replica (batch) axis.
+    #
+    # int4_shards == mesh tensor size (round-4 TP mode): the checkpoint was
+    # quantized with SHARD-BLOCKED packing (pack_int4 n_shards), so the
+    # column-parallel leaves shard on their packed output dim (each chip's
+    # contiguous block is a standard v2 matrix over its own columns) and
+    # the row-parallel ones (wo/w_down: global pairing, contraction-dim
+    # rows) shard on K with per-shard scale groups where alignment allows —
+    # megatron int4, each chip streaming ~1/N of the packed bytes. The
+    # matmul's custom_partitioning supplies the shard-local kernels + psum
+    # (ops/int4_matmul.py).
+    from bridgelang_tpu.ops.int4_matmul import int4_row_shardable
+    from bridgelang_tpu.ops.quant import INT4_COLUMN_PARALLEL
+
     llm_layers = params.get("llm", {}).get("layers", {}) if isinstance(params, dict) else {}
     scale4 = [k for k in llm_layers if k.endswith("_scale4")]
     if scale4:
+        tensor_size = int(mesh.shape.get("tensor", 1))
         repl = NamedSharding(mesh, P())
+        col = NamedSharding(mesh, P(None, None, "tensor"))   # [L, K, N/2] / [L, G, N]
+        rowp = NamedSharding(mesh, P(None, "tensor", None))  # [L, K, N/2] / [L, G, N]
         layers_sh = dict(sh["llm"]["layers"])
         for k in scale4:
-            layers_sh[k] = repl
-            layers_sh[k[: -len("_scale4")]] = repl
+            base = k[: -len("_scale4")]
+            if int4_shards > 1 and int4_shards == tensor_size and base in INT4_COLUMN_PARALLEL:
+                layers_sh[base] = col
+                layers_sh[k] = col
+            elif (int4_shards > 1 and int4_shards == tensor_size
+                  and int4_row_shardable(llm_layers[base].shape[-2],
+                                         llm_layers[k].shape[-2], tensor_size)):
+                layers_sh[base] = rowp
+                layers_sh[k] = rowp
+            else:
+                layers_sh[base] = repl
+                layers_sh[k] = repl
         sh = {**sh, "llm": {**sh["llm"], "layers": layers_sh}}
     return sh
 
 
-def shard_params_for_serving(mesh: Mesh, params: Any) -> Any:
-    """Device-put a (possibly int8-quantized) serving param pytree with
-    tensor-parallel shardings. Pair with OpenVLA.use_mesh(mesh)."""
-    return jax.device_put(params, serving_param_shardings(mesh, params))
+def shard_params_for_serving(mesh: Mesh, params: Any, int4_shards: int = 1) -> Any:
+    """Device-put a (possibly int8/int4-quantized) serving param pytree with
+    tensor-parallel shardings. Pair with OpenVLA.use_mesh(mesh). For int4,
+    `int4_shards` must equal the pack-time n_shards (deploy.py passes it)."""
+    return jax.device_put(params, serving_param_shardings(mesh, params, int4_shards=int4_shards))
 
 
 # --- activation constraints ---------------------------------------------------

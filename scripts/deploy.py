@@ -55,6 +55,9 @@ class DeployConfig:
     # 256/512 cut the w4a8 prefill per-group fixup cost for a measured
     # quantization-error cost (docs/int4.md).
     int4_group: int = 128
+    # int4 tensor parallelism: shard-blocked packing for a tensor mesh axis
+    # of this size (must equal --mesh_spec tensor=N; 1 = single chip).
+    int4_shards: int = 1
     # Batch-1 default: decode speculatively, drafting from the server-side
     # previous tokens per (instruction, unnorm_key) — greedy-equivalent
     # (margin-gated), ~40% faster on smooth control loops, no client changes.
@@ -105,7 +108,8 @@ def main(cfg: DeployConfig) -> None:
 
         model, params = load_vla(cfg.checkpoint, quantize_int8=cfg.quantize_int8,
                                  quantize_int4=cfg.quantize_int4,
-                                 int4_group=cfg.int4_group)
+                                 int4_group=cfg.int4_group,
+                                 int4_shards=cfg.int4_shards if cfg.quantize_int4 else 1)
         model.tokenizer = get_tokenizer(cfg.tokenizer_path)
 
     if cfg.kv_cache_int8:
@@ -118,15 +122,24 @@ def main(cfg: DeployConfig) -> None:
         from bridgelang_tpu.parallel.sharding import shard_params_for_serving
 
         mesh = make_mesh(cfg.mesh_spec)
-        if cfg.quantize_int4 and mesh.shape.get("tensor", 1) > 1:
-            raise SystemExit(
-                "--quantize_int4 is the single-chip capacity mode: the out-paired "
-                "byte packing cannot be tensor-sharded, so a tensor axis "
-                "would only replicate the weights (no TP speedup). Use int8 for "
-                "tensor-parallel serving (13B int8 fits at tensor>=2), or shard "
-                "batches over the replica axis with int4."
-            )
-        params = shard_params_for_serving(mesh, params)
+        tensor = int(mesh.shape.get("tensor", 1))
+        if cfg.quantize_int4 and tensor > 1:
+            # int4 tensor parallelism (round 4) requires the checkpoint to
+            # have been packed shard-blocked for exactly this tensor size
+            # (pack_int4 n_shards; quantize-on-load does it when
+            # --int4_shards matches) and head-aligned column shards.
+            if cfg.int4_shards != tensor:
+                raise SystemExit(
+                    f"--quantize_int4 with tensor={tensor} needs --int4_shards {tensor} "
+                    "(shard-blocked packing; see ops/quant.py::pack_int4). "
+                    f"Got --int4_shards {cfg.int4_shards}."
+                )
+            if model.cfg.llm.n_heads % tensor or model.cfg.llm.n_kv_heads % tensor:
+                raise SystemExit(
+                    f"tensor={tensor} does not divide the head counts "
+                    f"({model.cfg.llm.n_heads}/{model.cfg.llm.n_kv_heads})."
+                )
+        params = shard_params_for_serving(mesh, params, int4_shards=cfg.int4_shards)
         model.use_mesh(mesh)
         overwatch.info("Tensor-parallel serving over mesh %s", dict(mesh.shape))
 

@@ -15,11 +15,15 @@ fixed-batch loop over three bases that differ ONLY in quantization path —
          from the optimizer dynamics)
 — across seeds and batch sizes, then an LR sweep on the int4 base.
 
-Verdict from the recorded run (2026-08-19, committed in docs/qlora_spike.md):
-spikes appear in ALL THREE bases at matched frequency at b8 + lr 5e-4 and
-disappear at lr 1e-4 — Adam-on-a-fixed-batch dynamics (the constant-LR
-adapter step overshoots once the loss flattens), not an int4/STE defect.
-The custom VJP is separately pinned exact by
+Recorded tiny-scale result (2026-08-19, full table in docs/qlora_spike.md):
+NO spikes reproduce at this scale in ANY base — and the int4 trajectories
+match the bf16-dequant twin to ~0.01 nats per step across every seed, i.e.
+the packed kernel + custom VJP trace the same optimization path as plain
+bf16 autodiff over the identical landscape. That exonerates the int4
+numerics but cannot adjudicate the b8-vs-noise question at 13B, so the
+complement is the on-chip seed sweep of the REAL 13B QLoRA bench
+(BENCH_LORA_SEED/BENCH_LORA_STEPS env knobs on `bench.py lora13b 8`),
+recorded in the same doc. The custom VJP is separately pinned exact by
 tests/test_training_components.py::test_int4_matmul_custom_vjp_matches_dequant_grad.
 """
 

@@ -100,3 +100,120 @@ def test_a8_batch_sharded_x_stays_local():
     out = jax.jit(matmul_int4_a8)(xs, qs, ss)
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=1e-5, atol=1e-5)
     assert out.sharding.spec[0] == "replica"
+
+
+# --- tensor-parallel int4 (round 4): per-shard packing --------------------------
+#
+# pack_int4(n_shards=D) applies the out-pairing WITHIN each of D contiguous
+# column blocks, so a 1/D column shard of the packed tensor is itself a
+# standard v2 matrix over its own output columns — the property that makes
+# column-parallel int4 possible at all (round 3 recorded the rejection for
+# the global pairing). Row-parallel (wo/w_down) weights keep global pairing
+# and shard the contraction dim with shard-local partials + psum.
+
+
+def test_shard_blocked_pack_roundtrip_and_dequant():
+    from bridgelang_tpu.ops.quant import dequant_int4, pack_int4, unpack_int4
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(-8, 8, size=(256, 64)).astype(np.int8)
+    for d in (2, 4):
+        packed = pack_int4(jnp.asarray(codes), n_shards=d)
+        np.testing.assert_array_equal(np.asarray(unpack_int4(packed, n_shards=d)), codes)
+        # each contiguous packed block is a standard v2 pack of its columns
+        w2 = packed.shape[-1] // d
+        ns = codes.shape[-1] // d
+        for s in range(d):
+            block = np.asarray(packed[:, s * w2:(s + 1) * w2])
+            ref = np.asarray(pack_int4(jnp.asarray(codes[:, s * ns:(s + 1) * ns])))
+            np.testing.assert_array_equal(block, ref)
+    w = rng.normal(size=(256, 64)).astype(np.float32)
+    q1, s1 = _quantize4_2d(jnp.asarray(w), group=128)
+    from bridgelang_tpu.ops.quant import _quantize4_2d as q2d
+    # same scales regardless of shard blocking; dequant round-trips identically
+    deq1 = np.asarray(dequant_int4(q1, s1, jnp.float32))
+    for d in (2, 4):
+        codes_d = np.asarray(unpack_int4(q1))  # recover codes, repack blocked
+        qd = pack_int4(jnp.asarray(codes_d), n_shards=d)
+        deqd = np.asarray(dequant_int4(qd, s1, jnp.float32, n_shards=d))
+        np.testing.assert_array_equal(deqd, deq1)
+
+
+def test_shard_blocked_matmul_offmesh_matches_dequant():
+    """n_shards>1 without a mesh: the blocked execution (one kernel call per
+    block) must match the dequant reference exactly like the global layout."""
+    from bridgelang_tpu.ops.quant import dequant_int4, pack_int4, unpack_int4
+
+    rng = np.random.default_rng(6)
+    K2, N2 = 512, 1024
+    w = rng.normal(size=(K2, N2)).astype(np.float32)
+    q_global, s = _quantize4_2d(jnp.asarray(w), group=128)
+    codes = np.asarray(unpack_int4(q_global))
+    q_blocked = pack_int4(jnp.asarray(codes), n_shards=4)
+    ref_w = np.asarray(dequant_int4(q_global, s, jnp.float32))
+    x = jnp.asarray(rng.normal(size=(2, 3, K2)), dtype=jnp.bfloat16)
+    out = np.asarray(matmul_int4(x, q_blocked, s, 4, False), np.float32)
+    ref = np.asarray(x, np.float32).reshape(6, K2) @ ref_w
+    np.testing.assert_allclose(out.reshape(6, N2), ref, rtol=3e-2, atol=3e-2 * np.abs(ref).max())
+
+
+def test_column_parallel_shard_blocked_int4():
+    """tensor=4 mesh: packed+scales sharded on their last dim; each device's
+    block is plain v2, the result is column-sharded, and the values match the
+    off-mesh blocked execution exactly."""
+    from bridgelang_tpu.ops.quant import pack_int4, unpack_int4
+    from bridgelang_tpu.ops.int4_matmul import matmul_int4_a8
+
+    rng = np.random.default_rng(7)
+    K2, N2, D = 512, 1024, 4
+    w = rng.normal(size=(K2, N2)).astype(np.float32)
+    q_global, s = _quantize4_2d(jnp.asarray(w), group=128)
+    q_blocked = pack_int4(jnp.asarray(np.asarray(unpack_int4(q_global))), n_shards=D)
+    x = jnp.asarray(rng.normal(size=(2, 4, K2)), dtype=jnp.float32)
+
+    for fn in (matmul_int4, matmul_int4_a8):
+        ref = np.asarray(fn(x, q_blocked, s, D, False), np.float32)
+        mesh = make_mesh(f"replica=2,fsdp=1,tensor={D}")
+        xs = jax.device_put(x, NamedSharding(mesh, P("replica", None, None)))
+        qs = jax.device_put(q_blocked, NamedSharding(mesh, P(None, "tensor")))
+        ss = jax.device_put(s, NamedSharding(mesh, P(None, "tensor")))
+        out = jax.jit(lambda a, b, c, _fn=fn: _fn(a, b, c, D, False))(xs, qs, ss)
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=1e-5, atol=1e-5)
+        assert out.sharding.spec[-1] == "tensor", out.sharding.spec
+        assert out.sharding.spec[0] == "replica"
+
+
+def test_row_parallel_int4_psum():
+    """wo/w_down-style: x's last dim and packed's rows shard together on the
+    tensor axis (scale groups contained per shard), shard-local partials meet
+    in one psum — result matches the single-device product and replicates on
+    the tensor axis."""
+    from bridgelang_tpu.ops.int4_matmul import matmul_int4_a8
+
+    rng = np.random.default_rng(8)
+    K2, N2, D = 512, 256, 4  # K2/D = 128 = one scale group per shard
+    w = rng.normal(size=(K2, N2)).astype(np.float32)
+    q4, s4 = _quantize4_2d(jnp.asarray(w), group=128)
+    x = jnp.asarray(rng.normal(size=(2, 4, K2)), dtype=jnp.float32)
+
+    for fn in (matmul_int4, matmul_int4_a8):
+        ref = np.asarray(fn(x, q4, s4), np.float32)
+        mesh = make_mesh(f"replica=2,fsdp=1,tensor={D}")
+        xs = jax.device_put(x, NamedSharding(mesh, P("replica", None, "tensor")))
+        qs = jax.device_put(q4, NamedSharding(mesh, P("tensor", None)))
+        ss = jax.device_put(s4, NamedSharding(mesh, P("tensor", None)))
+        out = jax.jit(lambda a, b, c, _fn=fn: _fn(a, b, c, D, True))(xs, qs, ss)
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=2e-5, atol=2e-5)
+        assert out.sharding.spec[-1] is None or out.sharding.spec[-1] != "tensor"
+
+
+def test_int4_row_shardable_alignment():
+    from bridgelang_tpu.ops.int4_matmul import int4_row_shardable
+
+    # 7B wo: K=4096, 32 groups -> shardable at 2/4/8
+    assert int4_row_shardable(4096, 32, 8)
+    # 13B w_down: K=13824, 108 groups -> 4 divides (27/shard), 8 does not
+    assert int4_row_shardable(13824, 108, 4)
+    assert not int4_row_shardable(13824, 108, 8)
+    # group boundary must align with the shard split
+    assert not int4_row_shardable(13824, 108, 5)

@@ -191,3 +191,37 @@ def test_int4_serving_on_mesh_matches_single_device():
     model_m.use_mesh(mesh)
     out = model_m.predict_action_batch(sharded, _images(4), _instructions(4))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_int4_tensor_parallel_shard_blocked_matches_single_device():
+    """Round-4 int4 TP: quantize-on-load with shard-blocked packing
+    (pack_int4 n_shards = tensor size), SERVING_RULES shard the
+    column-parallel packed leaves + *_scale4 siblings on the tensor axis and
+    the row-shardable ones on their contraction dim; the matmul's
+    custom_partitioning supplies shard-local kernels + psum. The TP actions
+    must match the single-device GLOBAL-packing model exactly (same codes,
+    same scales -> identical dequantized weights)."""
+    from bridgelang_tpu.ops.quant import quantize_llm_int4
+
+    D = 2
+    model = _tiny_model()
+    params = model.init_params(jax.random.key(7))
+    ref_params = dict(params, llm=quantize_llm_int4(params["llm"], group=32))
+    ref = model.predict_action_batch(ref_params, _images(4), _instructions(4))
+
+    sharded_pack = dict(params, llm=quantize_llm_int4(params["llm"], group=32, n_shards=D))
+    mesh = make_mesh(f"replica=4,fsdp=1,tensor={D}")
+    sharded = shard_params_for_serving(mesh, sharded_pack, int4_shards=D)
+    # column-parallel leaves shard on the packed output dim...
+    for name in ("wq", "wq_scale4", "w_up", "w_up_scale4"):
+        assert sharded["llm"]["layers"][name].sharding.spec[-1] == "tensor", name
+    # ...row-parallel ones on the contraction dim (group=32 divides K/D here)
+    for name in ("wo", "wo_scale4", "w_down", "w_down_scale4"):
+        assert sharded["llm"]["layers"][name].sharding.spec[-2] == "tensor", name
+
+    model_tp = _tiny_model()
+    model_tp.cfg = dataclasses.replace(
+        model_tp.cfg, llm=dataclasses.replace(model_tp.cfg.llm, int4_shards=D))
+    model_tp.use_mesh(mesh)
+    out = model_tp.predict_action_batch(sharded, _images(4), _instructions(4))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
