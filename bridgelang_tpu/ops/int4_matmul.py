@@ -684,9 +684,14 @@ def matmul_int4(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
 def _int4_spmd_dispatch(a8: bool, n_shards: int, row_parallel: bool,
                         packed_shape=None, scales_shape=None):
     if row_parallel:
-        return _make_int4_spmd_rowsharded(a8, n_shards,
-                                          packed_shape[0] // n_shards,
-                                          scales_shape[-2] // n_shards)
+        k, g = packed_shape[0], scales_shape[-2]
+        if not int4_row_shardable(k, g, n_shards):
+            # Geometry can't row-shard (scale groups or rows don't split
+            # evenly): serving_param_shardings made the same call and
+            # REPLICATED this weight, so the plain wrapper (batch-sharded x
+            # stays local) is the matching program — degrade, don't crash.
+            return _matmul_int4_a8_spmd if a8 else _matmul_int4_spmd
+        return _make_int4_spmd_rowsharded(a8, n_shards, k // n_shards, g // n_shards)
     if n_shards > 1:
         return _make_int4_spmd_colsharded(a8, n_shards, packed_shape[-1] // n_shards)
     return _matmul_int4_a8_spmd if a8 else _matmul_int4_spmd

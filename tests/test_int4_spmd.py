@@ -217,3 +217,16 @@ def test_int4_row_shardable_alignment():
     assert not int4_row_shardable(13824, 108, 8)
     # group boundary must align with the shard split
     assert not int4_row_shardable(13824, 108, 5)
+
+
+def test_row_parallel_unshardable_geometry_degrades():
+    """row_parallel=True with a geometry whose scale groups don't split over
+    the declared shard count (e.g. tensor=8 but only 4 groups) must fall back
+    to the replicated-weight program instead of building an invalid Shardy
+    rule — serving_param_shardings replicates such leaves, so the kernel's
+    dispatch has to match (caught by the driver dryrun at tiny dims)."""
+    x, q4, s4 = _mk(9)
+    ref = np.asarray(matmul_int4(x, q4, s4), np.float32)
+    # K=512, 4 groups of 128: 8 shards -> 64 rows/shard, 64 % 128 != 0
+    out = jax.jit(lambda a, b, c: matmul_int4(a, b, c, 8, True))(x, q4, s4)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=2e-5, atol=2e-5)
