@@ -1005,7 +1005,7 @@ def _np_center_crop_resize(img_u8, crop_scale: float = 0.9):
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
-def _closed_loop_bench(norm_stats):
+def _closed_loop_bench(norm_stats, ticks: int = 40):
     """Sustained closed-loop control rate a robot actually experiences
     (VERDICT r03 item 5): fake-sim frames -> client-side center crop ->
     HTTP POST /act -> gripper renormalize+invert (the LIBERO loop's per-tick
@@ -1021,9 +1021,13 @@ def _closed_loop_bench(norm_stats):
     from experiments.robot.openvla_utils import RemoteVLA
     from experiments.robot.robot_utils import invert_gripper_action, normalize_gripper_action
 
+    from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
     from bridgelang_tpu.serving.server import VLAServer
 
     model, params = _build_flagship_int8(norm_stats)
+    # REST requests carry instruction STRINGS (unlike _serving_bench's
+    # pre-tokenized prompt ids) — without a tokenizer every /act 500s.
+    model.tokenizer = get_tokenizer(None)
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, size=(256, 256, 3)).astype(np.int16)
 
@@ -1035,7 +1039,7 @@ def _closed_loop_bench(norm_stats):
         noise = rng.integers(-3, 4, size=base.shape).astype(np.int16)
         return np.clip(base + drift + noise, 0, 255).astype(np.uint8)
 
-    def run_mode(name, server_kwargs, client_kwargs, ticks=40, chunk=1):
+    def run_mode(name, server_kwargs, client_kwargs, ticks=ticks, chunk=1):
         server = VLAServer(model, params, default_unnorm_key="bridge_orig", **server_kwargs)
         httpd = server.serve_background(port=0)
         port = httpd.server_address[1]
@@ -1079,7 +1083,7 @@ def _closed_loop_bench(norm_stats):
     model.parallel_decode = True
     try:
         hz_chunk = run_mode("chunked(H=8)", {"speculative_default": False},
-                            {"action_chunk": H}, ticks=5 * H)
+                            {"action_chunk": H}, ticks=5 * H if ticks >= 40 else ticks)
     finally:
         model.parallel_decode = False
     print(json.dumps({
@@ -1101,10 +1105,13 @@ def _load_test_bench(norm_stats, duration_s: float = 60.0, n_clients: int = 6):
     import http.client
     import threading
 
+    from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
     from bridgelang_tpu.serving.server import VLAServer, client_act
     from bridgelang_tpu.util.compile_cache import warmup_predict
 
     model, params = _build_flagship_int8(norm_stats)
+    # String instructions over REST need a tokenizer (see _closed_loop_bench).
+    model.tokenizer = get_tokenizer(None)
     server = VLAServer(model, params, default_unnorm_key="bridge_orig",
                        max_batch=4, speculative_default=False)
     httpd = server.serve_background(port=0)
