@@ -1031,6 +1031,25 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, size=(256, 256, 3)).astype(np.int16)
 
+    # Compile every program the three modes hit BEFORE any HTTP request,
+    # at the fake camera's EXACT frame shape (jit shape = input shape; the
+    # crop helper preserves 256x256): a first-tick 7B compile over the
+    # relay outruns client_act's 120 s socket timeout (measured: the
+    # canonical r04 rerun died exactly there).
+    t_w = time.time()
+    warm = np.zeros(base.shape, np.uint8)
+    model.predict_action(params, warm, "warmup", unnorm_key="bridge_orig")
+    model.predict_action_speculative(params, warm, "warmup", np.zeros(7, np.int32),
+                                     unnorm_key="bridge_orig")
+    model.parallel_decode = True
+    try:
+        model.predict_action_chunk(params, warm, "warmup", horizon=8,
+                                   unnorm_key="bridge_orig")
+    finally:
+        model.parallel_decode = False
+    print(f"[bench] closedloop warmup (seq+speculative+chunk8): {time.time()-t_w:.1f}s",
+          file=_sys.stderr)
+
     def frame(t):
         # smoothly drifting scene + sensor noise: consecutive frames are
         # similar, like a camera stream (drafting sees a plausible stream;
