@@ -264,7 +264,11 @@ def _serving_bench(build, norm_stats) -> float:
     print(json.dumps({
         "metric": HEADLINE_METRIC,
         "value": round(actions_per_sec, 3),
-        "unit": "actions/sec",
+        # The relay RTT varies BY DAY (measured 24-37 ms across captures) and
+        # every sequential call pays it; record this capture's RTT in the
+        # artifact so cross-round comparisons can subtract it.
+        "unit": (f"actions/sec (p50 {p50*1e3:.0f} ms incl. {rpc_ms:.0f} ms relay RTT "
+                 f"this capture; a locally-attached chip pays <1 ms)"),
         "vs_baseline": round(actions_per_sec / REFERENCE_ACTIONS_PER_SEC, 3),
     }), flush=True)
 
