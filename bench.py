@@ -876,10 +876,14 @@ def _int4_serving_bench(norm_stats, size="13b"):
     vision = jax.tree.map(lambda x: x.astype(jnp.bfloat16), model.vision_module.init(k_vis, dummy)["params"])
     projector = init_projector_params(k_proj, cfg.arch_specifier, model.vision_dim, cfg.llm.dim,
                                       dtype=jnp.bfloat16)
-    llm = init_llm_params_int4(k_llm, cfg.llm)
+    # BENCH_INT4_GROUP: pack-time scale-group size (docs/int4.md group-size
+    # lever — bigger groups cut the w4a8 prefill per-group fixup cost, which
+    # is the BATCHED serving ceiling, for a measured dequant-error cost).
+    group = int(os.environ.get("BENCH_INT4_GROUP", "128"))
+    llm = init_llm_params_int4(k_llm, cfg.llm, group=group)
     params = {"vision": vision, "projector": projector, "llm": llm}
     n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
-    print(f"[bench] {size}-int4 model: {n_bytes/1e9:.1f} GB on-chip", file=sys.stderr)
+    print(f"[bench] {size}-int4 model: {n_bytes/1e9:.1f} GB on-chip (group={group})", file=sys.stderr)
 
     stats = norm_stats["bridge_orig"]["action"]
     q01 = jnp.asarray(stats["q01"], jnp.float32)
