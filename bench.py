@@ -750,7 +750,12 @@ def _lora_bench(norm_stats, batch: int = 16, remat: str = "full", size: str = "7
     vision = jax.tree.map(lambda x: x.astype(jnp.bfloat16), model.vision_module.init(k_vis, dummy)["params"])
     projector = init_projector_params(k_proj, cfg.arch_specifier, model.vision_dim, cfg.llm.dim, dtype=jnp.bfloat16)
     base_kind = "int4" if size == "13b" else "int8"
-    base = init_llm_params_int4(k_llm, cfg.llm) if base_kind == "int4" else init_llm_params_int8(k_llm, cfg.llm)
+    # BENCH_INT4_GROUP: same pack-time lever as the 13b4 serving section —
+    # the QLoRA forward (bf16-dot kernel) pays the identical per-group scale
+    # fixups (docs/int4.md).
+    group = int(os.environ.get("BENCH_INT4_GROUP", "128"))
+    base = (init_llm_params_int4(k_llm, cfg.llm, group=group) if base_kind == "int4"
+            else init_llm_params_int8(k_llm, cfg.llm))
     llm = add_lora_params(k_lora, base, rank=32)
     params = {"vision": vision, "projector": projector, "llm": llm}
     n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
