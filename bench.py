@@ -882,9 +882,11 @@ def _int4_serving_bench(norm_stats, size="13b"):
     projector = init_projector_params(k_proj, cfg.arch_specifier, model.vision_dim, cfg.llm.dim,
                                       dtype=jnp.bfloat16)
     # BENCH_INT4_GROUP: pack-time scale-group size (docs/int4.md group-size
-    # lever — bigger groups cut the w4a8 prefill per-group fixup cost, which
-    # is the BATCHED serving ceiling, for a measured dequant-error cost).
-    group = int(os.environ.get("BENCH_INT4_GROUP", "128"))
+    # lever — bigger groups cut the per-group scale fixup cost at decode AND
+    # prefill, for a measured dequant-error cost). 256 is the measured knee
+    # for BOTH sizes (7B: 8.66 vs 7.62 a/s; 13B: 5.68 vs 4.99), so it is the
+    # serving default here; the JSON unit records it.
+    group = int(os.environ.get("BENCH_INT4_GROUP", "256"))
     llm = init_llm_params_int4(k_llm, cfg.llm, group=group)
     params = {"vision": vision, "projector": projector, "llm": llm}
     n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params))
@@ -923,8 +925,9 @@ def _int4_serving_bench(norm_stats, size="13b"):
     print(json.dumps({
         "metric": f"openvla{size}-int4_predict_action_throughput",
         "value": round(1.0 / p50, 3),
-        "unit": "actions/sec (13B on ONE 16GB chip via packed int4 — int8 13B OOMs)" if size == "13b"
-                else "actions/sec (7B packed-int4 w4a8 speed mode)",
+        "unit": (f"actions/sec (13B on ONE 16GB chip via packed int4 group={group} — int8 13B OOMs)"
+                 if size == "13b"
+                 else f"actions/sec (7B packed-int4 w4a8 speed mode, group={group})"),
         "vs_baseline": round(1.0 / p50 / REFERENCE_ACTIONS_PER_SEC, 3),
     }), flush=True)
 

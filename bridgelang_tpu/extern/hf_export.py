@@ -32,7 +32,12 @@ def _np(w) -> np.ndarray:
     return np.asarray(w, dtype=np.float32)
 
 
-def export_llm_state_dict(llm: Dict[str, Any], prefix: str = "language_model.") -> Dict[str, np.ndarray]:
+def export_llm_state_dict(llm: Dict[str, Any], prefix: str = "language_model.",
+                          int4_shards: int = 1) -> Dict[str, np.ndarray]:
+    """`int4_shards`: pack-time n_shards of a packed-int4 source (quant.py::
+    pack_layout_tag — tensor-parallel artifacts shard-block the pairing;
+    dequantizing with the wrong value permutes columns silently). Training
+    checkpoints pack globally, so the default covers every finetune.py run."""
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +45,7 @@ def export_llm_state_dict(llm: Dict[str, Any], prefix: str = "language_model.") 
         # int8 codes are meaningless without their scales; export real weights.
         from bridgelang_tpu.ops.quant import dequantize_llm_int8
 
-        llm = dequantize_llm_int8(llm)
+        llm = dequantize_llm_int8(llm, int4_shards=int4_shards)
     out: Dict[str, np.ndarray] = {
         prefix + "model.embed_tokens.weight": _np(llm["embed"]),
         prefix + "model.norm.weight": _np(llm["final_norm"]),

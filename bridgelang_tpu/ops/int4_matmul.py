@@ -331,6 +331,36 @@ def int4_kernel_eligible(k: int, n: int, n_groups: int) -> bool:
     return group % GROUP == 0
 
 
+def int4_tp_fallback_matmuls(cfg, group: int, tensor: int) -> list:
+    """Projections whose SHARD-LOCAL geometry loses the fused kernel under a
+    tensor=`tensor` mesh — the custom_partitioning lowering re-runs the shape
+    dispatch per shard (_int4_route), and an ineligible local shape silently
+    takes the XLA dequant fallback, measured 10x slower (module docstring).
+
+    The structural constraint is the paired-halves layout x 128-lane tiles:
+    a column-parallel shard needs local_n % 256 == 0. 7B's MLP width
+    11008 = 256 x 43 (43 odd) breaks at ANY tensor >= 2 — 7B TP serving
+    should stay int8. 13B's 13824 = 256 x 54 survives tensor=2 only.
+    Row-parallel shards (wo/w_down) need local_k % group == 0, which every
+    flagship geometry satisfies. deploy.py runs this audit and refuses a
+    deploy that would serve off the advertised path (finding: silent cliff)."""
+    head_dim = cfg.dim // cfg.n_heads
+    geoms = {
+        "wq": (cfg.dim, cfg.n_heads * head_dim // tensor),
+        "wk": (cfg.dim, cfg.n_kv_heads * head_dim // tensor),
+        "wv": (cfg.dim, cfg.n_kv_heads * head_dim // tensor),
+        "w_gate": (cfg.dim, cfg.intermediate_size // tensor),
+        "w_up": (cfg.dim, cfg.intermediate_size // tensor),
+        "wo": (cfg.n_heads * head_dim // tensor, cfg.dim),
+        "w_down": (cfg.intermediate_size // tensor, cfg.dim),
+    }
+    bad = []
+    for name, (k, n) in geoms.items():
+        if k % group or not int4_kernel_eligible(k, n, k // group):
+            bad.append(name)
+    return bad
+
+
 def _int4_route(x3, packed, scales, a8: bool):
     """[B, T, K] @ packed — the shape-dispatch body for both kernel modes.
     Also the per-shard lowering under SPMD (shard-local shapes re-run the

@@ -143,19 +143,26 @@ def init_llm_params_int8(key, cfg) -> Params:
     }
 
 
-def dequantize_llm_int8(llm_params: Params, dtype: jnp.dtype = jnp.bfloat16) -> Params:
+def dequantize_llm_int8(llm_params: Params, dtype: jnp.dtype = jnp.bfloat16,
+                        int4_shards: int = 1) -> Params:
     """Inverse of quantize_llm_int8: codes * scale back to `dtype`, dropping
     the `*_scale` leaves. Used before checkpoint export / LoRA merge so int8
     codes are never mistaken for real weights. Packed-int4 leaves (sibling
     `*_scale4`, e.g. a --quantization_bits 4 QLoRA base at export time) are
-    dequantized too, so this is the one do-whatever-is-needed entry."""
+    dequantized too, so this is the one do-whatever-is-needed entry.
+
+    `int4_shards` must equal the pack-time n_shards (tensor-parallel deploys
+    shard-block the column-parallel leaves, pack_layout_tag): dequantizing a
+    shard-blocked pack with the default 1 returns permuted columns with no
+    error raised."""
     out = dict(llm_params)
     layers = dict(llm_params["layers"])
     for name in [n for n in layers if not (n.endswith("_scale") or n.endswith("_scale4"))]:
         w = layers[name]
         if name + "_scale4" in layers:
             s4 = layers.pop(name + "_scale4")
-            layers[name] = dequant_int4(w, s4, dtype)
+            shards = int4_shards if name in INT4_COLUMN_PARALLEL else 1
+            layers[name] = dequant_int4(w, s4, dtype, n_shards=shards)
         elif w.dtype == jnp.int8:
             scale = layers.pop(name + "_scale")
             layers[name] = (w.astype(jnp.float32) * scale.astype(jnp.float32)).astype(dtype)
@@ -203,6 +210,18 @@ INT4_GROUP = 128
 # adjacent-rows packing that preceded it were never shipped — artifacts from
 # them (if any exist) must be re-quantized from their source checkpoint.
 INT4_PACK_LAYOUT = "out-paired-lobias/v2"
+
+
+def pack_layout_tag(n_shards: int = 1) -> str:
+    """The layout string an artifact should record: shard-blocked packing
+    (pack_int4 n_shards>1, tensor-parallel deploys) produces a DIFFERENT
+    byte layout than global pairing — column c pairs with its shard block's
+    half, not out//2 + c — so the shard count is part of the layout identity.
+    A consumer that dequantizes with the wrong n_shards gets silently
+    permuted columns (no shape or dtype error), exactly the failure class
+    the version string exists to catch."""
+    n = int(n_shards or 1)
+    return INT4_PACK_LAYOUT if n <= 1 else f"{INT4_PACK_LAYOUT}+shardblocked-{n}"
 
 
 def pack_int4(codes: jnp.ndarray, n_shards: int = 1) -> jnp.ndarray:
@@ -404,6 +423,7 @@ def init_llm_params_int4(key, cfg, group: int = INT4_GROUP) -> Params:
     }
 
 
-def dequantize_llm_int4(llm_params: Params, dtype: jnp.dtype = jnp.bfloat16) -> Params:
+def dequantize_llm_int4(llm_params: Params, dtype: jnp.dtype = jnp.bfloat16,
+                        int4_shards: int = 1) -> Params:
     """Alias: dequantize_llm_int8 handles `*_scale4` leaves too."""
-    return dequantize_llm_int8(llm_params, dtype)
+    return dequantize_llm_int8(llm_params, dtype, int4_shards=int4_shards)

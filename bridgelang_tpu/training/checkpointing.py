@@ -136,12 +136,14 @@ def save_sidecars(run_dir, config: Dict[str, Any], dataset_statistics: Optional[
     (reference: train.py:133-138, 203-204)."""
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
-    from bridgelang_tpu.ops.quant import INT4_PACK_LAYOUT
+    from bridgelang_tpu.ops.quant import pack_layout_tag
 
     # self-describing artifacts: packed-int4 leaves dequantize to silently
     # row-permuted garbage under any other byte layout, so every run records
-    # the layout version and resume checks it (validate_resume).
-    config = {**config, "int4_pack_layout": INT4_PACK_LAYOUT}
+    # the layout version — including the pack shard count (shard-blocked
+    # packing IS a different byte layout) — and resume checks it
+    # (validate_resume).
+    config = {**config, "int4_pack_layout": pack_layout_tag(config.get("int4_shards", 1))}
     with open(run_dir / "config.json", "w") as f:
         json.dump(config, f, indent=2, default=str)
     if dataset_statistics is not None:
@@ -170,15 +172,16 @@ def validate_resume(checkpoint_path, resume_step: int, resume_epoch: int) -> Non
     candidates = [ckpt.parent / "config.json", ckpt.parent.parent / "config.json"]
     cfg_file = next((c for c in candidates if c.exists()), None)
     if cfg_file is not None:
-        from bridgelang_tpu.ops.quant import INT4_PACK_LAYOUT
+        from bridgelang_tpu.ops.quant import pack_layout_tag
 
         with open(cfg_file) as f:
             run_cfg = json.load(f)
         recorded = run_cfg.get("int4_pack_layout")
+        expected = pack_layout_tag(run_cfg.get("int4_shards", 1))
         quantized4 = run_cfg.get("use_quantization") and run_cfg.get("quantization_bits") == 4
-        if quantized4 and recorded != INT4_PACK_LAYOUT:
+        if quantized4 and recorded != expected:
             raise ValueError(
                 f"checkpoint was written with int4 pack layout {recorded!r}, this build "
-                f"uses {INT4_PACK_LAYOUT!r} — re-quantize from the source checkpoint "
-                "instead of resuming (restored packed weights would be row-permuted)."
+                f"would read it as {expected!r} — re-quantize from the source checkpoint "
+                "instead of resuming (restored packed weights would be permuted)."
             )

@@ -60,13 +60,19 @@ def add_lora_params(
     return out
 
 
-def merge_lora(llm_params: Params) -> Params:
+def merge_lora(llm_params: Params, int4_shards: int = 1) -> Params:
     """Fold adapters into base weights and drop the LoRA leaves
     (reference merge_and_unload, finetune.py:335-361). int8 bases (the QLoRA
     analogue, scripts/finetune.py --use_quantization) dequantize with their
     sibling `*_scale` leaf before the add and requantize after — adding fp32
-    deltas to raw int8 codes would corrupt the weights."""
-    from bridgelang_tpu.ops.quant import _quantize_tensor
+    deltas to raw int8 codes would corrupt the weights.
+
+    `int4_shards` must equal the base's pack-time n_shards (quant.py::
+    pack_layout_tag): merging into a shard-blocked pack (tensor-parallel
+    deploy artifacts) with the default 1 would dequantize permuted columns
+    and silently corrupt the merge. Training packs globally (finetune.py
+    never shard-blocks), so 1 is right for every QLoRA run."""
+    from bridgelang_tpu.ops.quant import INT4_COLUMN_PARALLEL, _quantize_tensor
 
     layers = llm_params["layers"]
     merged = {k: v for k, v in layers.items() if not (k.endswith("_lora_a") or k.endswith("_lora_b"))}
@@ -80,9 +86,10 @@ def merge_lora(llm_params: Params) -> Params:
         if name + "_scale4" in merged:
             from bridgelang_tpu.ops.quant import _quantize4_2d, dequant_int4
 
-            w32 = dequant_int4(w, merged[name + "_scale4"], dtype=jnp.float32)
+            shards = int4_shards if name in INT4_COLUMN_PARALLEL else 1
+            w32 = dequant_int4(w, merged[name + "_scale4"], dtype=jnp.float32, n_shards=shards)
             group = w32.shape[1] // merged[name + "_scale4"].shape[1]
-            q, scale = jax.lax.map(lambda wl: _quantize4_2d(wl, group), w32 + delta)
+            q, scale = jax.lax.map(lambda wl: _quantize4_2d(wl, group, n_shards=shards), w32 + delta)
             merged[name], merged[name + "_scale4"] = q, scale
         elif w.dtype == jnp.int8:
             w32 = w.astype(jnp.float32) * merged[name + "_scale"].astype(jnp.float32)

@@ -58,6 +58,11 @@ class DeployConfig:
     # int4 tensor parallelism: shard-blocked packing for a tensor mesh axis
     # of this size (must equal --mesh_spec tensor=N; 1 = single chip).
     int4_shards: int = 1
+    # int4 TP deploys REFUSE geometries where a shard-local matmul loses the
+    # fused kernel (falls back to XLA dequant, measured 10x slower — e.g.
+    # 7B MLP at any tensor>=2, 13B MLP at tensor>=4; see
+    # int4_tp_fallback_matmuls). Set true to serve anyway, eyes open.
+    allow_int4_tp_fallback: bool = False
     # Batch-1 default: decode speculatively, drafting from the server-side
     # previous tokens per (instruction, unnorm_key) — greedy-equivalent
     # (margin-gated), ~40% faster on smooth control loops, no client changes.
@@ -139,6 +144,22 @@ def main(cfg: DeployConfig) -> None:
                     f"tensor={tensor} does not divide the head counts "
                     f"({model.cfg.llm.n_heads}/{model.cfg.llm.n_kv_heads})."
                 )
+            from bridgelang_tpu.ops.int4_matmul import int4_tp_fallback_matmuls
+
+            fallback = int4_tp_fallback_matmuls(model.cfg.llm, cfg.int4_group, tensor)
+            if fallback:
+                msg = (
+                    f"int4 + tensor={tensor}: shard-local {', '.join(fallback)} lose the "
+                    "fused Pallas kernel (shard width not 256-aligned) and would run the "
+                    "XLA dequant fallback, measured 10x slower — this deploy would NOT "
+                    "deliver the advertised int4-TP speed. Use int8 for TP at this "
+                    "geometry (7B MLP breaks at any tensor>=2; 13B MLP survives "
+                    "tensor=2 only), or pass --allow_int4_tp_fallback true to serve "
+                    "anyway."
+                )
+                if not cfg.allow_int4_tp_fallback:
+                    raise SystemExit(msg)
+                overwatch.warning(msg)
         params = shard_params_for_serving(mesh, params, int4_shards=cfg.int4_shards)
         model.use_mesh(mesh)
         overwatch.info("Tensor-parallel serving over mesh %s", dict(mesh.shape))

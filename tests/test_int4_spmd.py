@@ -230,3 +230,80 @@ def test_row_parallel_unshardable_geometry_degrades():
     # K=512, 4 groups of 128: 8 shards -> 64 rows/shard, 64 % 128 != 0
     out = jax.jit(lambda a, b, c: matmul_int4(a, b, c, 8, True))(x, q4, s4)
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_int4_tp_fallback_audit_flags_flagship_geometries():
+    """deploy.py's TP audit (int4_tp_fallback_matmuls) must flag exactly the
+    shard-local matmuls that lose the fused kernel: a column-parallel shard
+    needs local_n % 256 == 0, so 7B's MLP (11008 = 256*43, 43 odd) breaks at
+    ANY tensor >= 2 while 13B's (13824 = 256*54) survives tensor=2 only —
+    without the audit those deploys silently serve the XLA dequant fallback,
+    measured 10x slower (ops/int4_matmul.py module docstring)."""
+    from bridgelang_tpu.models.llm.llama import LLMConfig
+    from bridgelang_tpu.ops.int4_matmul import int4_tp_fallback_matmuls
+
+    cfg7 = LLMConfig(dim=4096, n_heads=32, n_kv_heads=32, intermediate_size=11008)
+    cfg13 = LLMConfig(dim=5120, n_heads=40, n_kv_heads=40, intermediate_size=13824)
+    assert sorted(int4_tp_fallback_matmuls(cfg7, 128, 2)) == ["w_gate", "w_up"]
+    assert int4_tp_fallback_matmuls(cfg13, 128, 2) == []          # fully fused
+    assert sorted(int4_tp_fallback_matmuls(cfg13, 128, 4)) == ["w_gate", "w_up"]
+    # group=256 packs don't change column alignment, only row groups
+    assert int4_tp_fallback_matmuls(cfg13, 256, 2) == []
+
+
+def test_shard_blocked_dequant_roundtrip_needs_matching_shards():
+    """pack_layout_tag exists because the bytes don't self-describe: a
+    shard-blocked pack dequantized with the default n_shards=1 returns
+    PERMUTED columns with no error — the llm-level helpers must thread the
+    shard count for column-parallel leaves (and only those)."""
+    from bridgelang_tpu.ops.quant import (
+        _quantize4_2d, dequant_int4, dequantize_llm_int4, pack_layout_tag,
+        INT4_PACK_LAYOUT,
+    )
+
+    assert pack_layout_tag(1) == INT4_PACK_LAYOUT
+    assert pack_layout_tag(2) != pack_layout_tag(4) != INT4_PACK_LAYOUT
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(256, 512)).astype(np.float32)
+    q_g, s_g = _quantize4_2d(jnp.asarray(w), group=128)            # global pairing
+    q_b, s_b = _quantize4_2d(jnp.asarray(w), group=128, n_shards=2)  # shard-blocked
+    want = np.asarray(dequant_int4(q_g, s_g, jnp.float32))
+    good = np.asarray(dequant_int4(q_b, s_b, jnp.float32, n_shards=2))
+    np.testing.assert_array_equal(good, want)
+    bad = np.asarray(dequant_int4(q_b, s_b, jnp.float32))  # wrong shards: permuted
+    assert np.abs(bad - want).max() > 0.1
+
+    llm = {"layers": {"wq": q_b[None], "wq_scale4": s_b[None],
+                      "w_down": q_g[None], "w_down_scale4": s_g[None]},
+           "embed": jnp.zeros((4, 8), jnp.float32),
+           "lm_head": jnp.zeros((8, 4), jnp.float32),
+           "final_norm": jnp.ones((8,), jnp.float32)}
+    deq = dequantize_llm_int4(llm, jnp.float32, int4_shards=2)
+    np.testing.assert_array_equal(np.asarray(deq["layers"]["wq"][0]), want)
+    # w_down is ROW-parallel: its pack stays globally paired at any shard count
+    np.testing.assert_array_equal(np.asarray(deq["layers"]["w_down"][0]), want)
+
+
+def test_merge_lora_into_shard_blocked_base():
+    """Merging adapters into a tensor-parallel int4 artifact must dequantize
+    AND requantize with the base's pack shard count — the merged pack has to
+    stay deployable under the same mesh (same layout tag)."""
+    from bridgelang_tpu.ops.quant import _quantize4_2d, dequant_int4
+    from bridgelang_tpu.training.lora import merge_lora
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(256, 512)).astype(np.float32)
+    a = rng.normal(size=(1, 256, 4)).astype(np.float32) * 0.05
+    b = rng.normal(size=(1, 4, 512)).astype(np.float32) * 0.05
+    q_b, s_b = _quantize4_2d(jnp.asarray(w), group=128, n_shards=2)
+    llm = {"layers": {"wq": q_b[None], "wq_scale4": s_b[None],
+                      "wq_lora_a": jnp.asarray(a), "wq_lora_b": jnp.asarray(b)}}
+    merged = merge_lora(llm, int4_shards=2)
+    got = np.asarray(dequant_int4(merged["layers"]["wq"][0],
+                                  merged["layers"]["wq_scale4"][0],
+                                  jnp.float32, n_shards=2))
+    base = np.asarray(dequant_int4(q_b, s_b, jnp.float32, n_shards=2))
+    want = base + a[0] @ b[0]
+    # requantization noise only: well under one int4 step of the merged rows
+    assert np.abs(got - want).max() < np.abs(want).max() * 0.02

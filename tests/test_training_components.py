@@ -174,6 +174,27 @@ def test_checkpoint_roundtrip(tmp_path):
     except ValueError as e:
         assert "pack layout" in str(e)
 
+    # shard-blocked packing IS a different byte layout: the sidecar tag must
+    # carry the pack shard count, and a recorded tag that disagrees with the
+    # recorded shard count (hand-edited config / cross-build artifact) must
+    # refuse to resume.
+    from bridgelang_tpu.ops.quant import pack_layout_tag
+
+    save_sidecars(tmp_path, {"use_quantization": True, "quantization_bits": 4,
+                             "int4_shards": 2})
+    with open(tmp_path / "config.json") as f:
+        cfg = _json.load(f)
+    assert cfg["int4_pack_layout"] == pack_layout_tag(2) != INT4_PACK_LAYOUT
+    validate_resume(path, 100, 1)  # self-consistent: fine
+    cfg["int4_shards"] = 1  # now claims global pairing but bytes are blocked
+    with open(tmp_path / "config.json", "w") as f:
+        _json.dump(cfg, f)
+    try:
+        validate_resume(path, 100, 1)
+        raise RuntimeError("should have failed")
+    except ValueError as e:
+        assert "pack layout" in str(e)
+
 
 def test_checkpoint_name_parse():
     assert parse_checkpoint_name(checkpoint_name(2500, 3, 0.5)) == (2500, 3, 0.5)
