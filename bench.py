@@ -52,6 +52,7 @@ V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 TRAIN_BENCH_TIMEOUT_S = 900  # cold dots-remat compile alone is ~250s on this backend
 LORA_BENCH_TIMEOUT_S = 1800  # 32-layer train graph through the remote compile service
 SERVE_BENCH_TIMEOUT_S = 1200  # warm-cache 7B serving compile is ~22s; cold is minutes
+SERVE_BENCH_COLD_TIMEOUT_S = 3000  # retry cap when attempt 1 missed the headline
 MIN_SECTION_S = 180  # don't start a section with less budget than this
 HEADLINE_METRIC = "openvla7b-int8_predict_action_throughput"
 
@@ -127,6 +128,16 @@ def main(run_all: bool = False):
             continue
         timeout = cap if run_all else min(cap, max(MIN_SECTION_S, remaining))
         lines = _run_section_subprocess(mode, timeout)
+        if mode == "serve7b" and not any(f'"{HEADLINE_METRIC}"' in ln for ln in lines):
+            # The north star must not die to a cold compile: the 7B serving
+            # graph takes 6-40 min through the remote compile service on a
+            # cold cache day (vs ~22 s warm). The first attempt's compile is
+            # cached server-side even when the child is killed, so ONE retry
+            # with the cold cap almost always completes; without it BENCH_r03
+            # recorded the wrong headline entirely (VERDICT r03 item 1).
+            print("[bench] headline missing after serve7b attempt 1 — retrying "
+                  f"with the cold-compile cap ({SERVE_BENCH_COLD_TIMEOUT_S}s)", file=sys.stderr)
+            lines = _run_section_subprocess(mode, SERVE_BENCH_COLD_TIMEOUT_S) or lines
         for ln in lines:
             print(ln, flush=True)
             if f'"{HEADLINE_METRIC}"' in ln:
@@ -1151,7 +1162,6 @@ def _load_test_bench(norm_stats, duration_s: float = 60.0, n_clients: int = 6):
                        max_batch=4, speculative_default=False)
     httpd = server.serve_background(port=0)
     port = httpd.server_address[1]
-    rng = np.random.default_rng(0)
     try:
         dt = warmup_predict(model, params, max_batch=4, unnorm_key="bridge_orig",
                             speculative=True)
@@ -1172,7 +1182,9 @@ def _load_test_bench(norm_stats, duration_s: float = 60.0, n_clients: int = 6):
 
         def client(i):
             draft = np.zeros(7, np.int32)
-            img = rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+            # per-thread generator: np.random.Generator is not thread-safe,
+            # and the shared parent rng would be hit by 6 threads at once
+            img = np.random.default_rng(i).integers(0, 255, size=(size, size, 3), dtype=np.uint8)
             speculative = i % 2 == 1
             instruction = f"task {i}"
             try:
@@ -1263,5 +1275,11 @@ if __name__ == "__main__":
                                remat=sys.argv[3] if len(sys.argv) > 3 else "full")
         if line:
             print(json.dumps(line), flush=True)
+    elif len(sys.argv) > 1 and sys.argv[1] != "all":
+        # a typo ("serve7", "7b") must NOT silently start the multi-hour
+        # orchestrated run on the shared single-TPU box
+        raise SystemExit(f"unknown bench mode {sys.argv[1]!r}; one of: serve7b, train, "
+                         "lora, lora13b, 13b4, 7b4, closedloop, loadtest, all "
+                         "(no argument = budgeted orchestration)")
     else:
         main(run_all=len(sys.argv) > 1 and sys.argv[1] == "all")

@@ -531,14 +531,15 @@ def _int4_route_blocked(x3, packed, scales, a8: bool, n_shards: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_int4_spmd_colsharded(a8: bool, n_shards: int, p_local: int):
-    """`p_local` = packed columns per shard block (packed_w // n_shards):
-    Shardy requires explicit sizes for factors that only appear inside
-    compound factors, so the cp is cached per (mode, shards, width)."""
     """custom_partitioning for COLUMN-parallel shard-blocked int4: packed and
     scales shard together on their last dim over an axis of size n_shards;
     each device's block is plain v2, so the shard-local lowering is the
     ordinary route. Off-mesh (or mismatched axis) falls back to the blocked
-    execution — always correct, never silently wrong-layout."""
+    execution — always correct, never silently wrong-layout.
+
+    `p_local` = packed columns per shard block (packed_w // n_shards):
+    Shardy requires explicit sizes for factors that only appear inside
+    compound factors, so the cp is cached per (mode, shards, width)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def route(x3, packed, scales):
@@ -595,14 +596,15 @@ def _make_int4_spmd_colsharded(a8: bool, n_shards: int, p_local: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_int4_spmd_rowsharded(a8: bool, n_shards: int, k_local: int, g_local: int):
-    """`k_local`/`g_local` = rows / scale groups per shard (Shardy needs
-    explicit sizes for compound-only factors; cached per geometry)."""
     """custom_partitioning for ROW-parallel int4 (wo/w_down under a tensor
     mesh): x's last dim and packed's first dim shard together on the
     contraction axis, scale GROUPS shard with the rows ((K/D) % group == 0
     checked by the caller via int4_row_shardable), and shard-local partial
     results meet in one psum — the megatron second-matmul contract the int8
-    path gets from GSPMD on plain dots."""
+    path gets from GSPMD on plain dots.
+
+    `k_local`/`g_local` = rows / scale groups per shard (Shardy needs
+    explicit sizes for compound-only factors; cached per geometry)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def route(x3, packed, scales):

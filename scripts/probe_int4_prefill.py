@@ -35,7 +35,18 @@ def main():
     from bridgelang_tpu.ops.quant import _quantize4_2d, dequant_int4, quantize_activations_per_token
 
     rng = np.random.default_rng(0)
-    RTT = 0.027
+    # Measure the relay RTT per capture (varies 24-37 ms by day, CLAUDE.md);
+    # a stale constant biases these small per-call numbers materially.
+    tiny = jnp.zeros((8,), jnp.float32)
+    triv = jax.jit(lambda x: x + 1.0)
+    np.asarray(triv(tiny))
+    _rtts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        np.asarray(triv(tiny))
+        _rtts.append(time.perf_counter() - t0)
+    RTT = float(np.percentile(_rtts, 50))
+    print(f"[probe] measured relay RTT: {RTT*1e3:.1f} ms", flush=True)
 
     def fetch_time(fn, *args, reps=12):
         # fn must return a SCALAR: fetching the full [1, M, N] output moves

@@ -46,7 +46,11 @@ class GroupSweepConfig:
     layers: int = 16  # distinct stacked weights per scan
     repeats: int = 4
     samples: int = 5
-    rtt_s: float = 0.027
+    # Relay round trip subtracted from every synchronous fetch. The RTT
+    # varies 24-37 ms BY DAY (CLAUDE.md), so the default (<0) MEASURES it at
+    # capture time the way bench.py does — a stale constant biases the small
+    # decode numbers by up to ~3x. Pass a value only to reproduce an old run.
+    rtt_s: float = -1.0
     vit_depth: int = 8
     llm_layers: int = 8  # full-dim, depth-trimmed: quality is per-matmul
 
@@ -58,6 +62,23 @@ SHAPES = {
 }
 
 
+def _measure_rtt() -> float:
+    """Per-capture relay RTT: trivial jitted op + scalar fetch, p50 of 15
+    (bench.py's methodology — the RTT varies 24-37 ms by day)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jnp.zeros((8,), jnp.float32)
+    triv = jax.jit(lambda x: x + 1.0)
+    np.asarray(triv(tiny))
+    samples = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        np.asarray(triv(tiny))
+        samples.append(time.perf_counter() - t0)
+    return float(np.percentile(samples, 50))
+
+
 def _speed(cfg, groups):
     import jax
     import jax.numpy as jnp
@@ -65,6 +86,9 @@ def _speed(cfg, groups):
     from bridgelang_tpu.ops.int4_matmul import matmul_int4_a8
     from bridgelang_tpu.ops.quant import _quantize4_2d
 
+    if cfg.rtt_s < 0:
+        cfg.rtt_s = _measure_rtt()
+        print(f"[sweep] measured relay RTT: {cfg.rtt_s*1e3:.1f} ms", flush=True)
     n_mm = cfg.layers * cfg.repeats
 
     def timed(fn, *args):
