@@ -178,18 +178,19 @@ _STEP_OVERHEAD_S = 1.0e-6  # per-grid-step fixed cost (DMA issue, semaphores)
 _VMEM_BUDGET = 12 * 1024 * 1024  # of ~16 MB/core: leave room for double-buffering slack
 
 
-# Measured-best decode tiles (v5e, block_m=8, a8): keyed by (n_g, packed_w).
-# From scripts/sweep_int4_tiles.py's honest scan-over-distinct-weights run —
-# the cost model ranks the rest of the space, but at the flagship shapes the
-# measured winner beats the modeled one by 10-40% (the model cannot see
-# Mosaic's pipeline behavior), so serving uses the table directly.
+# Measured-best decode tiles (v5e, block_m=8, a8): keyed by
+# (group, n_g, packed_w). From scripts/sweep_int4_tiles.py's honest
+# scan-over-distinct-weights runs — the cost model ranks the rest of the
+# space, but at the flagship shapes the measured winner beats the modeled
+# one by 10-40% (the model cannot see Mosaic's pipeline behavior), so
+# serving uses the table directly.
 _TUNED_DECODE_TILES = {
-    (40, 2560): (2560, 5),    # 13B wq/wk/wv/wo [5120x5120] — 720 GB/s packed
-    (40, 6912): (2304, 20),   # 13B w_gate/w_up [5120x13824] — 477
-    (108, 2560): (2560, 18),  # 13B w_down [13824x5120] — 462
-    (32, 2048): (2048, 16),   # 7B wq/wk/wv/wo [4096x4096]
-    (32, 5504): (5504, 8),    # 7B w_gate/w_up [4096x11008] — 654
-    (86, 2048): (2048, 2),    # 7B w_down [11008x4096] — 580
+    (128, 40, 2560): (2560, 5),    # 13B wq/wk/wv/wo [5120x5120] — 720 GB/s packed
+    (128, 40, 6912): (2304, 20),   # 13B w_gate/w_up [5120x13824] — 477
+    (128, 108, 2560): (2560, 18),  # 13B w_down [13824x5120] — 462
+    (128, 32, 2048): (2048, 16),   # 7B wq/wk/wv/wo [4096x4096]
+    (128, 32, 5504): (5504, 8),    # 7B w_gate/w_up [4096x11008] — 654
+    (128, 86, 2048): (2048, 2),    # 7B w_down [11008x4096] — 580
 }
 
 
@@ -230,8 +231,8 @@ def _choose_tiles(m_pad: int, packed_w: int, n_g: int, min_sublane: int, out_ite
 
     block_m need not divide m: the caller pads rows (padding cost is modeled
     via the rounded-up block count)."""
-    if a8 and m_pad <= 8 and group == GROUP:  # table measured at group=128
-        tuned = _TUNED_DECODE_TILES.get((n_g, packed_w))
+    if a8 and m_pad <= 8:
+        tuned = _TUNED_DECODE_TILES.get((group, n_g, packed_w))
         if tuned is not None:
             return (m_pad, tuned[0], tuned[1], m_pad)
     mxu = _MXU_INT8_OPS if a8 else _MXU_BF16_OPS

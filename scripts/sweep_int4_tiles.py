@@ -34,10 +34,14 @@ class SweepConfig:
     a8: bool = True
     m: int = 1  # pre-pad decode rows (the kernel pads to its sublane minimum)
     block_m: int = 0  # 0 = one m-block of the padded m; else tile rows by this
+    group: int = 128  # pack-time scale-group size (256 = the serving default)
     layers: int = 40
     repeats: int = 8
     samples: int = 5
-    rtt_s: float = 0.027
+    # <0 = measure the relay RTT at capture time (varies 24-37 ms by day).
+    # n_mm here is large (320), so the per-matmul sensitivity is small, but
+    # a measured value keeps the absolute ms comparable across days.
+    rtt_s: float = -1.0
     max_combos: int = 24
     native_int4: bool = True  # also probe the jnp.int4 XLA dot
 
@@ -57,7 +61,6 @@ def main(cfg: SweepConfig) -> None:
     import jax.numpy as jnp
 
     from bridgelang_tpu.ops.int4_matmul import (
-        GROUP,
         _VMEM_BUDGET,
         _choose_tiles,
         _divisors,
@@ -71,6 +74,18 @@ def main(cfg: SweepConfig) -> None:
     n_mm = cfg.layers * cfg.repeats
     rng = np.random.default_rng(0)
 
+    if cfg.rtt_s < 0:
+        tiny = jnp.zeros((8,), jnp.float32)
+        triv = jax.jit(lambda t: t + 1.0)
+        np.asarray(triv(tiny))
+        rtts = []
+        for _ in range(15):
+            t0 = time.perf_counter()
+            np.asarray(triv(tiny))
+            rtts.append(time.perf_counter() - t0)
+        cfg.rtt_s = float(np.percentile(rtts, 50))
+        print(f"[sweep] measured relay RTT: {cfg.rtt_s*1e3:.1f} ms", flush=True)
+
     def timed(fn, *args):
         np.asarray(fn(*args))
         times = []
@@ -83,9 +98,9 @@ def main(cfg: SweepConfig) -> None:
     names = list(SHAPES) if cfg.shape == "all" else [cfg.shape]
     for name in names:
         K, N = SHAPES[name]
-        n_g = K // GROUP
+        n_g = K // cfg.group
         w = rng.normal(size=(K, N)).astype(np.float32) * 0.02
-        q4, s4 = _quantize4_2d(jnp.asarray(w), group=GROUP)
+        q4, s4 = _quantize4_2d(jnp.asarray(w), group=cfg.group)
         q4_l = jnp.asarray(np.broadcast_to(np.asarray(q4), (cfg.layers,) + q4.shape).copy())
         s4_l = jnp.asarray(np.broadcast_to(np.asarray(s4), (cfg.layers,) + s4.shape).copy())
 
@@ -103,7 +118,7 @@ def main(cfg: SweepConfig) -> None:
             def run(x, pl_, sl_):
                 def body(y, args):
                     p_i, s_i = args
-                    out = _int4_2d(y, p_i, s_i, block_m, block_n, kg, cfg.a8)
+                    out = _int4_2d(y, p_i, s_i, block_m, block_n, kg, cfg.a8, group=cfg.group)
                     # scalar feedback keeps the chain dependent without
                     # changing y's values (out * 0 cannot be const-folded:
                     # out is data-dependent)
@@ -123,10 +138,10 @@ def main(cfg: SweepConfig) -> None:
         out_item = 4 if cfg.a8 else 2
         for bn in _divisors(N // 2, 128):
             for kg in _divisors(n_g, 1):
-                tile_b = kg * GROUP * bn
+                tile_b = kg * cfg.group * bn
                 # the chooser's own VMEM model — sharing it keeps the sweep
                 # enumerating exactly the space production can pick from
-                if (_tile_vmem_bytes(bm_tile, bn, kg, out_item, cfg.a8) > _VMEM_BUDGET
+                if (_tile_vmem_bytes(bm_tile, bn, kg, out_item, cfg.a8, group=cfg.group) > _VMEM_BUDGET
                         or tile_b < 64 * 1024):
                     continue
                 combos.append((bn, kg, tile_b))
@@ -135,8 +150,8 @@ def main(cfg: SweepConfig) -> None:
             idx = np.linspace(0, len(combos) - 1, cfg.max_combos).round().astype(int)
             combos = [combos[i] for i in sorted(set(idx))]
 
-        pick = _choose_tiles(m_pad, N // 2, n_g, min_sub, 4 if cfg.a8 else 2, cfg.a8)
-        print(f"=== {name} K={K} N={N} a8={cfg.a8} ({len(combos)} combos; "
+        pick = _choose_tiles(m_pad, N // 2, n_g, min_sub, 4 if cfg.a8 else 2, cfg.a8, group=cfg.group)
+        print(f"=== {name} K={K} N={N} a8={cfg.a8} group={cfg.group} ({len(combos)} combos; "
               f"chooser pick: bn={pick[1]} kg={pick[2]}) ===", flush=True)
         best = None
         for bn, kg, tile_b in combos:

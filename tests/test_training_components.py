@@ -560,21 +560,21 @@ def test_int4_tuned_decode_tiles_are_valid():
     decode-M a8 calls. Catches table drift (e.g. a GROUP change) at CPU-test
     time instead of as a Mosaic compile error on the chip."""
     from bridgelang_tpu.ops.int4_matmul import (
-        GROUP,
         _TUNED_DECODE_TILES,
         _VMEM_BUDGET,
         _choose_tiles,
     )
 
-    flagship = {(40, 2560), (40, 6912), (108, 2560), (32, 2048), (32, 5504), (86, 2048)}
+    flagship = {(128, 40, 2560), (128, 40, 6912), (128, 108, 2560),
+                (128, 32, 2048), (128, 32, 5504), (128, 86, 2048)}
     assert flagship <= set(_TUNED_DECODE_TILES), "flagship decode shapes must stay tuned"
-    for (n_g, packed_w), (bn, kg) in _TUNED_DECODE_TILES.items():
-        assert packed_w % bn == 0, (n_g, packed_w)
-        assert n_g % kg == 0, (n_g, packed_w)
-        tile_b = kg * GROUP * bn
-        assert 2 * tile_b + 8 * 8 * bn <= _VMEM_BUDGET, (n_g, packed_w)
-        picked = _choose_tiles(8, packed_w, n_g, 8, 4, True)
-        assert picked == (8, bn, kg, 8), (n_g, packed_w, picked)
+    for (group, n_g, packed_w), (bn, kg) in _TUNED_DECODE_TILES.items():
+        assert packed_w % bn == 0, (group, n_g, packed_w)
+        assert n_g % kg == 0, (group, n_g, packed_w)
+        tile_b = kg * group * bn
+        assert 2 * tile_b + 8 * 8 * bn <= _VMEM_BUDGET, (group, n_g, packed_w)
+        picked = _choose_tiles(8, packed_w, n_g, 8, 4, True, group=group)
+        assert picked == (8, bn, kg, 8), (group, n_g, packed_w, picked)
 
 
 def test_int4_a8_matmul_matches_integer_reference():
