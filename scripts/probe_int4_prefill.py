@@ -45,7 +45,7 @@ def main():
         t0 = time.perf_counter()
         np.asarray(triv(tiny))
         _rtts.append(time.perf_counter() - t0)
-    RTT = float(np.percentile(_rtts, 50))
+    RTT = float(np.min(_rtts))
     print(f"[probe] measured relay RTT: {RTT*1e3:.1f} ms", flush=True)
 
     def fetch_time(fn, *args, reps=12):

@@ -63,8 +63,10 @@ SHAPES = {
 
 
 def _measure_rtt() -> float:
-    """Per-capture relay RTT: trivial jitted op + scalar fetch, p50 of 15
-    (bench.py's methodology — the RTT varies 24-37 ms by day)."""
+    """Per-capture relay RTT: trivial jitted op + scalar fetch, MIN of 15 —
+    this value is SUBTRACTED from fetch times, so it must estimate the floor
+    (a p50 inflated by host contention or outage recovery can exceed the
+    true per-fetch overhead and produce negative compute times)."""
     import jax
     import jax.numpy as jnp
 
@@ -76,7 +78,7 @@ def _measure_rtt() -> float:
         t0 = time.perf_counter()
         np.asarray(triv(tiny))
         samples.append(time.perf_counter() - t0)
-    return float(np.percentile(samples, 50))
+    return float(np.min(samples))
 
 
 def _speed(cfg, groups):

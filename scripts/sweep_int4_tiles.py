@@ -83,7 +83,7 @@ def main(cfg: SweepConfig) -> None:
             t0 = time.perf_counter()
             np.asarray(triv(tiny))
             rtts.append(time.perf_counter() - t0)
-        cfg.rtt_s = float(np.percentile(rtts, 50))
+        cfg.rtt_s = float(np.min(rtts))
         print(f"[sweep] measured relay RTT: {cfg.rtt_s*1e3:.1f} ms", flush=True)
 
     def timed(fn, *args):
