@@ -320,49 +320,9 @@ def _serving_bench(build, norm_stats) -> float:
                               jnp.zeros((1, 7), jnp.int32))
         greedy_t = np.asarray(toks)[0].astype(np.int32)
 
-        lat_k = {}
-        for k in range(1, 8):
-            draft = greedy_t.copy()
-            if k < 7:
-                draft[k:] = greedy_t[k:] + 1  # first mismatch at position k
-            draft_d = jnp.asarray(draft[None])
-            acts, _, acc = spec_cnt(params, ids_d, mask_d, frame_d, q01, q99, smask, draft_d)
-            np.asarray(acts)
-            got_k = int(np.asarray(acc)[0])
-            lat = []
-            for _ in range(12):
-                t0 = time.perf_counter()
-                acts, _, _ = spec_cnt(params, ids_d, mask_d, frame_d, q01, q99, smask, draft_d)
-                np.asarray(acts)
-                lat.append(time.perf_counter() - t0)
-            lat_k[k] = float(np.percentile(lat, 50))
-            if got_k != k:
-                print(f"[bench] WARNING: crafted draft for k={k} accepted {got_k}", file=sys.stderr)
-        curve = " ".join(f"k={k}:{v*1e3:.0f}ms" for k, v in lat_k.items())
-        print(f"[bench] speculative latency curve (accepted tokens -> p50): {curve}", file=sys.stderr)
-        breakeven = next((k for k in range(1, 8) if 1.0 / lat_k[k] >= 2 * REFERENCE_ACTIONS_PER_SEC), None)
-        print(f"[bench] breakeven for 2x baseline (12 a/s): >= {breakeven} of 7 tokens accepted per tick"
-              if breakeven else "[bench] 12 a/s unreachable even at full acceptance", file=sys.stderr)
-
-        # (b) accept-count distributions on synthetic smooth streams, three
-        # motion regimes x three drafting strategies (tokens of: previous
-        # action / token-space linear extrapolation / extrapolation with the
-        # per-dim step clamped to +-8 bins).
-        results = {}
-        for regime, (amp, t_lo, t_hi, noise_bins) in {
-            "settle": (0.06, 2.0, 4.0, 0.25),    # grasp / fine alignment
-            "nominal": (0.30, 1.5, 3.0, 0.5),    # typical tabletop reach
-            "aggressive": (0.80, 0.8, 1.5, 1.0), # fast transfer
-        }.items():
-            tok_stream = _smooth_stream_tokens(amp, t_lo, t_hi, noise_bins, n_ticks=1500, seed=17)
-            for strat in ("prev", "extrap", "hybrid"):
-                hist = _accept_histogram(tok_stream, strat)
-                mean_k = float(sum(k * p for k, p in hist.items()))
-                eff = 1.0 / sum(p * lat_k[k] for k, p in hist.items())
-                results[(regime, strat)] = (mean_k, eff)
-        for (regime, strat), (mean_k, eff) in results.items():
-            print(f"[bench] speculative/{regime}/{strat}: mean accepted {mean_k:.2f}/7 "
-                  f"-> {eff:.2f} a/s effective", file=sys.stderr)
+        lat_k = _measure_spec_latency_curve(spec_cnt, params, ids_d, mask_d, frame_d,
+                                            q01, q99, smask, greedy_t)
+        results = _compose_spec_acceptance(lat_k)
         best_strat = max(("prev", "extrap", "hybrid"),
                          key=lambda s: results[("nominal", s)][1])
         mean_k, eff = results[("nominal", best_strat)]
@@ -487,6 +447,64 @@ def _serving_bench(build, norm_stats) -> float:
 
     gc.collect()
     return actions_per_sec
+
+
+def _measure_spec_latency_curve(spec_cnt, params, ids_d, mask_d, frame_d,
+                                q01, q99, smask, greedy_t) -> dict:
+    """(a) of the speculative composition: on-chip p50 latency for k = 1..7
+    accepted tokens, driven by drafts crafted to match the greedy output for
+    exactly k tokens (achieved k verified on-device via the accept count).
+    Shared by the 7B int8 headline section and the int4 sections."""
+    import jax.numpy as jnp
+
+    lat_k = {}
+    for k in range(1, 8):
+        draft = greedy_t.copy()
+        if k < 7:
+            draft[k:] = greedy_t[k:] + 1  # first mismatch at position k
+        draft_d = jnp.asarray(draft[None])
+        acts, _, acc = spec_cnt(params, ids_d, mask_d, frame_d, q01, q99, smask, draft_d)
+        np.asarray(acts)
+        got_k = int(np.asarray(acc)[0])
+        lat = []
+        for _ in range(12):
+            t0 = time.perf_counter()
+            acts, _, _ = spec_cnt(params, ids_d, mask_d, frame_d, q01, q99, smask, draft_d)
+            np.asarray(acts)
+            lat.append(time.perf_counter() - t0)
+        lat_k[k] = float(np.percentile(lat, 50))
+        if got_k != k:
+            print(f"[bench] WARNING: crafted draft for k={k} accepted {got_k}", file=sys.stderr)
+    curve = " ".join(f"k={k}:{v*1e3:.0f}ms" for k, v in lat_k.items())
+    print(f"[bench] speculative latency curve (accepted tokens -> p50): {curve}", file=sys.stderr)
+    breakeven = next((k for k in range(1, 8) if 1.0 / lat_k[k] >= 2 * REFERENCE_ACTIONS_PER_SEC), None)
+    print(f"[bench] breakeven for 2x baseline (12 a/s): >= {breakeven} of 7 tokens accepted per tick"
+          if breakeven else "[bench] 12 a/s unreachable even at full acceptance", file=sys.stderr)
+    return lat_k
+
+
+def _compose_spec_acceptance(lat_k: dict) -> dict:
+    """(b) of the composition: accept-count distributions on synthetic smooth
+    streams (three motion regimes x three drafting strategies: previous
+    action / token-space linear extrapolation / extrapolation with the
+    per-dim step clamped to +-8 bins), composed with the measured latency
+    curve into effective a/s. Returns {(regime, strat): (mean_k, eff)}."""
+    results = {}
+    for regime, (amp, t_lo, t_hi, noise_bins) in {
+        "settle": (0.06, 2.0, 4.0, 0.25),    # grasp / fine alignment
+        "nominal": (0.30, 1.5, 3.0, 0.5),    # typical tabletop reach
+        "aggressive": (0.80, 0.8, 1.5, 1.0), # fast transfer
+    }.items():
+        tok_stream = _smooth_stream_tokens(amp, t_lo, t_hi, noise_bins, n_ticks=1500, seed=17)
+        for strat in ("prev", "extrap", "hybrid"):
+            hist = _accept_histogram(tok_stream, strat)
+            mean_k = float(sum(k * p for k, p in hist.items()))
+            eff = 1.0 / sum(p * lat_k[k] for k, p in hist.items())
+            results[(regime, strat)] = (mean_k, eff)
+    for (regime, strat), (mean_k, eff) in results.items():
+        print(f"[bench] speculative/{regime}/{strat}: mean accepted {mean_k:.2f}/7 "
+              f"-> {eff:.2f} a/s effective", file=sys.stderr)
+    return results
 
 
 def _smooth_stream_tokens(amp: float, t_lo: float, t_hi: float, noise_bins: float,
@@ -942,11 +960,11 @@ def _int4_serving_bench(norm_stats, size="13b"):
         "vs_baseline": round(1.0 / p50 / REFERENCE_ACTIONS_PER_SEC, 3),
     }), flush=True)
 
-    # Speculative endpoints (cf. the 7B latency(k) curve): one verification
-    # pass replaces the six decode passes when a draft is accepted, and each
-    # 13B decode step streams 6.3 GB — the larger the model, the bigger the
-    # speculative win. Crafted drafts pin k=1 (all-but-first rejected) and
-    # k=7 (fully accepted); real rates depend on trajectory smoothness.
+    # Speculative composition, same two measured halves as the 7B int8
+    # headline (latency(k) curve x synthetic smooth-stream acceptance): one
+    # verification pass replaces the six decode passes when a draft is
+    # accepted, and each 13B decode step streams GBs — the larger the model,
+    # the bigger the speculative win.
     try:
         frame_d = jnp.asarray(frame[None])
         spec = model._jitted_predict_frames_speculative(margin_threshold=0.0,
@@ -954,24 +972,23 @@ def _int4_serving_bench(norm_stats, size="13b"):
         _, toks, _ = spec(params, ids_d, mask_d, frame_d, q01, q99, smask,
                           jnp.zeros((1, 7), jnp.int32))
         greedy_t = np.asarray(toks)[0].astype(np.int32)
-        for k in (1, 7):
-            draft = greedy_t.copy()
-            if k < 7:
-                draft[k:] = greedy_t[k:] + 1
-            draft_d = jnp.asarray(draft[None])
-            acts, _, acc = spec(params, ids_d, mask_d, frame_d, q01, q99, smask, draft_d)
-            np.asarray(acts)
-            sl = []
-            for _ in range(10):
-                t0 = time.perf_counter()
-                acts, _, _ = spec(params, ids_d, mask_d, frame_d, q01, q99, smask, draft_d)
-                np.asarray(acts)
-                sl.append(time.perf_counter() - t0)
-            pk = float(np.percentile(sl, 50))
-            print(f"[bench] {size}-int4 speculative k={int(np.asarray(acc)[0])}/7: "
-                  f"p50={pk*1e3:.1f}ms -> {1.0/pk:.2f} actions/s", file=sys.stderr)
+        lat_k = _measure_spec_latency_curve(spec, params, ids_d, mask_d, frame_d,
+                                            q01, q99, smask, greedy_t)
+        results = _compose_spec_acceptance(lat_k)
+        best_strat = max(("prev", "extrap", "hybrid"),
+                         key=lambda s: results[("nominal", s)][1])
+        mean_k, eff = results[("nominal", best_strat)]
+        print(json.dumps({
+            "metric": f"openvla{size}-int4_speculative_effective_throughput",
+            "value": round(eff, 2),
+            "unit": (f"actions/sec (group={group}; measured latency(k) x synthetic "
+                     f"smooth-stream acceptance; nominal regime, draft={best_strat}, "
+                     f"mean {mean_k:.2f}/7 accepted; conditional on the policy "
+                     f"tracking the stream)"),
+            "vs_baseline": round(eff / REFERENCE_ACTIONS_PER_SEC, 3),
+        }), flush=True)
     except Exception as e:  # never let the extra curve kill the capacity line
-        print(f"[bench] {size} speculative endpoints skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        print(f"[bench] {size} speculative curve skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     if size == "13b":
         # Batched 13B on ONE chip: one packed-weight stream serves the whole
