@@ -191,6 +191,16 @@ _TUNED_DECODE_TILES = {
     (128, 32, 2048): (2048, 16),   # 7B wq/wk/wv/wo [4096x4096]
     (128, 32, 5504): (5504, 8),    # 7B w_gate/w_up [4096x11008] — 654
     (128, 86, 2048): (2048, 2),    # 7B w_down [11008x4096] — 580
+    # group=256: tuned entries are a MEASURED END-TO-END DEAD END
+    # (2026-08-19/20, don't retry). The isolated sweep's winners beat the
+    # chooser's modeled picks by 4-20% per shape (sweep_int4_tiles
+    # --group 256, 28.7 ms RTT), but installing them moved 7B serving
+    # nowhere: sequential p50 8.22 a/s tuned vs 8.30/8.66 untuned across
+    # three same-night captures (relay-condition spread), and the
+    # speculative latency(k) curve landed inside the untuned runs' range
+    # at every k. Single-weight microbench wins don't transfer to the
+    # production layer scan, where seven interleaved weight streams set
+    # the DMA pipeline. group=256 serving uses the chooser's modeled picks.
 }
 
 
