@@ -998,37 +998,49 @@ def _int4_serving_bench(norm_stats, size="13b"):
     except Exception as e:  # never let the extra curve kill the capacity line
         print(f"[bench] {size} speculative curve skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
-    if size == "13b":
-        # Batched 13B on ONE chip: one packed-weight stream serves the whole
-        # batch per decode step, and at B=8 the decode rows exactly fill the
-        # kernel's 8-row block (no pad waste). int8 KV keeps the cache off
-        # the weight budget (bf16 B=8 cache ~1.05 GB -> 0.53).
-        try:
-            model.cache_dtype = jnp.int8
-            fn_b = model._jitted_predict_frames(7)
-            B = 8
-            ids_b = jnp.asarray(np.repeat(ids, B, axis=0))
-            mask_b = jnp.asarray(np.repeat(mask, B, axis=0))
-            frames_b = jnp.asarray(rng.integers(0, 255, size=(B, 224, 224, 3), dtype=np.uint8))
-            np.asarray(fn_b(params, ids_b, mask_b, frames_b, q01, q99, smask))
-            lat_b = []
-            for _ in range(10):
-                t0 = time.perf_counter()
+    # Batched int4 serving on ONE chip: one packed-weight stream serves the
+    # whole batch per decode step, and the kernel's decode grid tiles rows in
+    # 8-row blocks, so B in {8, 16, 32} pads nothing. int8 KV keeps the cache
+    # off the weight budget. Beyond the 13B capacity story, int4's smaller
+    # weight footprint (7B: ~4.5 GB total vs int8's ~8.3) buys HBM headroom
+    # for batch sizes the int8 mode cannot hold — B=32 at 7B is ~10.4 GB of
+    # int8 KV cache alone, which only coexists with int4 weights.
+    batches = (8, 16) if size == "13b" else (16, 32)
+    try:
+        model.cache_dtype = jnp.int8
+        fn_b = model._jitted_predict_frames(7)
+        for B in batches:
+            try:
+                ids_b = jnp.asarray(np.repeat(ids, B, axis=0))
+                mask_b = jnp.asarray(np.repeat(mask, B, axis=0))
+                frames_b = jnp.asarray(rng.integers(0, 255, size=(B, 224, 224, 3), dtype=np.uint8))
+                t0 = time.time()
                 np.asarray(fn_b(params, ids_b, mask_b, frames_b, q01, q99, smask))
-                lat_b.append(time.perf_counter() - t0)
-            p50_b = float(np.percentile(lat_b, 50))
-            print(f"[bench] 13b-int4 batched B={B} (int8 KV): p50={p50_b*1e3:.1f}ms -> "
-                  f"{B/p50_b:.1f} actions/s aggregate", file=sys.stderr)
-            print(json.dumps({
-                "metric": "openvla13b-int4_batched8_throughput",
-                "value": round(B / p50_b, 2),
-                "unit": "actions/sec aggregate (13B, B=8, one 16GB chip)",
-                "vs_baseline": round(B / p50_b / REFERENCE_ACTIONS_PER_SEC, 3),
-            }), flush=True)
-        except Exception as e:
-            print(f"[bench] 13b-int4 batched mode failed: {type(e).__name__}: {e}", file=sys.stderr)
-        finally:
-            model.cache_dtype = jnp.bfloat16
+                print(f"[bench] {size}-int4 batched B={B} compile+first call: "
+                      f"{time.time()-t0:.1f}s", file=sys.stderr)
+                lat_b = []
+                for _ in range(8):
+                    t0 = time.perf_counter()
+                    np.asarray(fn_b(params, ids_b, mask_b, frames_b, q01, q99, smask))
+                    lat_b.append(time.perf_counter() - t0)
+                p50_b = float(np.percentile(lat_b, 50))
+                print(f"[bench] {size}-int4 batched B={B} (int8 KV): p50={p50_b*1e3:.1f}ms -> "
+                      f"{B/p50_b:.1f} actions/s aggregate", file=sys.stderr)
+                print(json.dumps({
+                    "metric": f"openvla{size}-int4_batched{B}_throughput",
+                    "value": round(B / p50_b, 2),
+                    "unit": f"actions/sec aggregate ({size}, B={B}, group={group}, int8 KV, one 16GB chip)",
+                    "vs_baseline": round(B / p50_b / REFERENCE_ACTIONS_PER_SEC, 3),
+                }), flush=True)
+            except Exception as e:
+                # An OOM at the largest batch must not kill the smaller ones'
+                # already-printed lines (B=32 at 7B is deliberately at the
+                # edge of the 16 GB budget).
+                print(f"[bench] {size}-int4 batched B={B} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] {size}-int4 batched mode failed: {type(e).__name__}: {e}", file=sys.stderr)
+    finally:
+        model.cache_dtype = jnp.bfloat16
 
     return None  # JSON already printed above (pre-speculative)
 
@@ -1110,7 +1122,8 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
         noise = rng.integers(-3, 4, size=base.shape).astype(np.int16)
         return np.clip(base + drift + noise, 0, 255).astype(np.uint8)
 
-    def run_mode(name, server_kwargs, client_kwargs, ticks=ticks, chunk=1):
+    def run_mode(name, server_kwargs, client_kwargs, ticks=ticks, chunk=1, frame_fn=None):
+        frame_fn = frame_fn or frame
         server = VLAServer(model, params, default_unnorm_key="bridge_orig", **server_kwargs)
         httpd = server.serve_background(port=0)
         port = httpd.server_address[1]
@@ -1118,11 +1131,11 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
             vla = RemoteVLA("127.0.0.1", port, **client_kwargs)
             # warmup: compile + prime the server draft cache
             for t in range(3):
-                img = _np_center_crop_resize(frame(t))
+                img = _np_center_crop_resize(frame_fn(t))
                 vla.predict(img, "push the block", "bridge_orig")
             t0 = time.perf_counter()
             for t in range(ticks):
-                img = _np_center_crop_resize(frame(3 + t))
+                img = _np_center_crop_resize(frame_fn(3 + t))
                 action = vla.predict(img, "push the block", "bridge_orig")
                 action = invert_gripper_action(normalize_gripper_action(np.asarray(action, np.float64)))
                 assert action.shape[-1] == 7
@@ -1148,6 +1161,27 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
                  "margins reject drafts, so this is the WORST-case speculative rate; real "
                  "checkpoints raise acceptance — verify.py --speculative_stream)"),
         "vs_baseline": round(hz_spec / REFERENCE_ACTIONS_PER_SEC, 3),
+    }), flush=True)
+
+    # CEILING bracket for the speculative closed-loop rate: a static scene
+    # (identical frames every tick) makes the greedy output tick-invariant,
+    # so the server's history draft matches it exactly, and margin 0.0
+    # accepts any exact argmax match (the production 0.25 gate exists only
+    # as a bf16 near-tie guard — random weights' margins never clear it).
+    # Every tick then runs ONE verify pass instead of six decode passes —
+    # the fastest the REST speculative path can go. A real checkpoint on a
+    # smooth trajectory lands between the worst-case line above and this.
+    static_img = np.clip(base, 0, 255).astype(np.uint8)
+    hz_spec_best = run_mode(
+        "speculative(ceiling: static scene, gate 0)",
+        {"speculative_default": True, "speculative_margin": 0.0}, {},
+        frame_fn=lambda t: static_img)
+    print(json.dumps({
+        "metric": "closed_loop_hz_speculative_ceiling",
+        "value": round(hz_spec_best, 2),
+        "unit": ("Hz sustained (static scene + margin 0 -> server draft fully accepted "
+                 "every tick; upper bracket of the REST speculative rate)"),
+        "vs_baseline": round(hz_spec_best / REFERENCE_ACTIONS_PER_SEC, 3),
     }), flush=True)
 
     H = 8

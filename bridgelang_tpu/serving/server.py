@@ -131,13 +131,18 @@ class VLAServer:
 
     def __init__(self, model, params, default_unnorm_key: Optional[str] = None,
                  max_batch: int = 1, batch_window_ms: float = 6.0, request_timeout_s: float = 600.0,
-                 speculative_default: bool = True):
+                 speculative_default: bool = True, speculative_margin: float = 0.25):
         self.model = model
         self.params = params
         self.default_unnorm_key = default_unnorm_key
         self.max_batch = int(max_batch)
         self.batch_window_s = batch_window_ms / 1e3
         self.request_timeout_s = request_timeout_s
+        # Top-1 logit margin a drafted position must clear to be accepted
+        # (generate_speculative's near-tie guard). 0.25 keeps outputs
+        # greedy-equivalent under bf16 tiling noise; 0.0 accepts any exact
+        # argmax match — the measured-ceiling setting (bench.py closedloop).
+        self.speculative_margin = float(speculative_margin)
         import jax.numpy as jnp
 
         self.speculative_default = (
@@ -237,7 +242,7 @@ class VLAServer:
             action, tokens = self.model.predict_action_speculative(
                 self.params, image, instruction,
                 draft_tokens=np.asarray(request["draft_tokens"], np.int32),
-                unnorm_key=unnorm_key,
+                unnorm_key=unnorm_key, margin_threshold=self.speculative_margin,
             )
             return {"action": encode_array(action), "tokens": encode_array(tokens)}
         if self.max_batch <= 1:
@@ -251,7 +256,8 @@ class VLAServer:
                     draft = draft_from_history(hist[0], hist[1], self.model.cfg.llm.vocab_size,
                                                n_bins=getattr(self.model, "n_action_bins", 256))
                 action, tokens = self.model.predict_action_speculative(
-                    self.params, image, instruction, draft_tokens=draft, unnorm_key=unnorm_key
+                    self.params, image, instruction, draft_tokens=draft, unnorm_key=unnorm_key,
+                    margin_threshold=self.speculative_margin,
                 )
                 with self._draft_lock:
                     self._draft_cache[key] = (hist[1], np.asarray(tokens, np.int32))

@@ -68,6 +68,11 @@ class DeployConfig:
     # (margin-gated), ~40% faster on smooth control loops, no client changes.
     # Auto-disabled with kv_cache_int8 (see VLAServer docstring).
     speculative_default: bool = True
+    # Top-1 logit margin a drafted position must clear to be accepted. The
+    # 0.25 default keeps speculative output greedy-equivalent under bf16
+    # tiling noise; 0.0 accepts any exact argmax match (highest acceptance,
+    # drops the near-tie guard).
+    speculative_margin: float = 0.25
     # One-forward parallel action decode (generate_parallel) — ONLY for models
     # fine-tuned with `finetune.py --parallel_decode` (OFT-style objective).
     # Overrides speculative_default (parallel is strictly faster than any
@@ -180,6 +185,7 @@ def main(cfg: DeployConfig) -> None:
         model, params, default_unnorm_key=cfg.unnorm_key,
         max_batch=cfg.max_batch, batch_window_ms=cfg.batch_window_ms,
         speculative_default=cfg.speculative_default and not cfg.parallel_decode,
+        speculative_margin=cfg.speculative_margin,
     ).run(cfg.host, cfg.port)
 
 

@@ -476,6 +476,41 @@ def test_server_speculative_default_auto_disables_for_int8_kv():
     assert srv.speculative_default is False
 
 
+def test_server_speculative_margin_passthrough():
+    """speculative_margin reaches BOTH speculative call sites (server-draft
+    default and the client-draft bypass) — deploy.py --speculative_margin and
+    the closed-loop ceiling bench (gate 0) rely on the pass-through."""
+    from bridgelang_tpu.serving.server import VLAServer
+
+    calls = []
+
+    class _LLM:
+        vocab_size = 32000
+
+    class _Cfg:
+        llm = _LLM()
+
+    class _M:
+        cache_dtype = None
+        cfg = _Cfg()
+        n_action_bins = 256
+
+        def get_action_dim(self, key):
+            return 7
+
+        def predict_action_speculative(self, params, image, instruction, draft_tokens,
+                                       unnorm_key=None, margin_threshold=0.25):
+            calls.append(margin_threshold)
+            return np.zeros(7, np.float32), np.full(7, 31999, np.int32)
+
+    srv = VLAServer(_M(), None, default_unnorm_key="k", speculative_margin=0.125)
+    img = np.zeros((4, 4, 3), np.uint8).tolist()
+    srv.predict({"image": img, "instruction": "go"})  # server-draft site
+    srv.predict({"image": img, "instruction": "go",
+                 "draft_tokens": [31999] * 7})        # client-draft bypass site
+    assert calls == [0.125, 0.125]
+
+
 def test_verify_speculative_stream(tmp_path):
     """scripts/verify.py speculative_stream: per-tick accept counts from the
     on-device gate over a frame stream with server-style drafting. On a
