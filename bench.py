@@ -138,6 +138,15 @@ def main(run_all: bool = False):
             print("[bench] headline missing after serve7b attempt 1 — retrying "
                   f"with the cold-compile cap ({SERVE_BENCH_COLD_TIMEOUT_S}s)", file=sys.stderr)
             lines = _run_section_subprocess(mode, SERVE_BENCH_COLD_TIMEOUT_S) or lines
+        if not lines:
+            # A section that timed out or crashed must leave a trace in the
+            # ARTIFACT, not only on stderr — otherwise the round's record
+            # silently lacks the number (the budget-exhausted path above
+            # already prints markers; this covers in-section death).
+            print(json.dumps({"skipped": mode,
+                              "reason": "section produced no metric line (timeout or failure)",
+                              "elapsed_s": round(time.time() - t_start, 1)}), flush=True)
+            continue
         for ln in lines:
             print(ln, flush=True)
             if f'"{HEADLINE_METRIC}"' in ln:
@@ -152,6 +161,10 @@ def main(run_all: bool = False):
                           "FAILED: serving section produced no measurement",
                           "vs_baseline": 0}), flush=True)
         raise SystemExit(1)
+    # The artifact's very LAST line must be the north star: budget-skip
+    # markers print after the final section's headline re-print, and a
+    # strictly-last-line parse must still land on the headline.
+    print(headline, flush=True)
 
 
 def _build_flagship_int8(norm_stats):
