@@ -53,6 +53,9 @@ TRAIN_BENCH_TIMEOUT_S = 900  # cold dots-remat compile alone is ~250s on this ba
 LORA_BENCH_TIMEOUT_S = 1800  # 32-layer train graph through the remote compile service
 SERVE_BENCH_TIMEOUT_S = 1200  # warm-cache 7B serving compile is ~22s; cold is minutes
 SERVE_BENCH_COLD_TIMEOUT_S = 3000  # retry cap when attempt 1 missed the headline
+DATA_BENCH_TIMEOUT_S = 300  # host-only tf.data pipeline; no TPU, no compiles
+CLOSEDLOOP_TIMEOUT_S = 1500  # boots the REST server 4x; warm serving compiles
+LOADTEST_TIMEOUT_S = 900  # 60 s traffic window + bucket warmup
 MIN_SECTION_S = 180  # don't start a section with less budget than this
 HEADLINE_METRIC = "openvla7b-int8_predict_action_throughput"
 
@@ -90,17 +93,28 @@ def _wait_for_tpu(budget_s: float = 1500.0) -> bool:
 
 # (mode, per-section subprocess timeout). Order IS the priority order: the
 # north-star 7B serving section runs first so a truncated capture still has
-# it; the slow 13B/int4 sections run last (VERDICT r03 item 1).
-SECTIONS = (
-    ("serve7b", SERVE_BENCH_TIMEOUT_S),   # headline + speculative + batched + chunked
-    ("train", TRAIN_BENCH_TIMEOUT_S),     # flagship train step (2-layer proxy)
+# it. The DEFAULT run (what the driver executes under BENCH_BUDGET_S=1500)
+# carries only sections that fit a warm-cache budget: headline serving, the
+# host data pipeline (no TPU), the REST closed-loop + load-test evidence,
+# and the flagship train step. The slow canonical-capture material
+# (full-depth LoRA/QLoRA, 13B/7B int4, VLM pretraining stages) runs under
+# `bench.py all` only — BENCH_r04 showed 13b4 eating the driver budget and
+# skipping closedloop/loadtest entirely (VERDICT r04 item 2).
+DEFAULT_SECTIONS = (
+    ("serve7b", SERVE_BENCH_TIMEOUT_S),    # headline + speculative + batched + chunked
+    ("data", DATA_BENCH_TIMEOUT_S),        # RLDS preprocess frames/s (host CPUs, no TPU)
+    ("closedloop", CLOSEDLOOP_TIMEOUT_S),  # REST closed-loop control Hz (seq/spec/chunked)
+    ("loadtest", LOADTEST_TIMEOUT_S),      # concurrent mixed traffic: p99 + recompile GATE
+    ("train", TRAIN_BENCH_TIMEOUT_S),      # flagship train step (2-layer proxy)
+)
+EXTRA_SECTIONS = (
     ("lora", LORA_BENCH_TIMEOUT_S),       # full-depth 7B LoRA (finetune.py:9-11 analogue)
+    ("vlmtrain", LORA_BENCH_TIMEOUT_S),   # VLM pretrain: align + finetune stage steps
     ("lora13b", LORA_BENCH_TIMEOUT_S),    # full-depth 13B QLoRA on packed int4
     ("13b4", LORA_BENCH_TIMEOUT_S),       # 13B int4 serving capacity + batched-8
     ("7b4", LORA_BENCH_TIMEOUT_S),        # 7B int4 speed probe
-    ("closedloop", LORA_BENCH_TIMEOUT_S), # REST closed-loop control Hz (seq/spec/chunked)
-    ("loadtest", LORA_BENCH_TIMEOUT_S),   # concurrent mixed traffic: p99, recompile check
 )
+SECTIONS = DEFAULT_SECTIONS + EXTRA_SECTIONS  # `bench.py all` runs everything
 
 
 def main(run_all: bool = False):
@@ -110,6 +124,7 @@ def main(run_all: bool = False):
     t_start = time.time()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     headline = None
+    last_emitted = None  # last artifact line printed (dedups the final re-print)
 
     if not _wait_for_tpu():
         # Running the benches anyway would burn each child's full timeout
@@ -119,12 +134,13 @@ def main(run_all: bool = False):
                           "vs_baseline": 0}), flush=True)
         raise SystemExit(1)
 
-    for mode, cap in SECTIONS:
+    for mode, cap in (SECTIONS if run_all else DEFAULT_SECTIONS):
         remaining = budget_s - (time.time() - t_start)
         if not run_all and remaining < MIN_SECTION_S:
-            print(json.dumps({"skipped": mode, "reason": "wall-clock budget exhausted",
-                              "elapsed_s": round(time.time() - t_start, 1),
-                              "budget_s": budget_s}), flush=True)
+            last_emitted = json.dumps({"skipped": mode, "reason": "wall-clock budget exhausted",
+                                       "elapsed_s": round(time.time() - t_start, 1),
+                                       "budget_s": budget_s})
+            print(last_emitted, flush=True)
             continue
         timeout = cap if run_all else min(cap, max(MIN_SECTION_S, remaining))
         lines = _run_section_subprocess(mode, timeout)
@@ -143,18 +159,21 @@ def main(run_all: bool = False):
             # ARTIFACT, not only on stderr — otherwise the round's record
             # silently lacks the number (the budget-exhausted path above
             # already prints markers; this covers in-section death).
-            print(json.dumps({"skipped": mode,
-                              "reason": "section produced no metric line (timeout or failure)",
-                              "elapsed_s": round(time.time() - t_start, 1)}), flush=True)
+            last_emitted = json.dumps({"skipped": mode,
+                                       "reason": "section produced no metric line (timeout or failure)",
+                                       "elapsed_s": round(time.time() - t_start, 1)})
+            print(last_emitted, flush=True)
             continue
         for ln in lines:
             print(ln, flush=True)
+            last_emitted = ln
             if f'"{HEADLINE_METRIC}"' in ln:
                 headline = ln
         # Keep the north star the LAST metric line the driver sees, whatever
         # point a truncation lands on (the driver parses the last line).
         if headline is not None and lines and lines[-1] != headline:
             print(headline, flush=True)
+            last_emitted = headline
 
     if headline is None:
         print(json.dumps({"metric": HEADLINE_METRIC, "value": 0, "unit":
@@ -163,8 +182,11 @@ def main(run_all: bool = False):
         raise SystemExit(1)
     # The artifact's very LAST line must be the north star: budget-skip
     # markers print after the final section's headline re-print, and a
-    # strictly-last-line parse must still land on the headline.
-    print(headline, flush=True)
+    # strictly-last-line parse must still land on the headline. Skip the
+    # re-print when the headline already IS the last emitted line (no
+    # back-to-back duplicates; ADVICE r04).
+    if last_emitted != headline:
+        print(headline, flush=True)
 
 
 def _build_flagship_int8(norm_stats):
@@ -592,8 +614,20 @@ def _accept_histogram(tok_stream: np.ndarray, strategy: str) -> dict:
               last step was >= 2 bins — tracks moving dims without letting
               extrapolation amplify sensor noise on the static dims (measured
               best on nominal-motion streams)."""
+    ks = _accept_stream(tok_stream, strategy)
+    counts = np.bincount(ks, minlength=8)
+    total = counts.sum()
+    return {k: counts[k] / total for k in range(1, 8) if counts[k]}
+
+
+def _accept_stream(tok_stream: np.ndarray, strategy: str) -> np.ndarray:
+    """Per-tick accepted-token count k_t in [1, 7] for a drafting strategy
+    over a binned stream (same gate semantics as _accept_histogram, which is
+    its bincount). The SEQUENCE (not just the histogram) drives the closed
+    loop's replayed speculative mode: tick t's crafted draft mismatches at
+    position k_t, reproducing the trajectory's acceptance through REST."""
     n = len(tok_stream)
-    counts = np.zeros(8, np.int64)
+    ks = np.zeros(n - 2, np.int64)
     for t in range(2, n):
         cur, p1, p2 = tok_stream[t], tok_stream[t - 1], tok_stream[t - 2]
         if strategy == "prev":
@@ -605,10 +639,8 @@ def _accept_histogram(tok_stream: np.ndarray, strategy: str) -> dict:
                 step = np.where(np.abs(step) >= 2, step, 0)
             draft = np.clip(p1 + step, 1, 256)
         match = draft[1:] == cur[1:]
-        k = 1 + int(np.argmin(match)) if not match.all() else 7
-        counts[k] += 1
-    total = counts.sum()
-    return {k: counts[k] / total for k in range(1, 8) if counts[k]}
+        ks[t - 2] = 1 + int(np.argmin(match)) if not match.all() else 7
+    return ks
 
 
 def _run_section_subprocess(mode: str, timeout_s: float) -> list:
@@ -755,6 +787,113 @@ def _train_bench(norm_stats):
         "unit": f"tokens/sec (mfu={mfu:.3f}, {LLM_LAYERS}-layer-7b-dims, b{BATCH})",
         "vs_baseline": round(mfu, 3),
     }
+
+
+def _vlm_pretrain_bench(norm_stats, batch: int = 16, t: int = 128):
+    """VLM pretraining step on-chip, both reference stages (VERDICT r04
+    item 5 — the only reference training loop with no measured number):
+    `align` (frozen ViT+LLM, projector-only — reference pretrain.py stage 1)
+    and `finetune` (projector+LLM — stage 2), through the same
+    make_vla_train_step machinery scripts/pretrain.py jits, at the
+    depth-trimmed-but-full-dim 7B geometry _train_bench uses (2 of 32
+    layers; full depth cannot fit 16 GB in bf16). Reference loop being
+    matched: prismatic/training/strategies/base_strategy.py:106-241.
+
+    MFU accounting differs per stage: finetune counts 6*N*D on LLM+projector
+    (fwd+wgrad+dgrad); align counts 4*N*D on the frozen LLM (fwd+dgrad only —
+    jax.grad w.r.t. the projector leaves skips frozen wgrads) + 6*N*D on the
+    projector, + the frozen vision fwd in both."""
+    import jax
+    import jax.numpy as jnp
+
+    from bridgelang_tpu.models.vlm import PrismaticVLM, VLMConfig
+    from bridgelang_tpu.training.trainer import (
+        OptimConfig,
+        init_train_state,
+        make_optimizer,
+        make_vla_train_step,
+    )
+
+    LLM_LAYERS = 2
+    cfg = VLMConfig.from_ids(
+        model_id="prism-dinosiglip-224px+7b",
+        vision_backbone_id="dinosiglip-vit-so-224px",
+        llm_backbone_id="llama2-7b-pure",
+        arch_specifier="no-align+fused-gelu-mlp",
+        image_resize_strategy="resize-naive",
+        llm_overrides={"n_layers": LLM_LAYERS},
+    )
+    model = PrismaticVLM(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    # LLaVA-style multimodal batch: BOS + prompt + response, response-only
+    # supervision (preprocessing/datasets.py masks prompt positions to -100).
+    ids = np.full((batch, t), cfg.llm.pad_token_id, np.int32)
+    mask = np.zeros((batch, t), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1:96] = rng.integers(3, 31000, size=(batch, 95))
+    mask[:, :96] = 1
+    labels = np.where(mask == 1, ids, -100)
+    labels[:, :40] = -100  # prompt positions are unsupervised
+    device_batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels),
+        "pixel_values": jnp.asarray(rng.normal(size=(batch, 6, 224, 224)), dtype=jnp.bfloat16),
+    }
+
+    f_len = t + model.num_patches
+    tokens = batch * f_len
+    vis_tokens = batch * (model.num_patches + 5)
+
+    for stage, metric_name in (("align", "vlm_align_step_tokens_per_sec"),
+                               ("finetune", "vlm_pretrain_step_tokens_per_sec")):
+        params = model.init_params(jax.random.key(0), param_dtype=jnp.bfloat16)
+        trainable = model.trainable_mask(params, stage)
+        optimizer = make_optimizer(OptimConfig(learning_rate=1e-3 if stage == "align" else 2e-5,
+                                               total_steps=1000),
+                                   params, trainable_mask=trainable)
+        step_fn = jax.jit(make_vla_train_step(model, optimizer, trainable_mask=trainable,
+                                              grad_dtype=jnp.bfloat16, remat_policy="dots"),
+                          donate_argnums=0)
+        state = init_train_state(params, optimizer, trainable_mask=trainable)
+        t0 = time.time()
+        state, m = step_fn(state, device_batch)
+        loss0 = float(m["loss"])
+        print(f"[bench] vlm-{stage} compile+first: {time.time()-t0:.1f}s loss={loss0:.3f}",
+              file=sys.stderr)
+        steps, losses = [], [loss0]
+        for _ in range(8):
+            t1 = time.perf_counter()
+            state, m = step_fn(state, device_batch)
+            losses.append(float(m["loss"]))  # sync
+            steps.append(time.perf_counter() - t1)
+        p50 = float(np.percentile(steps, 50))
+        if float(np.mean(losses[-3:])) >= losses[0]:
+            print(f"[bench] WARNING: vlm-{stage} loss did not drop on a fixed batch",
+                  file=sys.stderr)
+        n_llm = sum(int(x.size) for x in jax.tree_util.tree_leaves(params["llm"]))
+        n_proj = sum(int(x.size) for x in jax.tree_util.tree_leaves(params["projector"]))
+        n_vis = sum(int(x.size) for x in jax.tree_util.tree_leaves(params["vision"]))
+        llm_mult = 4.0 if stage == "align" else 6.0
+        flops = llm_mult * n_llm * tokens + 6.0 * n_proj * tokens + 2.0 * n_vis * vis_tokens
+        mfu = flops / p50 / V5E_BF16_PEAK_FLOPS
+        tok_s = tokens / p50
+        print(f"[bench] vlm-{stage} step p50={p50*1e3:.0f}ms -> {tok_s:,.0f} tokens/s, "
+              f"true MFU={mfu*100:.1f}% (loss {losses[0]:.3f}->{losses[-1]:.3f})",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": metric_name,
+            "value": round(tok_s, 1),
+            "unit": (f"tokens/sec (mfu={mfu:.3f}, stage={stage}, {LLM_LAYERS}-layer-7b-dims, "
+                     f"b{batch}, seq {t}+{model.num_patches} patches, dots-remat)"),
+            "vs_baseline": round(mfu, 3),
+        }), flush=True)
+        # free the first stage's state before the second compiles
+        del state, params, optimizer, step_fn
+        import gc
+
+        gc.collect()
+    return None
 
 
 def _lora_bench(norm_stats, batch: int = 16, remat: str = "full", size: str = "7b"):
@@ -1015,7 +1154,9 @@ def _int4_serving_bench(norm_stats, size="13b"):
     # whole batch per decode step, and the kernel's decode grid tiles rows in
     # 8-row blocks, so B in {8, 16, 32} pads nothing. int8 KV keeps the cache
     # off the weight budget. Beyond the 13B capacity story, int4's smaller
-    # weight footprint (7B: ~4.5 GB total vs int8's ~8.3) buys HBM headroom
+    # weight footprint (7B g128: ~4.7 GB, g256: 5.1 GB incl. bf16 towers —
+    # the "[bench] ...-int4 model" line above is authoritative — vs int8's
+    # ~8.3) buys HBM headroom
     # for batch sizes the int8 mode cannot hold — B=32 at 7B is ~10.4 GB of
     # int8 KV cache alone, which only coexists with int4 weights.
     batches = (8, 16) if size == "13b" else (16, 32)
@@ -1099,7 +1240,7 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
     from experiments.robot.robot_utils import invert_gripper_action, normalize_gripper_action
 
     from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
-    from bridgelang_tpu.serving.server import VLAServer
+    from bridgelang_tpu.serving.server import VLAServer, client_act
 
     model, params = _build_flagship_int8(norm_stats)
     # REST requests carry instruction STRINGS (unlike _serving_bench's
@@ -1108,11 +1249,14 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, size=(256, 256, 3)).astype(np.int16)
 
-    # Compile every program the three modes hit BEFORE any HTTP request,
-    # at the fake camera's EXACT frame shape (jit shape = input shape; the
-    # crop helper preserves 256x256): a first-tick 7B compile over the
-    # relay outruns client_act's 120 s socket timeout (measured: the
-    # canonical r04 rerun died exactly there).
+    # Compile every program the modes hit BEFORE any HTTP request, at the
+    # fake camera's EXACT frame shape (jit shape = input shape; the crop
+    # helper preserves 256x256): a first-tick 7B compile over the relay
+    # outruns client_act's 120 s socket timeout (measured: the canonical
+    # r04 rerun died exactly there). The speculative program covers EVERY
+    # margin (margin is a traced operand since r05), so the calibrated
+    # margins below need no further warming; the accept-count variant the
+    # calibration sweeps is its own (warmed) program.
     t_w = time.time()
     warm = np.zeros(base.shape, np.uint8)
     model.predict_action(params, warm, "warmup", unnorm_key="bridge_orig")
@@ -1134,6 +1278,19 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
         drift = (10 * np.sin(t / 7.0)).astype(np.int16)
         noise = rng.integers(-3, 4, size=base.shape).astype(np.int16)
         return np.clip(base + drift + noise, 0, 255).astype(np.uint8)
+
+    # Calibrated margin gate (VERDICT r04 item 4): match the speculative
+    # near-tie gate to THIS checkpoint's own top-1 logit margins instead of
+    # the production default 0.25 (sized for real checkpoints' wide margins;
+    # random weights' near-tie logits never clear it, so every draft was
+    # rejected in r03/r04 regardless of scene motion).
+    t_c = time.time()
+    cal_frames = [_np_center_crop_resize(frame(t)) for t in range(3)]
+    margin_cal = model.calibrate_speculative_margin(params, cal_frames, "push the block",
+                                                    unnorm_key="bridge_orig")
+    print(f"[bench] calibrated speculative margin: {margin_cal} "
+          f"(sweep took {time.time()-t_c:.1f}s incl. accept-count program warmup)",
+          file=_sys.stderr)
 
     def run_mode(name, server_kwargs, client_kwargs, ticks=ticks, chunk=1, frame_fn=None):
         frame_fn = frame_fn or frame
@@ -1166,35 +1323,81 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
         "vs_baseline": round(hz_seq / REFERENCE_ACTIONS_PER_SEC, 3),
     }), flush=True)
 
-    hz_spec = run_mode("speculative(server-draft)", {"speculative_default": True}, {})
+    hz_spec = run_mode("speculative(server-draft)",
+                       {"speculative_default": True, "speculative_margin": margin_cal}, {})
     print(json.dumps({
         "metric": "closed_loop_hz_speculative",
         "value": round(hz_spec, 2),
-        "unit": ("Hz sustained (server-side hybrid drafting; random weights -> degenerate "
-                 "margins reject drafts, so this is the WORST-case speculative rate; real "
-                 "checkpoints raise acceptance — verify.py --speculative_stream)"),
+        "unit": (f"Hz sustained (server-side hybrid drafting, calibrated margin "
+                 f"{margin_cal}; random weights' chaotic frame->token map still rejects "
+                 f"most drafts on a moving scene, so this is the WORST-case speculative "
+                 f"rate; real checkpoints track the scene — verify.py --speculative_stream)"),
         "vs_baseline": round(hz_spec / REFERENCE_ACTIONS_PER_SEC, 3),
     }), flush=True)
 
-    # CEILING bracket for the speculative closed-loop rate: a static scene
-    # (identical frames every tick) makes the greedy output tick-invariant,
-    # so the server's history draft matches it exactly, and margin 0.0
-    # accepts any exact argmax match (the production 0.25 gate exists only
-    # as a bf16 near-tie guard — random weights' margins never clear it).
-    # Every tick then runs ONE verify pass instead of six decode passes —
-    # the fastest the REST speculative path can go. A real checkpoint on a
-    # smooth trajectory lands between the worst-case line above and this.
-    static_img = np.clip(base, 0, 255).astype(np.uint8)
-    hz_spec_best = run_mode(
-        "speculative(ceiling: static scene, gate 0)",
-        {"speculative_default": True, "speculative_margin": 0.0}, {},
-        frame_fn=lambda t: static_img)
+    # REPLAYED-trajectory speculative mode (VERDICT r04 item 4, replacing the
+    # static-scene margin-0 ceiling probe): the same smooth-motion scene, but
+    # each tick's CLIENT draft reproduces the acceptance a checkpoint
+    # tracking a replayed trajectory would see. The replayed source is the
+    # minimum-jerk nominal-motion stream tokenized with the production
+    # binning (_smooth_stream_tokens — the settle/nominal source) drafted
+    # with the production hybrid strategy; its per-tick accepted count k_t
+    # (_accept_stream) picks the crafted draft's first-mismatch position
+    # against the model's recorded greedy tokens for that exact frame.
+    # Every tick is the REAL 7B verify + fix-up decode work for k_t accepted
+    # tokens, end-to-end through REST under the calibrated margin — random
+    # weights cannot track a scene, so acceptance is injected via the draft
+    # while ALL compute, transport, and serving stay production. Real-
+    # checkpoint acceptance replaces the injection the first session with
+    # staged weights (scripts/verify.py --speculative_stream).
+    tok_stream = _smooth_stream_tokens(0.30, 1.5, 3.0, 0.5, n_ticks=ticks + 10, seed=17)
+    k_stream = _accept_stream(tok_stream, "hybrid")
+    # Record the model's greedy tokens per tick frame (deterministic scene,
+    # deterministic model -> the serving path reproduces these exactly).
+    # Frames are pre-generated ONCE; `frame()` mutates rng state, so the
+    # timed loop must reuse this list, not re-call frame().
+    replay_frames = [_np_center_crop_resize(frame(100 + t)) for t in range(ticks + 3)]
+    greedy_toks = []
+    for img in replay_frames:
+        _, toks = model.predict_action_speculative(params, img, "push the block",
+                                                   np.zeros(7, np.int32),
+                                                   unnorm_key="bridge_orig",
+                                                   margin_threshold=margin_cal)
+        greedy_toks.append(np.asarray(toks, np.int32))
+    mean_k = float(np.mean(k_stream[:ticks]))
+    server = VLAServer(model, params, default_unnorm_key="bridge_orig",
+                        speculative_default=True, speculative_margin=margin_cal)
+    httpd = server.serve_background(port=0)
+    port = httpd.server_address[1]
+    try:
+        for t in range(3):  # HTTP-path warmup
+            client_act("127.0.0.1", port, replay_frames[t], "push the block",
+                        draft_tokens=greedy_toks[t], return_tokens=True)
+        t0 = time.perf_counter()
+        for t in range(ticks):
+            g = greedy_toks[3 + t]
+            k = int(k_stream[t])
+            draft = g.copy()
+            if k < 7:
+                draft[k:] = g[k:] + 1  # first mismatch at the replayed position
+            action, _ = client_act("127.0.0.1", port, replay_frames[3 + t], "push the block",
+                                    draft_tokens=draft, return_tokens=True)
+            action = invert_gripper_action(normalize_gripper_action(np.asarray(action, np.float64)))
+            assert action.shape[-1] == 7
+        hz_replay = ticks / (time.perf_counter() - t0)
+    finally:
+        httpd.shutdown()
+    print(f"[bench] closed-loop speculative(replayed-trajectory): {hz_replay:.2f} Hz "
+          f"(mean accepted {mean_k:.2f}/7, margin {margin_cal})", file=_sys.stderr)
     print(json.dumps({
-        "metric": "closed_loop_hz_speculative_ceiling",
-        "value": round(hz_spec_best, 2),
-        "unit": ("Hz sustained (static scene + margin 0 -> server draft fully accepted "
-                 "every tick; upper bracket of the REST speculative rate)"),
-        "vs_baseline": round(hz_spec_best / REFERENCE_ACTIONS_PER_SEC, 3),
+        "metric": "closed_loop_hz_speculative_replayed",
+        "value": round(hz_replay, 2),
+        "unit": (f"Hz sustained (replayed minimum-jerk nominal trajectory, production "
+                 f"binning + hybrid drafting -> mean {mean_k:.2f}/7 accepted, calibrated "
+                 f"margin {margin_cal}; acceptance injected per-tick via crafted client "
+                 f"drafts against recorded greedy tokens — all 7B compute/REST transport "
+                 f"real; random weights cannot track a scene)"),
+        "vs_baseline": round(hz_replay / REFERENCE_ACTIONS_PER_SEC, 3),
     }), flush=True)
 
     H = 8
@@ -1209,6 +1412,50 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
         "value": round(hz_chunk, 2),
         "unit": f"Hz sustained (H={H} open-loop chunk per fetch; needs --action_chunk fine-tune)",
         "vs_baseline": round(hz_chunk / REFERENCE_ACTIONS_PER_SEC, 3),
+    }), flush=True)
+    return None
+
+
+def _data_bench():
+    """RLDS preprocessing throughput — the data half of the north-star metric
+    named in BASELINE.json ("RLDS frames/sec/chip preprocess"), never captured
+    before round 5 (VERDICT r04 item 3). Runs scripts/bench_data.py in a
+    subprocess (tf.data must not share a process with jax on this 1-core
+    host) and reports host frames/s through the FULL training pipeline:
+    synthetic 256px JPEG episodes -> restructure -> normalize -> chunk ->
+    weighted interleave -> shuffle -> JPEG decode + resize(224) + augment ->
+    batch. Reference pipeline being matched:
+    prismatic/vla/datasets/rlds/dataset.py:457-588 (make_interleaved_dataset).
+    No TPU involved — this is deliberately a host-CPU number: on a pod each
+    host must feed global_batch/n_hosts frames per step from its own cores."""
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_data.py")
+    proc = subprocess.run(
+        [sys.executable, script, "--seconds", "12", "--shuffle_buffer_size", "500"],
+        capture_output=True, text=True, timeout=DATA_BENCH_TIMEOUT_S - 30,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},  # never let tf-side imports touch the relay
+    )
+    info = None
+    for ln in proc.stdout.splitlines():
+        if ln.startswith('{"data_bench"'):
+            info = json.loads(ln)["data_bench"]
+        elif ln.strip():
+            print(ln, file=sys.stderr)
+    if info is None:
+        sys.stderr.write(proc.stderr[-1500:])
+        raise RuntimeError(f"bench_data.py produced no summary line (rc={proc.returncode})")
+    nat = info.get("native_tfrecord") or {}
+    nat_s = (f"; native TFRecord store reads {nat['gbytes_per_sec']} GB/s CRC32C-verified"
+             if nat else "")
+    print(json.dumps({
+        "metric": "rlds_preprocess_frames_per_sec",
+        "value": info["frames_per_sec"],
+        "unit": (f"frames/sec per host, full decode+resize+augment interleave pipeline on "
+                 f"{info['n_cpu']} CPU core(s) (~{info['per_core_frames_per_sec']}/core; "
+                 f"tf.data maps scale across cores, so a many-core TPU host multiplies the "
+                 f"per-core rate{nat_s}; reference publishes no pipeline number)"),
+        "vs_baseline": 0,
     }), flush=True)
     return None
 
@@ -1296,14 +1543,36 @@ def _load_test_bench(norm_stats, duration_s: float = 60.0, n_clients: int = 6):
           f"({total/wall:.1f} req/s, {n_clients} clients, p50={lat.get('p50')}ms "
           f"p99={lat.get('p99')}ms, {recompiles} post-warmup compiles, "
           f"{stats.get('errors', '?')} server errors)", file=sys.stderr)
+    # Regression GATE (VERDICT r04 item 7): the section ASSERTS, not just
+    # reports. Post-warmup compiles must be exactly 0 (warmup_predict's
+    # contract — any new jit entry means a live request stalled behind a
+    # compile) and p99 must stay under a stated bound. The bound is 2x the
+    # canonical r04 capture's 735 ms (relay RTT varies 24-37 ms/call by day;
+    # a 2x envelope absorbs tunnel jitter but still catches a recompile stall
+    # or a serialization regression, which cost seconds-to-minutes).
+    # Override via LOADTEST_P99_GATE_MS. Violation exits non-zero AFTER the
+    # metric line prints (the orchestrator salvages printed lines), so the
+    # artifact records the bad number AND the run fails loudly.
+    p99_gate_ms = float(os.environ.get("LOADTEST_P99_GATE_MS", "1500"))
+    p99 = lat.get("p99", -1)
+    gate_violations = []
+    if recompiles != 0:
+        gate_violations.append(f"{recompiles} post-warmup XLA compiles (must be 0)")
+    if p99 is None or p99 < 0 or p99 > p99_gate_ms:
+        gate_violations.append(f"p99={p99}ms exceeds gate {p99_gate_ms:.0f}ms")
     print(json.dumps({
         "metric": "serving_p99_ms",
-        "value": lat.get("p99", -1),
+        "value": p99,
         "unit": (f"ms p99 under {n_clients} concurrent mixed clients "
                  f"({total/wall:.1f} req/s aggregate, p50={lat.get('p50')}ms, "
-                 f"{recompiles} post-warmup XLA compiles, {len(errors)} client errors)"),
+                 f"{recompiles} post-warmup XLA compiles, {len(errors)} client errors; "
+                 f"GATE: p99<={p99_gate_ms:.0f}ms & 0 compiles -> "
+                 f"{'PASS' if not gate_violations else 'FAIL'})"),
         "vs_baseline": 0,
     }), flush=True)
+    if gate_violations:
+        print(f"[bench] LOADTEST GATE FAILED: {'; '.join(gate_violations)}", file=sys.stderr)
+        raise SystemExit(1)
     return None
 
 
@@ -1317,8 +1586,12 @@ BENCH_NORM_STATS = {
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "data":
+        # host-only: no TPU wait, no jax, no compile cache
+        _data_bench()
+        raise SystemExit(0)
     if len(sys.argv) > 1 and sys.argv[1] in ("serve7b", "train", "lora", "lora13b", "13b4", "7b4",
-                                             "closedloop", "loadtest"):
+                                             "closedloop", "loadtest", "vlmtrain"):
         if not _wait_for_tpu(budget_s=float(os.environ.get("BRIDGELANG_TPU_WAIT_S", "1500"))):
             raise SystemExit(1)
         from bridgelang_tpu.util.compile_cache import enable_persistent_cache
@@ -1332,6 +1605,8 @@ if __name__ == "__main__":
             line = _load_test_bench(BENCH_NORM_STATS)
         elif sys.argv[1] == "train":
             line = _train_bench(BENCH_NORM_STATS)
+        elif sys.argv[1] == "vlmtrain":
+            line = _vlm_pretrain_bench(BENCH_NORM_STATS)
         elif sys.argv[1] == "13b4":
             line = _int4_serving_bench(BENCH_NORM_STATS, size="13b")
         elif sys.argv[1] == "7b4":
@@ -1350,8 +1625,8 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] != "all":
         # a typo ("serve7", "7b") must NOT silently start the multi-hour
         # orchestrated run on the shared single-TPU box
-        raise SystemExit(f"unknown bench mode {sys.argv[1]!r}; one of: serve7b, train, "
-                         "lora, lora13b, 13b4, 7b4, closedloop, loadtest, all "
-                         "(no argument = budgeted orchestration)")
+        raise SystemExit(f"unknown bench mode {sys.argv[1]!r}; one of: serve7b, data, train, "
+                         "vlmtrain, lora, lora13b, 13b4, 7b4, closedloop, loadtest, all "
+                         "(no argument = budgeted default sections)")
     else:
         main(run_all=len(sys.argv) > 1 and sys.argv[1] == "all")

@@ -195,13 +195,33 @@ class OpenVLA(PrismaticVLM):
 
     def _jitted_predict_frames_speculative(self, margin_threshold: float = 0.25,
                                            return_accept_count: bool = False):
-        key = ("frames", "speculative", margin_threshold, return_accept_count, str(self.cache_dtype))
+        """The margin gate is a TRACED operand (it feeds exactly one
+        elementwise compare, generate_speculative's margin_ok), so ONE
+        compiled program serves every margin: warming any margin warms them
+        all, a served non-default --speculative_margin never stalls a live
+        request behind a fresh 7B compile (ADVICE r04), and margin
+        calibration (serving.server.calibrate_speculative_margin) sweeps a
+        grid at zero compile cost. Returns a thin wrapper binding
+        `margin_threshold`; the jit cache below is keyed without it."""
+        key = ("frames", "speculative", return_accept_count, str(self.cache_dtype))
         if key not in self._predict_fns:
-            self._predict_fns[key] = jax.jit(
-                partial(self.predict_from_frames_device_speculative, margin_threshold=margin_threshold,
-                        return_accept_count=return_accept_count)
-            )
-        return self._predict_fns[key]
+
+            def call(params, input_ids, attention_mask, frames_u8, q01, q99,
+                     stat_mask, draft_tokens, margin):
+                return self.predict_from_frames_device_speculative(
+                    params, input_ids, attention_mask, frames_u8, q01, q99,
+                    stat_mask, draft_tokens, margin_threshold=margin,
+                    return_accept_count=return_accept_count)
+
+            self._predict_fns[key] = jax.jit(call)
+        fn = self._predict_fns[key]
+        margin = np.float32(margin_threshold)
+
+        def bound(params, input_ids, attention_mask, frames_u8, q01, q99, stat_mask, draft_tokens):
+            return fn(params, input_ids, attention_mask, frames_u8, q01, q99,
+                      stat_mask, draft_tokens, margin)
+
+        return bound
 
     def predict_from_frames_device(
         self,
@@ -304,6 +324,59 @@ class OpenVLA(PrismaticVLM):
         actions, tokens = fn(params, self._put(ids), self._put(mask), self._put(frame),
                              self._put(q01), self._put(q99), self._put(stat_mask), self._put(draft))
         return np.asarray(actions)[0], np.asarray(tokens)[0]
+
+    def calibrate_speculative_margin(
+        self,
+        params: Params,
+        frames: Sequence[np.ndarray],
+        instruction: str,
+        unnorm_key: Optional[str] = None,
+        grid: Sequence[float] = (2.0, 1.0, 0.5, 0.25, 0.1, 0.05, 0.02),
+        safety: float = 0.5,
+    ) -> float:
+        """Pick a speculative margin gate matched to THIS checkpoint's logit
+        margins (the calibrated-margin knob, VERDICT r04 item 4). The gate
+        guards bf16 verify-vs-decode tiling noise (generate_speculative): too
+        high and correct drafts are needlessly re-decoded — random-weight
+        checkpoints have near-tie logits, so the default 0.25 rejects
+        everything; too low and a genuine near-tie could flip the argmax.
+
+        For each calibration frame, take the model's own greedy tokens (a
+        speculative call with a junk draft is greedy-equivalent by the gate's
+        contract), then re-feed those exact tokens as the draft while
+        sweeping `grid` from large to small: the largest margin that still
+        fully accepts the self-draft on EVERY frame lower-bounds the
+        checkpoint's typical top-1 gap at correct positions. Returns
+        `safety` x that margin, or 0.0 if even the smallest grid margin
+        rejects somewhere (speculation then gates on exact argmax match
+        alone). Costs ZERO compiles: the margin is a traced operand of the
+        single speculative program (_jitted_predict_frames_speculative)."""
+        key = check_unnorm_key(self.norm_stats, unnorm_key)
+        stats = self.norm_stats[key]["action"]
+        action_dim = len(stats["q01"])
+        q01 = np.asarray(stats["q01"], dtype=np.float32)
+        q99 = np.asarray(stats["q99"], dtype=np.float32)
+        stat_mask = np.asarray(stats.get("mask", [True] * action_dim))
+        ids, mask = self.pad_prompt([self.prepare_prompt_ids(instruction)])
+        ids_d, mask_d = self._put(ids), self._put(mask)
+        q01_d, q99_d, sm_d = self._put(q01), self._put(q99), self._put(stat_mask)
+
+        fn_cnt = self._jitted_predict_frames_speculative(0.0, return_accept_count=True)
+        junk = self._put(np.zeros((1, action_dim), np.int32))
+        per_frame_tokens = []
+        for f in frames:
+            frame_d = self._put(np.asarray(f)[None])
+            _, toks, _ = fn_cnt(params, ids_d, mask_d, frame_d, q01_d, q99_d, sm_d, junk)
+            per_frame_tokens.append((frame_d, self._put(np.asarray(toks, np.int32))))
+        for margin in sorted(grid, reverse=True):
+            fn_m = self._jitted_predict_frames_speculative(margin, return_accept_count=True)
+            if all(
+                int(np.asarray(fn_m(params, ids_d, mask_d, frame_d, q01_d, q99_d, sm_d, toks)[2])[0])
+                == action_dim
+                for frame_d, toks in per_frame_tokens
+            ):
+                return safety * float(margin)
+        return 0.0
 
     def predict_action_chunk(
         self,

@@ -35,13 +35,17 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
 
 
 def warmup_predict(model, params, max_batch: int = 1, unnorm_key: str | None = None,
-                   speculative: bool = False) -> float:
+                   speculative: bool = False, margin_threshold: float = 0.25) -> float:
     """Compile (or cache-load) the jitted predict program for every batch
     bucket the server can hit (serving.server.batch_buckets — the shared
     list, so a non-power-of-two max_batch is warmed too) — no live request
     ever stalls behind a 7B compile. Uses the model's own transform
     resolution. With `speculative`, also warms the batch-1 speculative
-    program (the server's default serving mode). Returns seconds spent."""
+    program (the server's default serving mode) at `margin_threshold` —
+    the speculative jit cache is keyed per margin (vla.py
+    _jitted_predict_frames_speculative), so warming the default 0.25 while
+    serving another margin would leave the served program cold and the first
+    live /act stalled behind a multi-minute 7B compile. Returns seconds."""
     import numpy as np
 
     from bridgelang_tpu.serving.server import batch_buckets
@@ -57,5 +61,6 @@ def warmup_predict(model, params, max_batch: int = 1, unnorm_key: str | None = N
         model.predict_action_batch(params, [frame] * n, ["warmup"] * n, unnorm_key=unnorm_key)
     if speculative:
         draft = np.zeros(model.get_action_dim(unnorm_key), np.int32)
-        model.predict_action_speculative(params, frame, "warmup", draft, unnorm_key=unnorm_key)
+        model.predict_action_speculative(params, frame, "warmup", draft, unnorm_key=unnorm_key,
+                                         margin_threshold=margin_threshold)
     return time.time() - t0

@@ -52,14 +52,15 @@ def euler_to_r6(euler: tf.Tensor) -> tf.Tensor:
 
 def velocity_act_to_wrist_frame(vel: tf.Tensor, wrist_in_robot_frame: tf.Tensor) -> tf.Tensor:
     """Express base-frame cartesian velocity in the wrist frame (reference
-    droid_utils.py): R^T dt, R^T dR."""
+    droid_utils.py:36-57): [B, 6] (3 translation + 3 euler rotation) ->
+    [B, 9] (3 translation + 6 R6 rotation): dt_wrist = R^-1 dt,
+    dR_wrist = R^-1 dR R flattened to R6 (first two matrix rows)."""
     r_frame = euler_to_rmat(wrist_in_robot_frame[:, 3:6])
     r_frame_inv = tf.linalg.matrix_transpose(r_frame)
     vel_t = tf.einsum("bij,bj->bi", r_frame_inv, vel[:, :3])
     dr_mat = euler_to_rmat(vel[:, 3:6])
     dr_rel = tf.matmul(tf.matmul(r_frame_inv, dr_mat), r_frame)
-    dr_euler = rmat_to_euler(dr_rel)
-    return tf.concat([vel_t, dr_euler], axis=-1)
+    return tf.concat([vel_t, mat_to_rot6d(dr_rel)], axis=-1)
 
 
 def zero_action_filter(traj: Dict[str, Any]) -> tf.Tensor:

@@ -15,6 +15,7 @@ episode store's raw read rate.
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from dataclasses import dataclass
@@ -72,7 +73,7 @@ def _synthetic_builder(n_traj: int, traj_len: int, px: int, seed: int):
     return builder
 
 
-def main(cfg: DataBenchConfig) -> None:
+def main(cfg: DataBenchConfig) -> dict:
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")
@@ -134,6 +135,7 @@ def main(cfg: DataBenchConfig) -> None:
           f"extrapolates to ~{fps / n_cpu * 100:,.0f} frames/s")
 
     # Native TFRecord episode store raw read rate.
+    native = {}
     try:
         import tempfile
 
@@ -152,10 +154,24 @@ def main(cfg: DataBenchConfig) -> None:
                     n += 1
                     nbytes += len(rec)
             dt = time.perf_counter() - t0
+            native = {"records_per_sec": round(n / dt), "gbytes_per_sec": round(nbytes / dt / 1e9, 2)}
             print(f"[data-bench] native TFRecord reader: {n/dt:,.0f} records/s, "
                   f"{nbytes/dt/1e9:.2f} GB/s (CRC32C-verified)")
     except Exception as e:  # pragma: no cover — native lib optional
         print(f"[data-bench] native TFRecord bench skipped: {type(e).__name__}: {e}")
+
+    # Machine-readable summary LAST (bench.py's `data` section parses this
+    # line to emit the rlds_preprocess_frames_per_sec metric).
+    result = {
+        "frames_per_sec": round(fps, 1),
+        "per_core_frames_per_sec": round(fps / n_cpu, 1),
+        "n_cpu": n_cpu,
+        "batch_size": cfg.batch_size,
+        "augment": cfg.augment,
+        "native_tfrecord": native,
+    }
+    print(json.dumps({"data_bench": result}), flush=True)
+    return result
 
 
 if __name__ == "__main__":

@@ -173,7 +173,7 @@ def main(cfg: DeployConfig) -> None:
                    and not cfg.parallel_decode and cfg.max_batch <= 1)
     if cfg.warmup:
         dt = warmup_predict(model, params, max_batch=cfg.max_batch, unnorm_key=cfg.unnorm_key,
-                            speculative=speculative)
+                            speculative=speculative, margin_threshold=cfg.speculative_margin)
         overwatch.info(
             "Warmup compiled/loaded predict for all batch buckets <= %d in %.1fs — "
             "every request gets steady-state latency", max(cfg.max_batch, 1), dt,

@@ -30,11 +30,17 @@ FAKE_LINES = {
         json.dumps({"metric": "openvla7b-int8_speculative_effective_throughput",
                     "value": 13.2, "unit": "actions/sec", "vs_baseline": 2.2}),
     ],
+    "data": [json.dumps({"metric": "rlds_preprocess_frames_per_sec",
+                         "value": 300.0, "unit": "frames/sec per host", "vs_baseline": 0})],
+    "closedloop": [json.dumps({"metric": "closed_loop_hz_sequential",
+                               "value": 7.2, "unit": "Hz", "vs_baseline": 1.2})],
+    "loadtest": [json.dumps({"metric": "serving_p99_ms",
+                             "value": 735, "unit": "ms p99", "vs_baseline": 0})],
     "train": [json.dumps({"metric": "vla_train_step_tokens_per_sec",
                           "value": 19900.0, "unit": "tokens/sec", "vs_baseline": 0.567})],
     "lora": [json.dumps({"metric": "vla_lora_finetune_tokens_per_sec",
                          "value": 2990.0, "unit": "tokens/sec", "vs_baseline": 0.437})],
-    "lora13b": [], "13b4": [], "7b4": [],
+    "vlmtrain": [], "lora13b": [], "13b4": [], "7b4": [],
 }
 
 
@@ -62,7 +68,9 @@ def _run_main(monkeypatch, capsys, budget, sections=FAKE_LINES, relay_up=True):
 def test_headline_is_always_the_last_metric_line(monkeypatch, capsys):
     rc, metrics, skips, calls = _run_main(monkeypatch, capsys, budget=10_000)
     assert rc == 0 and not skips
-    assert [m for m, _ in calls] == [m for m, _ in bench.SECTIONS]
+    # the default run covers exactly DEFAULT_SECTIONS — slow canonical-only
+    # material (lora/int4/vlmtrain) must NOT run (VERDICT r04 item 2)
+    assert [m for m, _ in calls] == [m for m, _ in bench.DEFAULT_SECTIONS]
     assert metrics[0]["metric"] == bench.HEADLINE_METRIC  # printed first...
     assert metrics[-1]["metric"] == bench.HEADLINE_METRIC  # ...and re-printed last
     assert metrics[-1]["value"] == 8.8
@@ -75,10 +83,41 @@ def test_headline_is_always_the_last_metric_line(monkeypatch, capsys):
             assert any(t["metric"] == bench.HEADLINE_METRIC for t in tail)
 
 
+def test_section_death_leaves_explicit_marker(monkeypatch, capsys):
+    """A section that times out or crashes mid-run (produces no metric line)
+    must leave an explicit {"skipped": ...} marker in the artifact — the
+    round's record must never silently lack a number (contract of f354f8f;
+    the r04 gate missed this because the test asserted `not skips`)."""
+    sections = dict(FAKE_LINES, closedloop=[])
+    rc, metrics, skips, calls = _run_main(monkeypatch, capsys, budget=10_000,
+                                          sections=sections)
+    assert rc == 0  # the headline was still measured
+    (s,) = [s for s in skips if s["skipped"] == "closedloop"]
+    assert s["reason"] == "section produced no metric line (timeout or failure)"
+    assert metrics[-1]["metric"] == bench.HEADLINE_METRIC
+
+
+def test_final_headline_reprint_is_not_duplicated(monkeypatch, capsys):
+    """The artifact ends with exactly one trailing headline line — when the
+    last section's re-print already left the headline as the final line, the
+    closing re-print is skipped (ADVICE r04)."""
+    monkeypatch.setenv("BENCH_BUDGET_S", "10000")
+    monkeypatch.setattr(bench, "_wait_for_tpu", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_run_section_subprocess",
+                        lambda mode, timeout_s: FAKE_LINES.get(mode, []))
+    try:
+        bench.main()
+    except SystemExit as e:
+        assert e.code == 0
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    assert json.loads(out[-1])["metric"] == bench.HEADLINE_METRIC
+    assert out[-1] != out[-2]  # no back-to-back duplicate at the tail
+
+
 def test_budget_exhaustion_emits_skip_markers(monkeypatch, capsys):
     rc, metrics, skips, calls = _run_main(monkeypatch, capsys, budget=0)
     assert calls == []  # nothing ran
-    assert {s["skipped"] for s in skips} == {m for m, _ in bench.SECTIONS}
+    assert {s["skipped"] for s in skips} == {m for m, _ in bench.DEFAULT_SECTIONS}
     assert all(s["reason"] == "wall-clock budget exhausted" for s in skips)
     # no measurement -> explicit value-0 headline, non-zero exit
     assert rc == 1
@@ -106,13 +145,36 @@ def test_relay_outage_fails_loudly(monkeypatch, capsys):
     assert metrics[-1]["metric"] == bench.HEADLINE_METRIC and metrics[-1]["value"] == 0
 
 
-def test_sections_put_slow_13b_modes_last():
+def test_default_sections_fit_the_driver_budget_profile():
+    default = [m for m, _ in bench.DEFAULT_SECTIONS]
+    # the headline runs first; the driver-required evidence (closedloop,
+    # loadtest, data) is IN the default run; the multi-compile slow material
+    # (full-depth lora, int4 modes, vlm pretrain) is canonical-capture-only
+    assert default[0] == "serve7b"
+    assert {"data", "closedloop", "loadtest", "train"} <= set(default)
+    slow = {"lora", "lora13b", "13b4", "7b4", "vlmtrain"}
+    assert slow.isdisjoint(default)
+    # `bench.py all` runs default + slow, default material first
     order = [m for m, _ in bench.SECTIONS]
-    assert order[0] == "serve7b"
-    # the 13B/int4 + server-harness sections ran r03's capture out of its
-    # timeout; they must trail the headline + train/lora core
-    assert order.index("train") < order.index("lora") < order.index("lora13b")
-    assert set(order[3:]) == {"lora13b", "13b4", "7b4", "closedloop", "loadtest"}
+    assert order[: len(default)] == default
+    assert set(order[len(default):]) == slow
+
+
+def test_run_all_covers_every_section(monkeypatch, capsys):
+    monkeypatch.setenv("BENCH_BUDGET_S", "1")  # run_all must ignore the budget
+    monkeypatch.setattr(bench, "_wait_for_tpu", lambda *a, **k: True)
+    calls = []
+
+    def fake_section(mode, timeout_s):
+        calls.append(mode)
+        return FAKE_LINES.get(mode, [])
+
+    monkeypatch.setattr(bench, "_run_section_subprocess", fake_section)
+    try:
+        bench.main(run_all=True)
+    except SystemExit:
+        pass
+    assert calls == [m for m, _ in bench.SECTIONS]
 
 
 def test_cold_compile_headline_gets_one_retry(monkeypatch, capsys):
@@ -153,4 +215,4 @@ def test_cold_compile_headline_gets_one_retry(monkeypatch, capsys):
     assert metrics[-1]["value"] == 7.5
     # every other section ran exactly once
     rest = [m for m, _ in calls if m != "serve7b"]
-    assert rest == [m for m, _ in bench.SECTIONS if m != "serve7b"]
+    assert rest == [m for m, _ in bench.DEFAULT_SECTIONS if m != "serve7b"]

@@ -69,9 +69,13 @@ def test_closed_loop_bench_runs_end_to_end(bench, capsys):
     bench._closed_loop_bench(bench.TINY_NORM_STATS, ticks=5)
     metrics = {m["metric"]: m for m in _metric_lines(capsys.readouterr().out)}
     assert set(metrics) == {"closed_loop_hz_sequential", "closed_loop_hz_speculative",
-                            "closed_loop_hz_chunked8"}
+                            "closed_loop_hz_speculative_replayed", "closed_loop_hz_chunked8"}
     for m in metrics.values():
         assert m["value"] > 0
+    # the replayed mode must state its acceptance-injection mechanism and the
+    # calibrated margin in the unit string (honesty contract)
+    unit = metrics["closed_loop_hz_speculative_replayed"]["unit"]
+    assert "replayed" in unit and "margin" in unit and "crafted" in unit
 
 
 def test_load_test_bench_runs_end_to_end(bench, capsys):

@@ -45,12 +45,12 @@ def _metric_lines(capsys):
             if ln.startswith('{"metric"')]
 
 
-def test_closed_loop_section_runs_and_reports_three_modes(monkeypatch, capsys):
+def test_closed_loop_section_runs_and_reports_four_modes(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_build_flagship_int8", _tiny_model)
     bench._closed_loop_bench(TINY_NORM_STATS)
     metrics = {m["metric"]: m for m in _metric_lines(capsys)}
     assert set(metrics) == {"closed_loop_hz_sequential", "closed_loop_hz_speculative",
-                            "closed_loop_hz_chunked8"}
+                            "closed_loop_hz_speculative_replayed", "closed_loop_hz_chunked8"}
     assert all(m["value"] > 0 for m in metrics.values())
 
 
