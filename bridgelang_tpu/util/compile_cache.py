@@ -41,11 +41,11 @@ def warmup_predict(model, params, max_batch: int = 1, unnorm_key: str | None = N
     list, so a non-power-of-two max_batch is warmed too) — no live request
     ever stalls behind a 7B compile. Uses the model's own transform
     resolution. With `speculative`, also warms the batch-1 speculative
-    program (the server's default serving mode) at `margin_threshold` —
-    the speculative jit cache is keyed per margin (vla.py
-    _jitted_predict_frames_speculative), so warming the default 0.25 while
-    serving another margin would leave the served program cold and the first
-    live /act stalled behind a multi-minute 7B compile. Returns seconds."""
+    program (the server's default serving mode). `margin_threshold` is
+    accepted for callers that serve a non-default margin, but since r05 the
+    margin is a traced operand of ONE compiled program (vla.py
+    _jitted_predict_frames_speculative) — warming any margin warms them all,
+    so no served margin can stall behind a fresh 7B compile. Returns seconds."""
     import numpy as np
 
     from bridgelang_tpu.serving.server import batch_buckets
