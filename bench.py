@@ -55,7 +55,10 @@ SERVE_BENCH_TIMEOUT_S = 1200  # warm-cache 7B serving compile is ~22s; cold is m
 SERVE_BENCH_COLD_TIMEOUT_S = 3000  # retry cap when attempt 1 missed the headline
 DATA_BENCH_TIMEOUT_S = 300  # host-only tf.data pipeline; no TPU, no compiles
 CLOSEDLOOP_TIMEOUT_S = 1500  # boots the REST server 4x; warm serving compiles
-LOADTEST_TIMEOUT_S = 900  # 60 s traffic window + bucket warmup
+LOADTEST_TIMEOUT_S = 1500  # 60 s traffic window + bucket warmup (measured 2026-08-20:
+# on a wiped /tmp cache the bucket+speculative warmup alone outran 900 s —
+# each bucket is its own remote-service compile; default runs still clamp
+# this to the remaining BENCH_BUDGET_S)
 MIN_SECTION_S = 180  # don't start a section with less budget than this
 HEADLINE_METRIC = "openvla7b-int8_predict_action_throughput"
 
@@ -1285,7 +1288,14 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
     # random weights' near-tie logits never clear it, so every draft was
     # rejected in r03/r04 regardless of scene motion).
     t_c = time.time()
-    cal_frames = [_np_center_crop_resize(frame(t)) for t in range(3)]
+    # 8 calibration frames, not 3: random-weight top-1 gaps vary frame to
+    # frame, and a margin that fully accepts self-drafts on 3 frames still
+    # truncated ~30% of injected accepts on the 40-frame replay (measured
+    # 2026-08-20, scripts/diag_spec_margin.py: true k 5.00 at margin 0 ->
+    # 3.67 at 0.25). With more evidence the calibration lands where the
+    # docstring's fallback says: ~0 for random weights (argmax-only gating),
+    # ~0.25 for real checkpoints' decisive logits.
+    cal_frames = [_np_center_crop_resize(frame(t)) for t in range(8)]
     margin_cal = model.calibrate_speculative_margin(params, cal_frames, "push the block",
                                                     unnorm_key="bridge_orig")
     print(f"[bench] calibrated speculative margin: {margin_cal} "
@@ -1373,30 +1383,66 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
         for t in range(3):  # HTTP-path warmup
             client_act("127.0.0.1", port, replay_frames[t], "push the block",
                         draft_tokens=greedy_toks[t], return_tokens=True)
-        t0 = time.perf_counter()
+        drafts = []
         for t in range(ticks):
             g = greedy_toks[3 + t]
             k = int(k_stream[t])
             draft = g.copy()
             if k < 7:
                 draft[k:] = g[k:] + 1  # first mismatch at the replayed position
-            action, _ = client_act("127.0.0.1", port, replay_frames[3 + t], "push the block",
-                                    draft_tokens=draft, return_tokens=True)
+            drafts.append(draft)
+        served_toks = []
+        t0 = time.perf_counter()
+        for t in range(ticks):
+            action, toks = client_act("127.0.0.1", port, replay_frames[3 + t], "push the block",
+                                      draft_tokens=drafts[t], return_tokens=True)
+            served_toks.append(np.asarray(toks, np.int32))
             action = invert_gripper_action(normalize_gripper_action(np.asarray(action, np.float64)))
             assert action.shape[-1] == 7
         hz_replay = ticks / (time.perf_counter() - t0)
     finally:
         httpd.shutdown()
+    # Greedy-agreement telemetry: the T=7 verification chunk writes KV cache
+    # entries under a different bf16 tiling than a pure sequential decode, so
+    # the post-rejection decode sees noise-scale logit perturbations — at a
+    # near-tie that flips a token vs the recording (the hazard class the
+    # margin gate + wide real-checkpoint margins make unobservable in
+    # production; generate_speculative docstring). Random weights live AT
+    # the near-tie scale, so some ticks diverge; measure it, don't hide it.
+    greedy_match = float(np.mean([np.array_equal(served_toks[t], greedy_toks[3 + t])
+                                  for t in range(ticks)]))
+    # TRUE accepted counts at the served margin (the gate can truncate an
+    # injected accept run at any near-tie position — report what the device
+    # actually accepted, not just what the draft offered). Zero compiles:
+    # the accept-count program is warmed by the calibration sweep.
+    fn_cnt = model._jitted_predict_frames_speculative(margin_cal, return_accept_count=True)
+    ids_r, mask_r = model.pad_prompt([model.prepare_prompt_ids("push the block")])
+    import jax.numpy as _jnp
+    stats_r = norm_stats["bridge_orig"]["action"]
+    q01_r = _jnp.asarray(stats_r["q01"], _jnp.float32)
+    q99_r = _jnp.asarray(stats_r["q99"], _jnp.float32)
+    sm_r = _jnp.asarray(stats_r["mask"])
+    true_k = [
+        int(np.asarray(fn_cnt(params, _jnp.asarray(ids_r), _jnp.asarray(mask_r),
+                              _jnp.asarray(replay_frames[3 + t][None]), q01_r, q99_r, sm_r,
+                              _jnp.asarray(drafts[t][None]))[2])[0])
+        for t in range(ticks)
+    ]
+    true_mean_k = float(np.mean(true_k))
     print(f"[bench] closed-loop speculative(replayed-trajectory): {hz_replay:.2f} Hz "
-          f"(mean accepted {mean_k:.2f}/7, margin {margin_cal})", file=_sys.stderr)
+          f"(injected mean {mean_k:.2f}/7, device-accepted mean {true_mean_k:.2f}/7, "
+          f"greedy-equal {greedy_match:.0%} of ticks, margin {margin_cal})", file=_sys.stderr)
     print(json.dumps({
         "metric": "closed_loop_hz_speculative_replayed",
         "value": round(hz_replay, 2),
         "unit": (f"Hz sustained (replayed minimum-jerk nominal trajectory, production "
-                 f"binning + hybrid drafting -> mean {mean_k:.2f}/7 accepted, calibrated "
-                 f"margin {margin_cal}; acceptance injected per-tick via crafted client "
-                 f"drafts against recorded greedy tokens — all 7B compute/REST transport "
-                 f"real; random weights cannot track a scene)"),
+                 f"binning + hybrid drafting -> injected mean {mean_k:.2f}/7, device-"
+                 f"accepted mean {true_mean_k:.2f}/7 at calibrated margin {margin_cal}; "
+                 f"served tokens greedy-equal on {greedy_match:.0%} of ticks — divergent "
+                 f"ticks are bf16 near-tie flips in the post-rejection decode, "
+                 f"unobservable at real checkpoints' wide margins; acceptance injected per-tick "
+                 f"via crafted client drafts against recorded greedy tokens — all 7B "
+                 f"compute/REST transport real; random weights cannot track a scene)"),
         "vs_baseline": round(hz_replay / REFERENCE_ACTIONS_PER_SEC, 3),
     }), flush=True)
 

@@ -323,6 +323,13 @@ class OpenVLA(PrismaticVLM):
         fn = self._jitted_predict_frames_speculative(margin_threshold)
         actions, tokens = fn(params, self._put(ids), self._put(mask), self._put(frame),
                              self._put(q01), self._put(q99), self._put(stat_mask), self._put(draft))
+        # ONE combined host fetch: np.asarray(actions) then np.asarray(tokens)
+        # is two sequential device->host transfers, and over the relay each
+        # pays the full tunnel round trip (~25-37 ms/day) — measured 112 ms
+        # vs ~63 ms on-device for a full-accept call before this (r05,
+        # scripts/diag_rest_overhead.py). device_get on the tuple drains both
+        # buffers in a single round trip.
+        actions, tokens = jax.device_get((actions, tokens))
         return np.asarray(actions)[0], np.asarray(tokens)[0]
 
     def calibrate_speculative_margin(
