@@ -649,22 +649,39 @@ def _accept_stream(tok_stream: np.ndarray, strategy: str) -> np.ndarray:
 def _run_section_subprocess(mode: str, timeout_s: float) -> list:
     """Run one bench section as `python bench.py <mode>`; return its metric
     lines (salvaged from partial stdout if the section times out)."""
+    import signal
     import subprocess
 
-    try:
-        # The parent just confirmed the relay is up, so cap the child's own
-        # wait low: a 1500s child wait inside a 900s subprocess timeout would
-        # otherwise eat the whole budget and die having benched nothing.
-        proc = subprocess.run(
-            [sys.executable, __file__, mode],
-            capture_output=True, text=True, timeout=timeout_s,
-            env={**os.environ, "BRIDGELANG_TPU_WAIT_S": "120"},
-        )
-    except subprocess.TimeoutExpired as e:
+    # Each section runs in its OWN session so a timeout kill reaps the whole
+    # process GROUP — including grandchildren (the data section's
+    # bench_data.py tf.data loop): subprocess.run's timeout kills only the
+    # direct child, and an orphaned pipeline saturating this 1-core host
+    # would corrupt every following TPU section's latency numbers.
+    # The parent just confirmed the relay is up, so cap the child's own
+    # wait low: a 1500s child wait inside a 900s subprocess timeout would
+    # otherwise eat the whole budget and die having benched nothing.
+    with subprocess.Popen(
+        [sys.executable, __file__, mode],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
+        env={**os.environ, "BRIDGELANG_TPU_WAIT_S": "120"},
+    ) as popen:
+        timed_out = False
+        try:
+            out, err = popen.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            try:
+                os.killpg(os.getpgid(popen.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            out, err = popen.communicate()  # drain whatever the pipes hold
+    proc = subprocess.CompletedProcess(popen.args, popen.returncode, out or "", err or "")
+    if timed_out:
         # salvage any metric line the child printed before the kill (sections
         # print each metric the moment it is measured for exactly this case)
-        partial = e.stdout if isinstance(e.stdout, str) else (e.stdout or b"").decode(errors="replace")
-        lines = [ln for ln in partial.splitlines() if ln.startswith('{"metric"')]
+        sys.stderr.write(proc.stderr[-2000:])
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')]
         if lines:
             print(f"[bench] {mode} section timed out AFTER {len(lines)} metric line(s); kept them",
                   file=sys.stderr)
@@ -1302,8 +1319,14 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
           f"(sweep took {time.time()-t_c:.1f}s incl. accept-count program warmup)",
           file=_sys.stderr)
 
-    def run_mode(name, server_kwargs, client_kwargs, ticks=ticks, chunk=1, frame_fn=None):
-        frame_fn = frame_fn or frame
+    def run_mode(name, server_kwargs, client_kwargs, ticks=ticks, chunk=1):
+        # Every mode times the SAME per-tick client pipeline: center-crop of a
+        # pre-generated raw camera frame (a real camera delivers frames for
+        # free, so frame SYNTHESIS stays outside the timed loop — it is sim
+        # work, not client work) + HTTP round trip + gripper renorm. The
+        # replayed-speculative loop below uses the identical structure, so
+        # the modes are directly comparable (r05 review finding).
+        raw = [frame(t) for t in range(ticks + 3)]
         server = VLAServer(model, params, default_unnorm_key="bridge_orig", **server_kwargs)
         httpd = server.serve_background(port=0)
         port = httpd.server_address[1]
@@ -1311,11 +1334,11 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
             vla = RemoteVLA("127.0.0.1", port, **client_kwargs)
             # warmup: compile + prime the server draft cache
             for t in range(3):
-                img = _np_center_crop_resize(frame_fn(t))
+                img = _np_center_crop_resize(raw[t])
                 vla.predict(img, "push the block", "bridge_orig")
             t0 = time.perf_counter()
             for t in range(ticks):
-                img = _np_center_crop_resize(frame_fn(3 + t))
+                img = _np_center_crop_resize(raw[3 + t])
                 action = vla.predict(img, "push the block", "bridge_orig")
                 action = invert_gripper_action(normalize_gripper_action(np.asarray(action, np.float64)))
                 assert action.shape[-1] == 7
@@ -1364,9 +1387,12 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
     k_stream = _accept_stream(tok_stream, "hybrid")
     # Record the model's greedy tokens per tick frame (deterministic scene,
     # deterministic model -> the serving path reproduces these exactly).
-    # Frames are pre-generated ONCE; `frame()` mutates rng state, so the
-    # timed loop must reuse this list, not re-call frame().
-    replay_frames = [_np_center_crop_resize(frame(100 + t)) for t in range(ticks + 3)]
+    # RAW frames are pre-generated ONCE (`frame()` mutates rng state); the
+    # timed loop re-crops the raw frame per tick — the identical per-tick
+    # client pipeline run_mode times, and crop is deterministic so the
+    # re-cropped pixels match the recording's frames bit-for-bit.
+    raw_replay = [frame(100 + t) for t in range(ticks + 3)]
+    replay_frames = [_np_center_crop_resize(f) for f in raw_replay]
     greedy_toks = []
     for img in replay_frames:
         _, toks = model.predict_action_speculative(params, img, "push the block",
@@ -1394,7 +1420,8 @@ def _closed_loop_bench(norm_stats, ticks: int = 40):
         served_toks = []
         t0 = time.perf_counter()
         for t in range(ticks):
-            action, toks = client_act("127.0.0.1", port, replay_frames[3 + t], "push the block",
+            img = _np_center_crop_resize(raw_replay[3 + t])  # same client work as run_mode
+            action, toks = client_act("127.0.0.1", port, img, "push the block",
                                       draft_tokens=drafts[t], return_tokens=True)
             served_toks.append(np.asarray(toks, np.int32))
             action = invert_gripper_action(normalize_gripper_action(np.asarray(action, np.float64)))
@@ -1477,6 +1504,11 @@ def _data_bench():
     import subprocess
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_data.py")
+    # NOTE: bench_data.py must share this process's session/group — the
+    # orchestrator group-kills the whole section on its outer timeout
+    # (_run_section_subprocess), which is what reaps this grandchild if the
+    # section dies first; detaching it here would orphan a tf.data loop that
+    # saturates this 1-core host through the following TPU sections.
     proc = subprocess.run(
         [sys.executable, script, "--seconds", "12", "--shuffle_buffer_size", "500"],
         capture_output=True, text=True, timeout=DATA_BENCH_TIMEOUT_S - 30,

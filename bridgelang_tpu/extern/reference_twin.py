@@ -30,16 +30,29 @@ from typing import Optional
 import numpy as np
 
 
+_IMPORTED_DIRS: dict = {}  # package_name -> resolved source dir
+
+
 def import_reference_hf(hf_dir, package_name: str = "bridgelang_reference_hf"):
     """Import `configuration_prismatic.py` + `modeling_prismatic.py` from
     `hf_dir` as a package (their relative imports intact). Returns the
-    modeling module. Installs the timm shim first if timm is absent."""
+    modeling module. Installs the timm shim first if timm is absent.
+
+    Import is cached per `package_name`; asking for a DIFFERENT hf_dir under
+    the same name raises instead of silently returning the first tree's
+    code (a parity 'pass' against modeling code that was never loaded)."""
     from bridgelang_tpu.extern.timm_shim import install
 
     install()
-    hf_dir = Path(hf_dir)
+    hf_dir = Path(hf_dir).resolve()
     if package_name in sys.modules:
+        cached = _IMPORTED_DIRS.get(package_name)
+        if cached is not None and cached != hf_dir:
+            raise ValueError(
+                f"{package_name!r} already imported from {cached}; pass a distinct "
+                f"package_name to load modeling code from {hf_dir}")
         return sys.modules[package_name + ".modeling_prismatic"]
+    _IMPORTED_DIRS[package_name] = hf_dir
     import importlib.machinery
 
     pkg = types.ModuleType(package_name)
@@ -67,7 +80,6 @@ def load_twin(ckpt_dir, hf_dir, strict: bool = True):
     hf_export.py docstring) surface in missing_keys; an export made with
     `source_hf=` loads with both lists empty.
     """
-    import torch
     from safetensors import safe_open
 
     modeling = import_reference_hf(hf_dir)
@@ -88,10 +100,19 @@ def load_twin(ckpt_dir, hf_dir, strict: bool = True):
     config._attn_implementation = "eager"
 
     twin = modeling.OpenVLAForActionPrediction(config)
+    # framework="pt": native torch tensors, so bf16 checkpoints (every
+    # published openvla-7b shard) load without a numpy round trip (numpy
+    # reads bf16 as ml_dtypes.bfloat16, which torch.from_numpy rejects).
+    # Glob picks up sharded model-0000x-of-0000N.safetensors layouts too;
+    # load_state_dict casts into the twin's fp32 params via Tensor.copy_.
     sd = {}
-    with safe_open(str(ckpt_dir / "model.safetensors"), framework="np") as sf:
-        for key in sf.keys():
-            sd[key] = torch.from_numpy(np.asarray(sf.get_tensor(key)))
+    files = sorted(ckpt_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"No *.safetensors under {ckpt_dir}")
+    for f in files:
+        with safe_open(str(f), framework="pt") as sf:
+            for key in sf.keys():
+                sd[key] = sf.get_tensor(key)
     result = twin.load_state_dict(sd, strict=strict)
     return twin.eval(), result
 

@@ -30,6 +30,10 @@ First session with real openvla-7b weights — three commands:
   3. replay for the parity verdict:
        python scripts/verify.py --checkpoint /ckpts/openvla-7b \
            --golden /ckpts/golden-openvla7b.npz
+  4. (optional, CPU, slow) cross-check against the reference's OWN
+     trust_remote_code modeling file executed here (extern/reference_twin):
+       python scripts/verify.py --checkpoint /ckpts/openvla-7b \
+           --reference_twin /path/to/prismatic/extern/hf --twin_calls 2
 """
 
 from __future__ import annotations
@@ -65,6 +69,15 @@ class VerifyConfig:
     # approximate); otherwise a smooth synthetic camera drift.
     speculative_stream: bool = False
     margin_threshold: float = 0.25
+    # Cross-check our predictions against the reference's OWN HF modeling
+    # file (trust_remote_code twin), executed here via extern/timm_shim +
+    # extern/reference_twin. Pass the directory holding the reference's
+    # configuration_prismatic.py/modeling_prismatic.py. Requires
+    # --checkpoint (an HF-format dir); runs BOTH sides on CPU in fp32 (the
+    # twin is torch-CPU, and bf16-vs-fp32 would not be bit-comparable), so
+    # on a real 7B budget minutes per call — use a small --twin_calls.
+    reference_twin: Optional[str] = None
+    twin_calls: int = 4
 
 
 def _golden_predict(model, params, rec) -> tuple:
@@ -242,7 +255,67 @@ def _build_model(cfg: VerifyConfig):
     return model, params
 
 
+def _reference_twin_check(cfg: VerifyConfig) -> None:
+    """Execute the reference's own modeling_prismatic.py on `--checkpoint`
+    and assert greedy action-token equality against our path, per-frame.
+    Both sides run CPU fp32 (tiny-geometry version of this proof:
+    tests/test_reference_twin_execution.py; this entry point is the
+    real-weights version for the first session with a staged checkpoint)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bridgelang_tpu.extern.reference_twin import load_twin, twin_greedy_actions
+    from bridgelang_tpu.models.llm.tokenizer import get_tokenizer
+    from bridgelang_tpu.models.load import load_vla
+    from bridgelang_tpu.ops.image_ops import preprocess_batch
+
+    if not cfg.checkpoint:
+        raise SystemExit("--reference_twin requires --checkpoint (an HF-format export dir)")
+    model, params = load_vla(cfg.checkpoint, dtype=jnp.float32)
+    model.tokenizer = get_tokenizer(cfg.tokenizer_path)
+    twin, result = load_twin(cfg.checkpoint, cfg.reference_twin, strict=False)
+    print(f"[verify] twin loaded: {len(result.missing_keys)} missing "
+          f"(expected: dead-weight final norms/attn_pool — {sorted(result.missing_keys)[:4]}...), "
+          f"{len(result.unexpected_keys)} unexpected")
+    if result.unexpected_keys:
+        raise SystemExit(f"twin load saw unexpected keys: {result.unexpected_keys[:8]}")
+
+    unnorm_key = "bridge_orig" if "bridge_orig" in model.norm_stats else None
+    action_dim = len(model.get_action_stats(unnorm_key)["q01"])
+    rng = np.random.default_rng(0)
+    n_fail = 0
+    for i in range(cfg.twin_calls):
+        frame = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
+        ids = model.prepare_prompt_ids("pick up the object")[None].astype(np.int32)
+        mask = np.ones_like(ids)
+        pixels = np.asarray(preprocess_batch(frame[None], model.image_transform,
+                                             dtype=jnp.float32))
+        t0 = time.time()
+        twin_toks, _ = twin_greedy_actions(twin, ids, pixels, n_tokens=action_dim,
+                                           unnorm_key=unnorm_key)
+        t1 = time.time()
+        our_toks = np.asarray(model.generate_greedy(
+            params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pixels),
+            max_new_tokens=action_dim, cache_dtype=jnp.float32))[0]
+        ok = bool(np.array_equal(our_toks, twin_toks))
+        n_fail += not ok
+        print(f"[verify] twin call {i}: {'MATCH' if ok else 'MISMATCH'} "
+              f"ours={our_toks.tolist()} twin={twin_toks.tolist()} "
+              f"(twin {t1-t0:.1f}s, ours {time.time()-t1:.1f}s)")
+    verdict = "PASS" if n_fail == 0 else "FAIL"
+    print(f"[verify] reference-twin parity: {cfg.twin_calls - n_fail}/{cfg.twin_calls} {verdict}")
+    if n_fail:
+        raise SystemExit(1)
+
+
 def main(cfg: VerifyConfig) -> None:
+    if cfg.reference_twin:
+        _reference_twin_check(cfg)
+        return
+
     import jax
     import jax.numpy as jnp
     import numpy as np

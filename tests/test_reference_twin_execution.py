@@ -132,3 +132,38 @@ def test_twin_action_parity(exported, twin_default):
         jnp.asarray(stats["mask"]), action_dim=7,
     ))[0]
     np.testing.assert_allclose(our_action, twin_action, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_timm_shim_matches_flagship_manifest():
+    """The shim's module tree at FLAGSHIP geometry (fused dinosiglip-224px,
+    built through the twin's own PrismaticVisionBackbone so the LayerScale
+    gamma->scale_factor patch applies) must reproduce the pinned export
+    manifest's vision keys + shapes EXACTLY, modulo the documented
+    source-only dead weight — cross-pinning the shim against the manifest
+    that was itself hand-derived from the reference converter's key map."""
+    import json
+
+    from bridgelang_tpu.extern.reference_twin import import_reference_hf
+
+    modeling = import_reference_hf(REF_HF)
+    backbone = modeling.PrismaticVisionBackbone(
+        use_fused_vision_backbone=True,
+        image_sizes=[224, 224],
+        timm_model_ids=["vit_large_patch14_reg4_dinov2.lvd142m", "vit_so400m_patch14_siglip_224"],
+        timm_override_act_layers=[None, None],
+    )
+    shim_shapes = {f"vision_backbone.{k}": list(v.shape)
+                   for k, v in backbone.state_dict().items()}
+
+    golden = json.loads((Path(__file__).parent / "golden"
+                         / "hf_export_manifest_openvla7b.json").read_text())
+    manifest = {k: v for k, v in golden.items() if k.startswith("vision_backbone.")}
+
+    from tests.test_hf_export_manifest import SOURCE_ONLY_KEYS, SOURCE_ONLY_SUBSTR
+
+    source_only = {k for k in shim_shapes
+                   if k in SOURCE_ONLY_KEYS or SOURCE_ONLY_SUBSTR in k}
+    assert set(shim_shapes) - source_only == set(manifest)
+    for k in manifest:
+        assert shim_shapes[k] == manifest[k], (k, shim_shapes[k], manifest[k])
