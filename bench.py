@@ -666,16 +666,27 @@ def _run_section_subprocess(mode: str, timeout_s: float) -> list:
         start_new_session=True,
         env={**os.environ, "BRIDGELANG_TPU_WAIT_S": "120"},
     ) as popen:
+
+        def _kill_group():
+            try:
+                os.killpg(os.getpgid(popen.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+
         timed_out = False
         try:
             out, err = popen.communicate(timeout=timeout_s)
         except subprocess.TimeoutExpired:
             timed_out = True
-            try:
-                os.killpg(os.getpgid(popen.pid), signal.SIGKILL)
-            except ProcessLookupError:
-                pass
+            _kill_group()
             out, err = popen.communicate()  # drain whatever the pipes hold
+        except BaseException:
+            # The child is in its OWN session, so Ctrl-C no longer reaches it
+            # via the foreground group (it did before the group-kill change).
+            # Any other exit path must reap the group too, or the section
+            # keeps holding the single TPU after the driver dies.
+            _kill_group()
+            raise
     proc = subprocess.CompletedProcess(popen.args, popen.returncode, out or "", err or "")
     if timed_out:
         # salvage any metric line the child printed before the kill (sections

@@ -52,7 +52,6 @@ def import_reference_hf(hf_dir, package_name: str = "bridgelang_reference_hf"):
                 f"{package_name!r} already imported from {cached}; pass a distinct "
                 f"package_name to load modeling code from {hf_dir}")
         return sys.modules[package_name + ".modeling_prismatic"]
-    _IMPORTED_DIRS[package_name] = hf_dir
     import importlib.machinery
 
     pkg = types.ModuleType(package_name)
@@ -60,13 +59,24 @@ def import_reference_hf(hf_dir, package_name: str = "bridgelang_reference_hf"):
     pkg.__package__ = package_name
     pkg.__spec__ = importlib.machinery.ModuleSpec(package_name, None, is_package=True)
     sys.modules[package_name] = pkg
-    for sub in ("configuration_prismatic", "modeling_prismatic"):
-        spec = importlib.util.spec_from_file_location(
-            f"{package_name}.{sub}", hf_dir / f"{sub}.py"
-        )
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules[f"{package_name}.{sub}"] = mod
-        spec.loader.exec_module(mod)
+    try:
+        for sub in ("configuration_prismatic", "modeling_prismatic"):
+            spec = importlib.util.spec_from_file_location(
+                f"{package_name}.{sub}", hf_dir / f"{sub}.py"
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[f"{package_name}.{sub}"] = mod
+            spec.loader.exec_module(mod)
+    except BaseException:
+        # A half-imported package must not poison the cache: drop every
+        # registered module so a retry (same or corrected hf_dir) starts
+        # clean instead of hitting the already-imported guard above.
+        for name in (package_name, f"{package_name}.configuration_prismatic",
+                     f"{package_name}.modeling_prismatic"):
+            sys.modules.pop(name, None)
+        raise
+    # Record the source dir only AFTER a fully successful import.
+    _IMPORTED_DIRS[package_name] = hf_dir
     return sys.modules[package_name + ".modeling_prismatic"]
 
 
